@@ -1,0 +1,71 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion JVM-side via the noop sink (full scan +
+compute, no driver collect cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "orders_per_priority",
+    "join_orders_customer",
+    "join_lineitem_part",
+    "topk_customers_by_spend",
+    "latest_event_per_user",
+    "having_wide_orders",
+    "hourly_event_rollup",
+    "json_extract_typed",
+    "outliers_3sigma",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from etl_school_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("etl-school-spark-bench")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # allow extending the headline set via env without editing this file
+    extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n and n in qs]
+    names += [n for n in extra if n not in names]
+
+    # warm the JVM/codegen and the OS page cache once (excluded from timing)
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

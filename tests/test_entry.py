@@ -1,0 +1,43 @@
+"""Driver-contract smoke tests: entry(), queries(), oracle_sql() shape."""
+
+from __future__ import annotations
+
+import __spark_entry__ as e
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"o_orderpriority", "order_count"}
+
+
+def test_queries_registry_shape():
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) >= 20
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+def test_all_queries_execute(spark):
+    for name, fn in e.queries().items():
+        df = fn(spark, SF_SMOKE)
+        n = df.count()
+        assert n >= 0, name
+
+
+def test_oracle_parity_smoke(spark, duck):
+    """Exact value parity vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
+    from tools.check_oracle import compare
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = {}
+    for name, sql in oracles.items():
+        spark_pdf = qs[name](spark, SF_SMOKE).toPandas()
+        duck_pdf = duck.execute(sql).fetchdf()
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures[name] = problems
+    assert not failures, failures

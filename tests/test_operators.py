@@ -1,0 +1,88 @@
+"""Unit tests for the relational operator layer (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dsum_exact_and_order_independent(spark):
+    from etl_school_spark.operators.aggregates import dsum
+
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)] * 100, "x double")
+    total = df.agg(dsum("x").alias("s")).collect()[0].s
+    assert total == 60.0  # exact despite binary-float inputs
+    total2 = df.repartition(7).agg(dsum("x").alias("s")).collect()[0].s
+    assert total2 == 60.0  # partitioning-independent
+
+
+def test_latest_per_group_deterministic(spark):
+    from etl_school_spark.operators.windows import latest_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("b", 1, 7)],
+        "k string, ts int, id int",
+    )
+    out = latest_per_group(df, ["k"], [F.desc("ts"), F.desc("id")]).collect()
+    got = {(r.k, r.ts, r.id) for r in out}
+    assert got == {("a", 2, 20), ("b", 1, 7)}
+
+
+def test_ratio_to_total_sums_to_100(spark):
+    from etl_school_spark.operators.aggregates import ratio_to_total
+
+    df = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "k string")
+    rows = ratio_to_total(df, ["k"]).collect()
+    pct = {r.k: r.pct for r in rows}
+    assert pct == {"x": 75.0, "y": 25.0}
+
+
+def test_json_path_null_safe(spark):
+    from etl_school_spark.operators.projections import json_path
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"other": 1}',), ('{"k": "notanint"}',), (None,)],
+        "props string",
+    )
+    out = df.select(json_path("props", "$.k", "long").alias("k")).collect()
+    assert [r.k for r in out] == [7, None, None, None]
+
+
+def test_three_sigma_outliers(spark):
+    from etl_school_spark.operators.joins import three_sigma_outliers
+
+    vals = [(float(i % 10),) for i in range(1000)] + [(1000.0,)]
+    df = spark.createDataFrame(vals, "x double")
+    out = three_sigma_outliers(df, "x").collect()
+    assert [r.x for r in out] == [1000.0]
+
+
+def test_multi_column_search(spark):
+    from etl_school_spark.operators.projections import multi_column_search
+
+    df = spark.createDataFrame(
+        [("Alice", "a@x.com"), ("Bob", "ALICE@y.com"), ("Carol", "c@z.com")],
+        "name string, email string",
+    )
+    out = multi_column_search(df, "alice", ["name", "email"]).collect()
+    assert {r.name for r in out} == {"Alice", "Bob"}
+
+
+def test_dim_join_broadcasts(spark):
+    from etl_school_spark.operators.joins import dim_join
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    dim = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, d string")
+    out = dim_join(fact, dim, on="k", how="left")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 3
+
+
+def test_top_k_is_take_ordered(spark):
+    from etl_school_spark.operators.sorts import top_k
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    out = top_k(df, [F.desc("x")], 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert [r.x for r in out.collect()] == [99, 98, 97]
