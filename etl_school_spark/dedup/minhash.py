@@ -1,0 +1,101 @@
+"""MinHash + LSH banding near-dup detection (the scale path for Jaccard).
+
+Pipeline (all Catalyst expressions; one shuffle on band buckets):
+1. shingle each doc (distinct word n-grams)
+2. signature: for each of ``num_perm`` hash seeds i, take
+   min over shingles of xxhash64(shingle, i)  — a vectorized
+   transform/array_min over the shingle array, JVM-side
+3. slice the signature into ``bands`` bands of ``rows_per_band`` and hash
+   each band; explode to (band_idx, band_hash, doc)
+4. docs colliding in any band become candidate pairs (groupBy-join on the
+   band bucket)
+5. verify candidates with EXACT Jaccard on the shingle sets, filter ≥ t
+
+With 128 perms and 32 bands × 4 rows, the S-curve puts ~0.99 recall at
+Jaccard 0.8. False positives are removed by the exact verify; false
+negatives are the (quantified, tunable) LSH tradeoff — this is why the
+engine also ships the exact inverted-index join (ngram.py): same output
+contract, different cost curve. At 100 TB, MinHash shuffles only
+O(docs × bands) small rows instead of the posting-list join's
+O(postings) — and the signature pass is a single linear scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_school_spark.dedup.ngram import shingle_sets
+
+
+def minhash_signatures(
+    sets: DataFrame, num_perm: int = 128
+) -> DataFrame:
+    """Add a `sig` array<long> column: per-seed min of xxhash64(shingle, seed)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
+    )
+    return sets.withColumn("sig", F.when(F.size("shingles") > 0, sig))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
+
+    Returns: id_a, id_b, jaccard — same contract as ngram_jaccard_pairs.
+    """
+    rows_per_band = num_perm // bands
+    sets = shingle_sets(docs, id_col, text_col, n)
+    signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
+
+    banded = signed.select(
+        "doc",
+        "set_size",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band), lambda v: v.cast("string")))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "set_size", "shingles", "band.band_idx", "band.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("size_a") + F.col("size_b") - inter)
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

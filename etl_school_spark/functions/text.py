@@ -1,0 +1,144 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Catalyst expressions (split / transform / filter / aggregate /
+xxhash64) — they run inside whole-stage codegen and scale linearly with
+input size; no Python in the data path.
+
+Components: tokenization, word shingles, token stats, stopword/quality
+scoring, language-ID heuristic, document fingerprinting, SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Frequent-word markers per language for the lang-ID heuristic.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "que", "y", "una"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def regex_token_count(col: Column | str, pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]") -> Column:
+    """BPE-ish token counting: count regex token matches (letters runs,
+    digit runs, single punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Documents shorter than n words get an
+    empty shingle set (guard needed: sequence(1, 0) would count DOWN)."""
+    w = tokens(col)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(F.when(F.size(w) >= n, shingled).otherwise(F.array().cast("array<string>")))
+
+
+def stopword_share(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Share of tokens that are stopwords, 4-decimal rounded."""
+    w = tokens(col)
+    sw = F.array([F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return F.round(n_stop.cast("double") / F.nullif(F.size(w), F.lit(0)), 4)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document-quality heuristic in [0,1]:
+    rewards reasonable length, penalizes very low type/token ratio
+    (boilerplate repetition) and extreme stopword share. The exact formula
+    is arbitrary but fixed — what matters for a pipeline is determinism and
+    monotonicity in the signals (length, lexical diversity, stopwords)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    ttr = distinct_token_count(c).cast("double") / F.nullif(n_tok, F.lit(0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_share(c)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.1))
+    return F.round((len_score + ttr + sw_score) / 3.0, 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language-ID heuristic: count hits from each language's
+    frequent-word list; highest count wins (ties broken by a fixed language
+    order); no hits at all → 'und' (undetermined)."""
+    w = F.array_distinct(tokens(col))
+    scores = []
+    for lang_code, markers in LANG_MARKERS.items():
+        marker_arr = F.array([F.lit(m) for m in markers])
+        scores.append(
+            (lang_code, F.size(F.filter(w, lambda t: F.array_contains(marker_arr, t))))
+        )
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse priority so earlier languages win ties
+    for lang_code, score in reversed(scores):
+        take = score >= best_score
+        best = F.when(take & (score > 0), F.lit(lang_code)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Identical content (modulo spacing/case) → identical fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over the distinct token set as an array<int> of ±bit
+    sums turned into 0/1 bits (bit k = 1 iff the sum of per-token bit-k
+    contributions is positive). Token bits come from xxhash64.
+
+    Returned as array<int> of length 64 (bit vector) — callers pack bands
+    or compute hamming distance with zip_with, all expression-side.
+    """
+    w = F.array_distinct(tokens(col))
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def contrib(acc: Column, t: Column) -> Column:
+        h = F.xxhash64(t)
+        # shiftright requires a literal shift amount — unroll the 64 bits
+        bits = F.array(
+            *[
+                F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")).otherwise(
+                    F.lit(-1).cast("long")
+                )
+                for k in range(64)
+            ]
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    sums = F.aggregate(w, zero64, contrib)
+    return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length 0/1 bit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, F.lit(0)).otherwise(F.lit(1))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

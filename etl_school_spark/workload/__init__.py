@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_school_spark.workload import relational
+from etl_school_spark.workload import dedupops, relational, similarityops, textops
 
-_MODULES = [relational]
+_MODULES = [relational, textops, dedupops, similarityops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

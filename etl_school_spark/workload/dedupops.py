@@ -1,0 +1,71 @@
+"""Near-duplicate detection workload over the documents table.
+
+- ngram_jaccard: exact inverted-index set-similarity join, oracle-checked
+  against a brute-force DuckDB pair scan (feasible at oracle scale).
+- minhash_lsh: probabilistic scale path, rows-only driver check; its
+  equivalence to the exact result on this corpus is asserted in
+  tests/test_dedup.py (the planted near-dups at jaccard ≈ 0.99 sit far
+  above the 32×4-band S-curve's 0.8 threshold, so recall is 1.0 here).
+- simhash: pigeonhole-blocked hamming near-dup, rows-only + tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_school_spark.dedup.minhash import minhash_lsh_pairs
+from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
+from etl_school_spark.dedup.simhash import simhash_near_pairs
+from etl_school_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Brute-force exact word-trigram Jaccard in DuckDB (O(n²) — oracle scale only).
+_NGRAM_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)])
+              ELSE [] END AS s
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))*1.0
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))*1.0
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
+
+
+@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures aren't SQL-portable
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
+
+
+@_q("dedup_simhash")  # rows-only: xxhash64 signatures aren't SQL-portable
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3, chunks=4).orderBy("id_a", "id_b")

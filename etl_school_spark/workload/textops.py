@@ -1,0 +1,165 @@
+"""Text-analysis workload over the documents table (training-data ops).
+
+DuckDB oracles mirror the exact token/arithmetic semantics; raw double
+divisions are left unrounded where possible (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_school_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    distinct_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    stopword_share,
+    token_count,
+)
+from etl_school_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens, distinct types, BPE-ish regex tokens
+# --------------------------------------------------------------------------
+@_q(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') w, text FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_types,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_regex_tokens,
+           round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS stop_share
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            token_count("text").alias("n_tokens"),
+            distinct_token_count("text").alias("n_types"),
+            regex_token_count("text").cast("long").alias("n_regex_tokens"),
+            stopword_share("text").alias("stop_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: deterministic composite of length/diversity/stopwords
+# --------------------------------------------------------------------------
+@_q(
+    "text_quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') w FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+             len(w)*1.0 AS n_tok,
+             len(list_distinct(w))*1.0 / nullif(len(w)*1.0, 0) AS ttr,
+             round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS sw
+      FROM t
+    )
+    SELECT doc_id, lang,
+           round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: marker-word scoring with fixed tie-break order
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    counts = []
+    for code, markers in LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        counts.append(f"len(list_filter(dw, x -> x IN ({mlist}))) AS c_{code}")
+    counts_sql = ",\n             ".join(counts)
+    g = "greatest(c_en, c_fr, c_de, c_es)"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) dw FROM documents),
+    c AS (SELECT doc_id, lang,
+             {counts_sql}
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN {g} = 0 THEN 'und'
+                WHEN c_en = {g} THEN 'en'
+                WHEN c_fr = {g} THEN 'fr'
+                WHEN c_de = {g} THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+@_q("text_lang_id", _lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting + exact dedup groups (hash-groupBy)
+# --------------------------------------------------------------------------
+@_q(
+    "dedup_exact_groups",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS group_n
+    FROM documents
+    GROUP BY fp
+    ORDER BY canonical_id
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.exact import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("canonical_id")
+
+
+# --------------------------------------------------------------------------
+# Fingerprint as a per-doc column (F3-style hashing surface)
+# --------------------------------------------------------------------------
+@_q(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")

@@ -1,0 +1,68 @@
+"""Dedup operator tests: exactness guarantees and LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    from etl_school_spark.tables import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_matches_exact_on_planted_dups(spark):
+    """The planted near-dups sit at jaccard ≈ 0.99, far above the 32×4-band
+    S-curve at t=0.8 — MinHash must find exactly the exact-join's pairs."""
+    from etl_school_spark.dedup.minhash import minhash_lsh_pairs
+    from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert exact, "expected planted near-duplicates in testdata"
+    assert lsh == exact
+
+
+def test_simhash_blocking_is_exact(spark):
+    """Pigeonhole blocking (4 chunks, hamming ≤ 3) must equal the
+    brute-force hamming join."""
+    from etl_school_spark.dedup.simhash import simhash_near_pairs
+    from etl_school_spark.functions.text import hamming, simhash64
+
+    docs = _docs(spark).limit(150)
+    blocked = {(r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_hamming=3, chunks=4).collect()}
+
+    signed = docs.select(F.col("doc_id").alias("doc"), simhash64("text").alias("sig"))
+    a, b = signed.alias("a"), signed.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .withColumn("h", hamming(F.col("a.sig"), F.col("b.sig")))
+        .filter(F.col("h") <= 3)
+    )
+    expected = {(r["a.doc"] if "a.doc" in r else r[0], r[1]) for r in brute.select("a.doc", "b.doc").collect()}
+    assert blocked == expected
+
+
+def test_exact_dedup_drops_synthetic_duplicates(spark):
+    from etl_school_spark.dedup.exact import drop_exact_duplicates
+
+    docs = _docs(spark).limit(50)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    kept = drop_exact_duplicates(doubled)
+    assert kept.count() == 50
+    # canonical (minimum) ids survive
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1000
+
+
+def test_word_shingles_short_doc_edge(spark):
+    from etl_school_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], "text string")
+    out = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert out[0].s == []
+    assert out[1].s == ["a b c"]
+    assert out[2].s == []
