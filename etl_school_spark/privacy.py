@@ -1,0 +1,62 @@
+"""Privacy / governance layer (SURVEY.md §2.10 G3/G5/G6/G8).
+
+OSS Spark has no column-bound masking policies, so the reference's
+PAN_MASK policy + role grants (A4:1019-1026, 977-1012) become a
+policy-aware view factory: ``masked_view(df, role)`` applies per-role
+masking expressions; the expressions themselves mirror A4's masks exactly
+(regex PAN mask, hash+last4, last-4 slice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# role → masking strategy for a PAN-like column (A4:1019-1026)
+ROLES = ("admin", "auditor", "analyst")
+
+
+def mask_pan(col, role: str):
+    """The PAN_MASK policy body as an expression factory."""
+    c = F.col(col) if isinstance(col, str) else col
+    if role == "admin":
+        return c
+    if role == "auditor":  # sha2 prefix + last 4 (A4:1022)
+        return F.concat(F.substring(F.sha2(c, 256), 1, 12), F.lit("..."), F.expr(f"right({col}, 4)"))
+    if role == "analyst":  # keep last 4 (A4:945-949, 983)
+        return F.regexp_replace(c, r"^([0-9]{0,12})([0-9]{4})$", r"************$2")
+    return F.lit("MASKED")
+
+
+def masked_view(df: DataFrame, role: str, masked_cols: list[str]) -> DataFrame:
+    """G5/G6: the role-scoped view over a sensitive table."""
+    cols = [
+        mask_pan(c, role).alias(c) if c in masked_cols else F.col(c) for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def anonymize(df: DataFrame, pan_col: str, id_col: str) -> DataFrame:
+    """G3 PROC_ANONYMIZE: irreversible projection — sha2 the PAN, generalize
+    the id to a 100-bucket (A4:1038-1067). Callers overwrite the target
+    with the result (truncate+insert ≡ overwrite write)."""
+    return df.withColumn(pan_col, F.sha2(F.col(pan_col).cast("string"), 256)).withColumn(
+        id_col, F.abs(F.col(id_col)) % 100
+    )
+
+
+def pii_classification(spark: SparkSession) -> DataFrame:
+    """G8: the static PII registry (A4:950-970)."""
+    rows = [
+        ("cc_trans_all", "card_number", "PAN", "HIGH", True, "PAN_MASK", "primary account number"),
+        ("cc_trans_all", "merchant_id", "QUASI_ID", "MEDIUM", True, "MOD_BUCKET", "linkable merchant"),
+        ("client_buy_orders", "name", "NAME", "MEDIUM", True, "NONE", "customer name"),
+        ("client_buy_orders", "email", "EMAIL", "MEDIUM", True, "NONE", "contact"),
+        ("client_buy_orders", "phone", "PHONE", "MEDIUM", True, "NONE", "contact"),
+        ("client_buy_orders", "address", "ADDRESS", "MEDIUM", True, "NONE", "location"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "object_name string, column_name string, pii_type string, sensitivity_level string, "
+        "masking_required boolean, masking_rule string, rationale string",
+    )

@@ -1,0 +1,76 @@
+"""Incremental CDC-style ingest pipelines (SURVEY.md §2.9 T1–T4).
+
+The reference's assignment-4 pipeline is: files land on a stage → COPY
+INTO a VARIANT staging table → a typed flattening view → a stream captures
+the INSERT delta → a scheduled task appends to the analytic table
+(A4:300-345, 380-418). One Structured Streaming query replaces the whole
+chain: the file source IS the stream (append-only delta with offsets in
+the checkpoint), the typed select IS the view, and the sink append IS the
+task. Empty micro-batches are no-ops — ``when system$stream_has_data``
+for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_school_spark.schemas import CC_PAYLOAD
+
+
+def flatten_cc_payload(raw: DataFrame) -> DataFrame:
+    """The typed flattening view (A4:253-269): nested payload → 10 typed
+    columns + load_ts. NULL-safe: struct access on missing/NULL nests
+    yields NULL, matching Snowflake `::` cast semantics."""
+    return raw.select(
+        F.col("element").cast("long").alias("element"),
+        F.col("object").cast("string").alias("object_type"),
+        F.col("transaction.id").cast("long").alias("txn_id"),
+        F.col("transaction.type").cast("string").alias("txn_type"),
+        F.col("transaction.amount").cast("double").alias("amount"),
+        F.col("transaction.currency").cast("string").alias("currency"),
+        F.to_timestamp_ntz(F.col("transaction.timestamp")).alias("txn_ts"),
+        F.col("transaction.approved").cast("boolean").alias("approved"),
+        F.col("card.number").cast("string").alias("card_number"),
+        F.col("merchant.id").cast("long").alias("merchant_id"),
+        F.current_timestamp().cast("timestamp_ntz").alias("load_ts"),
+    )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    stage_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: StructType = CC_PAYLOAD,
+    transform=flatten_cc_payload,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    pattern: str | None = None,
+):
+    """Stage-dir → typed flatten → parquet sink, exactly-once per batch.
+
+    ``available_now=True`` drains the current backlog and terminates
+    (deterministic for tests/tasks — the reference's minute-cadence task);
+    False runs continuously at ``processing_time`` cadence.
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    os.makedirs(stage_dir, exist_ok=True)
+    reader = spark.readStream.schema(schema)
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.json(stage_dir)
+    typed = transform(raw) if transform is not None else raw
+    writer = (
+        typed.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=processing_time).start()

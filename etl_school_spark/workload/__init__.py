@@ -12,9 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_school_spark.workload import dedupops, relational, similarityops, textops
+from etl_school_spark.workload import (
+    dedupops,
+    relational,
+    similarityops,
+    streamingops,
+    textops,
+)
 
-_MODULES = [relational, textops, dedupops, similarityops]
+_MODULES = [relational, textops, dedupops, similarityops, streamingops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

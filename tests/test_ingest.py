@@ -1,0 +1,84 @@
+"""Batch ingest tests: JSON-lines reader, corrupt capture, copy_into."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_school_spark.schemas import CLIENT_BUY_ORDERS
+
+
+def _write_orders_json(spark, path, n=25, corrupt=0):
+    from etl_school_spark.sources.generator import gen_buy_orders
+
+    rows = gen_buy_orders(spark, n).collect()
+    with open(path, "w") as fh:
+        for r in rows:
+            d = r.asDict(recursive=True)
+            d["purchase_time"] = d["purchase_time"].isoformat()
+            fh.write(json.dumps(d) + "\n")
+        for i in range(corrupt):
+            fh.write("{this is not json%d\n" % i)
+    return n
+
+
+def test_read_json_lines_with_corrupt_capture(spark, tmp_path):
+    from etl_school_spark.sources.readers import read_json_lines, split_corrupt
+
+    p = str(tmp_path / "orders.json")
+    _write_orders_json(spark, p, n=20, corrupt=3)
+    df = read_json_lines(spark, p, CLIENT_BUY_ORDERS)
+    good, bad = split_corrupt(df)
+    assert good.count() == 20
+    assert bad.count() == 3
+    # nested optional structs survive with nulls intact
+    assert good.filter(F.col("address").isNotNull()).count() > 0
+    assert good.filter(F.col("address.city").isNotNull()).count() > 0
+
+
+def test_read_gzip_json(spark, tmp_path):
+    """S19: .json.gz replay files read natively."""
+    from etl_school_spark.sources.readers import read_json_lines, split_corrupt
+
+    plain = str(tmp_path / "orders.json")
+    _write_orders_json(spark, plain, n=15)
+    gz = str(tmp_path / "orders.json.gz")
+    with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    good, _ = split_corrupt(read_json_lines(spark, gz, CLIENT_BUY_ORDERS))
+    assert good.count() == 15
+
+
+def test_copy_into_appends_and_purges(spark, tmp_path):
+    from etl_school_spark.sources.writers import copy_into
+
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "table")
+    os.makedirs(stage)
+    _write_orders_json(spark, os.path.join(stage, "batch_1.json"), n=10)
+    _write_orders_json(spark, os.path.join(stage, "batch_2.json"), n=5)
+
+    n = copy_into(spark, stage, target, CLIENT_BUY_ORDERS, pattern="batch_*.json")
+    assert n == 15
+    assert spark.read.parquet(target).count() == 15
+    assert not [f for f in os.listdir(stage) if f.startswith("batch_")]  # purged
+
+    # idempotent re-run: stage is empty, nothing loads
+    assert copy_into(spark, stage, target, CLIENT_BUY_ORDERS, pattern="batch_*.json") == 0
+    assert spark.read.parquet(target).count() == 15
+
+
+def test_generator_deterministic_and_dimensional(spark):
+    from etl_school_spark.sources.generator import car_catalog, gen_buy_orders
+
+    a = gen_buy_orders(spark, 30).collect()
+    b = gen_buy_orders(spark, 30).collect()
+    assert [r.txid for r in a] == [r.txid for r in b]
+    models = {r.car_model for r in a}
+    catalog = {r.car_model for r in car_catalog(spark).collect()}
+    assert models <= catalog
+    # dimension lookup filled brand/horsepower/sell_price
+    assert all(r.brand and r.horsepower and r.sell_price for r in a)

@@ -1,0 +1,105 @@
+"""DQ + privacy layer tests (G2/G3/G5/G6/G7/G8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _cc(spark, n=200):
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.pipelines import flatten_cc_payload
+
+    raw = spark.createDataFrame(gen_cc_events(n, seed=9))
+    return flatten_cc_payload(raw)
+
+
+def test_dq_metrics_and_alerts(spark, tmp_path):
+    from etl_school_spark.quality import DqRule, dq_alerts, run_dq
+
+    df = _cc(spark)
+    rules = [
+        DqRule("non_null_txn_id", F.col("txn_id").isNotNull(), 1.00),
+        DqRule("amount_ok", F.col("amount").between(0, 50000), 0.95),
+        DqRule("currency_ok", F.col("currency") == "USD", 0.99),
+        DqRule("approved_rate", F.col("approved"), 0.99),  # ~10/11 → breaches
+    ]
+    metrics_dir = str(tmp_path / "metrics")
+    m = run_dq(spark, df, rules, metrics_dir)
+    vals = {r.metric_name: r.metric_value for r in m.collect()}
+    assert vals["non_null_txn_id"] == 1.0
+    assert vals["amount_ok"] == 1.0
+    assert 0.8 < vals["approved_rate"] < 1.0
+
+    alerts = dq_alerts(spark, spark.read.parquet(metrics_dir), rules)
+    assert {r.metric_name for r in alerts.collect()} == {"approved_rate"}
+
+
+def test_latest_metrics_picks_newest(spark, tmp_path):
+    from etl_school_spark.quality import DqRule, latest_metrics, run_dq
+
+    df = _cc(spark, 50)
+    rules = [DqRule("non_null_txn_id", F.col("txn_id").isNotNull(), 1.0)]
+    metrics_dir = str(tmp_path / "metrics")
+    run_dq(spark, df, rules, metrics_dir)
+    run_dq(spark, df, rules, metrics_dir)
+    latest = latest_metrics(spark.read.parquet(metrics_dir))
+    assert latest.count() == 1
+
+
+def test_masked_views_per_role(spark):
+    from etl_school_spark.privacy import masked_view
+
+    df = _cc(spark, 30).select("txn_id", "card_number", "amount")
+    admin = masked_view(df, "admin", ["card_number"]).collect()
+    analyst = masked_view(df, "analyst", ["card_number"]).collect()
+    auditor = masked_view(df, "auditor", ["card_number"]).collect()
+    other = masked_view(df, "intern", ["card_number"]).collect()
+
+    raw = {r.txn_id: r.card_number for r in admin}
+    for r in analyst:
+        assert r.card_number.startswith("************")
+        assert r.card_number[-4:] == raw[r.txn_id][-4:]
+    for r in auditor:
+        assert "..." in r.card_number and r.card_number[-4:] == raw[r.txn_id][-4:]
+    assert {r.card_number for r in other} == {"MASKED"}
+    # non-masked columns untouched in every role
+    assert {r.amount for r in analyst} == {r.amount for r in admin}
+
+
+def test_anonymize_is_irreversible_projection(spark):
+    from etl_school_spark.privacy import anonymize
+
+    df = _cc(spark, 30).select("txn_id", "card_number", "merchant_id")
+    out = anonymize(df, "card_number", "merchant_id").collect()
+    assert all(len(r.card_number) == 64 for r in out)  # sha2-256 hex
+    assert all(0 <= r.merchant_id < 100 for r in out)  # bucketed
+
+
+def test_pii_registry(spark):
+    from etl_school_spark.privacy import pii_classification
+
+    reg = pii_classification(spark)
+    assert reg.filter("masking_required").count() == reg.count()
+    assert reg.filter("column_name = 'card_number'").collect()[0].pii_type == "PAN"
+
+
+def test_dashboard_panels(spark):
+    from etl_school_spark.app.dashboard import Dashboard
+    from etl_school_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    d = (
+        Dashboard(orders, "o_totalprice", ["o_orderpriority", "o_orderstatus"])
+        .filter_isin("o_orderstatus", ["O", "F"])
+        .filter_range("o_totalprice", lo=10000)
+        .filter_time("o_orderdate", "1995-01-01", "2000-01-01")
+    )
+    m = d.metrics()
+    assert m["rows"] > 0 and m["total"] > 0 and m["avg"] > 0
+    top = d.top_breakdown("o_orderpriority", 3).collect()
+    assert len(top) == 3
+    assert top[0].n >= top[-1].n
+    csv = d.export(["o_orderkey", "o_totalprice"], limit=10)
+    assert csv.splitlines()[0] == "o_orderkey,o_totalprice"
+    opts = d.filter_options("o_orderstatus")
+    assert opts == sorted(opts)
