@@ -1,0 +1,147 @@
+"""Multimodal columns for training-data pipelines (SURVEY.md §2 extension).
+
+Images / audio / video are carried as opaque ``binary`` columns next to a
+typed metadata struct, the layout a 100 TB multimodal corpus uses: media
+bytes stay columnar in Parquet, metadata stays queryable without decoding.
+
+Decode kernels run as Arrow-batched ``mapInPandas`` — one Python worker
+per partition, whole record batches per call, never per-row Python. The
+actual codec (Pillow / libsndfile / ffmpeg) is NOT installed in this
+environment, so the byte→pixels step is stubbed: ``decode_image_real``
+raises ``NotImplementedError`` (the clearly-marked integration point) and
+the default kernel derives deterministic fake features from the byte
+stream. Everything Spark-side — schema, batch shape, partition flow,
+column pruning — is real and tested.
+
+At scale: ``image_features``/``audio_features`` are embarrassingly
+parallel (no shuffle, no driver collect); ``frame_sample`` is pure JVM
+(`sequence` + `explode`, whole-stage codegen) so a 100 TB video corpus
+fans out to frame rows without a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fake-decoder constants: features are pure functions of the byte stream,
+# so oracles can replicate them from octet lengths
+_MAX_W, _MAX_H = 624, 464
+_AUDIO_BYTES_PER_SEC = 32000  # 16 kHz, 16-bit mono
+FRAME_BYTES = 4096  # fake fixed-size "video frame"
+
+
+def decode_image_real(data: bytes) -> tuple[int, int, int]:
+    """The real-codec integration point. Install Pillow and monkeypatch /
+    wrap this to decode actual image bytes; not available here."""
+    raise NotImplementedError(
+        "real image codec not available in this environment; "
+        "override etl_school_spark.multimodal.media.decode_image_real"
+    )
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for byte→(width, height, channels)."""
+    n = len(data)
+    return n % _MAX_W + 16, (n * 31) % _MAX_H + 16, 3
+
+
+def attach_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """documents → media table: opaque binary content + typed metadata.
+
+    content = UTF-8 bytes of the text (the deterministic fake payload);
+    a real pipeline would read image/audio files into the same shape.
+    """
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake/raw").alias("codec"),
+            F.octet_length(content).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+_IMG_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, channels int, aspect double"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode → per-image features. No shuffle; scales with
+    partition count. Column-prunes to (media_id, content) before Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(b) for b in pdf["content"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [len(b) for b in pdf["content"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+            out["aspect"] = (out["width"] / out["height"]).round(4)
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(kernel, _IMG_SCHEMA)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: same batch flow as a real resampler, emitting the
+    target geometry + untouched bytes (fake kernel cannot resample)."""
+
+    schema = "media_id long, width int, height int, content binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "content": pdf["content"],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(kernel, schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Waveform-level metadata from byte length alone — stays fully
+    JVM-side (no Python), the fast path for fixed-rate PCM."""
+    bl = F.col("meta.byte_len")
+    return media.select(
+        "media_id",
+        bl.alias("byte_len"),
+        (bl / F.lit(2)).cast("long").alias("n_samples"),
+        (bl / F.lit(float(_AUDIO_BYTES_PER_SEC))).alias("duration_s"),
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every ``every``-th fixed-size frame of each "video": emit
+    (media_id, frame_idx, frame_offset, frame_len) rows. Pure
+    sequence+explode — whole-stage codegen, no UDF, no shuffle."""
+    stride = FRAME_BYTES * every
+    bl = F.col("meta.byte_len")
+    offsets = F.sequence(F.lit(0).cast("long"), bl - 1, F.lit(stride).cast("long"))
+    return (
+        media.filter(bl > 0)
+        .select("media_id", bl.alias("byte_len"), F.explode(offsets).alias("frame_offset"))
+        .select(
+            "media_id",
+            (F.col("frame_offset") / FRAME_BYTES).cast("long").alias("frame_idx"),
+            "frame_offset",
+            F.least(F.lit(FRAME_BYTES).cast("long"), F.col("byte_len") - F.col("frame_offset")).alias(
+                "frame_len"
+            ),
+        )
+    )

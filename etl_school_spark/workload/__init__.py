@@ -14,13 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_school_spark.workload import (
     dedupops,
+    multimodalops,
     relational,
     similarityops,
     streamingops,
     textops,
 )
 
-_MODULES = [relational, textops, dedupops, similarityops, streamingops]
+_MODULES = [relational, textops, dedupops, similarityops, streamingops, multimodalops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: binary schema, Arrow batch flow, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_school_spark.multimodal import (
+    attach_media,
+    audio_features,
+    decode_image_real,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+from etl_school_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    return attach_media(load_table(spark, SF, "documents"))
+
+
+def test_media_schema_is_binary_plus_typed_meta(spark):
+    m = _media(spark)
+    dt = dict(m.dtypes)
+    assert dt["content"] == "binary"
+    assert dt["meta"] == "struct<codec:string,byte_len:bigint>"
+    row = m.first()
+    assert isinstance(row.content, (bytes, bytearray))
+    assert row.meta.byte_len == len(row.content)
+
+
+def test_image_features_match_fake_decode(spark):
+    m = _media(spark)
+    feats = {r.media_id: r for r in image_features(m).collect()}
+    for r in m.limit(5).collect():
+        f = feats[r.media_id]
+        n = len(r.content)
+        assert f.byte_len == n
+        assert f.width == n % 624 + 16
+        assert f.height == (n * 31) % 464 + 16
+        assert f.channels == 3
+
+
+def test_resize_keeps_bytes_sets_geometry(spark):
+    out = resize_images(_media(spark), 224, 224)
+    r = out.first()
+    assert (r.width, r.height) == (224, 224)
+    assert isinstance(r.content, (bytes, bytearray)) and len(r.content) > 0
+
+
+def test_frame_sample_counts(spark):
+    m = _media(spark)
+    frames = frame_sample(m, every=4)
+    # every doc has ≥1 frame (offset 0) and offsets stride by 4 frames
+    per_doc = {r.media_id: r for r in frames.filter("frame_idx = 0").collect()}
+    assert set(per_doc) == {r.media_id for r in m.select("media_id").collect()}
+    bad = frames.filter("frame_offset % 16384 != 0 OR frame_len <= 0 OR frame_len > 4096")
+    assert bad.count() == 0
+
+
+def test_audio_features_jvm_only(spark):
+    out = audio_features(_media(spark))
+    r = out.first()
+    assert r.n_samples == r.byte_len // 2
+    assert abs(r.duration_s - r.byte_len / 32000.0) < 1e-12
+    assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_real_decoder_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
