@@ -16,12 +16,13 @@ from etl_school_spark.workload import (
     dedupops,
     multimodalops,
     relational,
+    scaleops,
     similarityops,
     streamingops,
     textops,
 )
 
-_MODULES = [relational, textops, dedupops, similarityops, streamingops, multimodalops]
+_MODULES = [relational, scaleops, textops, dedupops, similarityops, streamingops, multimodalops]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,186 @@
+"""Scale-posture workload: join/agg shapes that dominate 100 TB plans.
+
+These go beyond the reference's literal surface (SURVEY.md §2.3 notes no
+semi/anti/multi-way joins appear there) but are the plans a production
+fact-table deployment of the same engine runs constantly: pre-aggregated
+left joins, anti-join existence checks, star-schema chains with broadcast
+dims, ROLLUP subtotals, and ordered-window deltas.
+
+Decimal policy follows operators.aggregates: exact decimal sums cast to
+double so values are bit-identical to the DuckDB oracle regardless of
+partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_school_spark.operators.joins import dim_join
+from etl_school_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# J4 left-outer with genuinely missing keys + F10 coalesce-default.
+# Aggregate-before-join: the orders side shrinks to one row per customer
+# BEFORE the join, so the shuffle moves #customers rows, not #orders.
+# --------------------------------------------------------------------------
+@_q(
+    "customer_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment, coalesce(n, 0) AS n_orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", "c_mktsegment", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no high-value order. The filter is pushed
+# below the join, so the probe side shrinks before any shuffle;
+# left_anti never materializes the non-matching side's columns.
+# --------------------------------------------------------------------------
+@_q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue"
+)
+
+
+def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer (shuffle, AQE-planned) then nation and
+    region via explicit broadcast — the fact side never shuffles for dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    j = dim_join(j, nation, on=j.c_nationkey == nation.n_nationkey, how="inner")
+    j = dim_join(j, region, on=nation.n_regionkey == region.r_regionkey, how="inner")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(3,2)")
+    return j.withColumn("_rev", ep * disc)
+
+
+@_q(
+    "revenue_by_nation",
+    f"""
+    SELECT r_name, n_name, {_REVENUE_SQL}
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _star(spark, sf_dir)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_q(
+    "revenue_rollup",
+    f"""
+    SELECT r_name, n_name, {_REVENUE_SQL}
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → grand-total subtotals in one pass (Spark computes
+    rollup as a single expand+agg, no per-level rescans)."""
+    return (
+        _star(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered-window delta: microseconds since the previous event per user.
+# Unique (ts, event_id) tiebreak keeps lag deterministic across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "event_gaps_lag",
+    """
+    SELECT user_id, event_id,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_prev", F.lag("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, _prev, ts)").alias("gap_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )

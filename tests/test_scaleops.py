@@ -1,0 +1,53 @@
+"""Scale-posture workload tests: result shapes + physical-plan properties."""
+
+from __future__ import annotations
+
+from etl_school_spark.workload import scaleops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_customer_order_counts_covers_all_customers(spark):
+    from etl_school_spark.tables import load_table
+
+    out = scaleops.customer_order_counts(spark, SF)
+    n_cust = load_table(spark, SF, "customer").count()
+    assert out.count() == n_cust
+    assert out.filter("n_orders < 0").count() == 0
+
+
+def test_anti_join_excludes_matches(spark):
+    out = scaleops.customers_without_orders(spark, SF)
+    counts = scaleops.customer_order_counts(spark, SF)
+    # every returned customer exists in the full customer set
+    missing = out.join(counts, "c_custkey", "left_anti")
+    assert missing.count() == 0
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = scaleops.revenue_by_nation(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region never shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_rollup_has_subtotal_levels(spark):
+    rows = scaleops.revenue_rollup(spark, SF).collect()
+    grand = [r for r in rows if r.r_name is None and r.n_name is None]
+    region_sub = [r for r in rows if r.r_name is not None and r.n_name is None]
+    leaves = [r for r in rows if r.n_name is not None]
+    assert len(grand) == 1
+    assert len(region_sub) >= 1
+    total = sum(r.revenue for r in leaves)
+    assert abs(total - grand[0].revenue) < 1e-6 * max(1.0, abs(total))
+
+
+def test_event_gaps_first_event_null_then_monotonic(spark):
+    out = scaleops.event_gaps_lag(spark, SF)
+    assert out.filter("gap_us < 0").count() == 0  # ordered window → non-negative
+    per_user_nulls = out.filter("gap_us IS NULL").groupBy("user_id").count()
+    assert per_user_nulls.filter("count != 1").count() == 0  # exactly one first event each
