@@ -105,3 +105,135 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema).orderBy("event_id")
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+_counter = iter(range(10**9))
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str, work: str, max_files: int | None = 1):
+    """Stage the event subset and open a file stream with an absolute
+    (tz-independent) event-time column ``ts_abs``. ``max_files=1`` gives
+    one micro-batch per staged file; None drains in a single batch."""
+    stage = os.path.join(work, "stage")
+    _stage_events_json(spark, sf_dir, stage)
+    reader = spark.readStream.schema(EVENTS)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.json(stage)
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # NTZ string → epoch micros (NTZ epoch diff, session-tz-independent)
+        # → absolute TIMESTAMP, the type watermarks require
+        F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', to_timestamp_ntz(ts))")
+        ).alias("ts_abs"),
+    )
+
+
+@_q(
+    "streaming_windowed_counts",
+    f"""
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, event_type FROM events WHERE event_id < {_N_STREAM_EVENTS}
+    )
+    SELECT (us // 3600000000) * 3600000000 AS ws_us, event_type, COUNT(*) AS n
+    FROM e
+    GROUP BY ws_us, event_type
+    HAVING ws_us + 3600000000 <= (SELECT max(us) FROM e) - 600000000
+    ORDER BY ws_us, event_type
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension: watermarked tumbling-window aggregation, append mode.
+
+    Hour windows close (emit exactly once) when the 10-minute watermark
+    passes the window end — the oracle replicates emitted = {windows with
+    end <= max(event_time) - delay}. At scale this runs with bounded
+    state: closed windows are evicted, late rows beyond the watermark are
+    dropped instead of growing state forever (the drop path is covered by
+    tests/test_streaming.py with controlled batch boundaries).
+
+    The backlog drains in ONE data batch (no rate limit) so the emitted
+    set is exactly the oracle's closed-window set regardless of file
+    order; the trailing no-data batch performs the eviction.
+    """
+    work = tempfile.mkdtemp(prefix="etl_wstream_")
+    name = f"wcounts_{next(_counter)}"
+    typed = _staged_stream(spark, sf_dir, work, max_files=None)
+    agg = (
+        typed.withWatermark("ts_abs", "10 minutes")
+        .groupBy(F.window("ts_abs", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("ws_us"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).orderBy("ws_us", "event_type")
+    result = spark.createDataFrame(out.collect(), out.schema).orderBy("ws_us", "event_type")
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@_q(
+    "streaming_stateful_user_counts",
+    f"""
+    SELECT user_id, COUNT(*) AS n
+    FROM events WHERE event_id < {_N_STREAM_EVENTS}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    GroupState counter updated across micro-batches, emitting the running
+    total each batch (update mode). The final total per user must equal
+    the batch GROUP BY — which is the oracle.
+
+    State is partitioned by user_id (shuffle once per batch), O(#users)
+    rows held in the state store, never on the driver.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    work = tempfile.mkdtemp(prefix="etl_sstream_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    typed = _staged_stream(spark, sf_dir, work)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    counts = typed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _bid: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # running totals are monotone per user; the max is the final count
+    out = spark.read.parquet(sink).groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id")
+    result = spark.createDataFrame(out.collect(), out.schema).orderBy("user_id")
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -101,3 +101,85 @@ def test_incremental_ingest_pattern_prunes_files(spark, workdir):
         pattern="cc_txn_*.json",
     )
     assert spark.read.parquet(os.path.join(workdir, "sink")).count() == 5
+
+
+def test_watermark_drops_late_rows_and_closes_windows(spark, workdir):
+    """Append-mode windowed agg: a row older than watermark arriving in a
+    later micro-batch is dropped; closed windows emit exactly once."""
+    from pyspark.sql import functions as F
+
+    H = 3600_000_000
+    base = 1704096000_000_000  # 2024-01-01T08:00:00Z
+    stage = os.path.join(workdir, "wstage")
+    os.makedirs(stage)
+    # the watermark lags one batch commit, so the advancer (batch a) must be
+    # one batch before the late arrival (batch c) for the drop to apply
+    files = {
+        "a.json": [base, base + 1_000_000, base + 2 * H],  # hour 0 ×2 + advancer
+        "b.json": [base + 2 * H + 1_000_000],  # propagate the watermark
+        "c.json": [base + 2_000_000, base + 3 * H],  # LATE hour-0 row + tail
+    }
+    # the file source batches by modification time: force a < b < c ordering
+    for i, (fn, vals) in enumerate(files.items()):
+        p = os.path.join(stage, fn)
+        with open(p, "w") as fh:
+            for us in vals:
+                fh.write(json.dumps({"ts_us": us}) + "\n")
+        os.utime(p, (1700000000 + i * 60,) * 2)
+
+    raw = spark.readStream.schema("ts_us long").option("maxFilesPerTrigger", 1).json(stage)
+    agg = (
+        raw.select(F.timestamp_micros("ts_us").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .select(F.unix_micros("w.start").alias("ws"), "count")
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("wmtest")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from wmtest").collect()
+    spark.catalog.dropTempView("wmtest")
+    got = {r.ws: r["count"] for r in rows}
+    assert got[base] == 2  # late row was dropped
+    assert len([r for r in rows if r.ws == base]) == 1  # window emitted once
+
+
+def test_stateful_counts_accumulate_across_batches(spark, workdir):
+    """applyInPandasWithState keeps per-key state between micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = os.path.join(workdir, "sstage")
+    os.makedirs(stage)
+    for b in range(3):  # same key in every batch
+        with open(os.path.join(stage, f"{b}.json"), "w") as fh:
+            fh.write(json.dumps({"k": 1}) + "\n")
+            fh.write(json.dumps({"k": 2}) + "\n")
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    raw = spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).json(stage)
+    counts = raw.groupBy("k").applyInPandasWithState(
+        update, "k long, n long", "n long", "update", GroupStateTimeout.NoTimeout
+    )
+    sink = os.path.join(workdir, "ssink")
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(workdir, "sckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    finals = {r.k: r.n for r in got.groupBy("k").agg(F.max("n").alias("n")).collect()}
+    assert finals == {1: 3, 2: 3}  # one per batch, accumulated
+    assert got.count() > 2  # emitted running totals across multiple batches
