@@ -1,0 +1,88 @@
+"""Physical-layout tests: bucketed joins eliminate the shuffle; salted
+joins/aggs match their unsalted equivalents."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_school_spark.operators.layout import (
+    colocated_join,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from etl_school_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    try:
+        # force SMJ so the test proves layout, not broadcast, kills the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and it still computes the right thing
+        expected = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, cust, key="o_custkey", unique_col="o_orderkey", n=4)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    li = load_table(spark, SF, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("count_l_orderkey"),
+        F.min("l_quantity").alias("min_l_quantity"),
+        F.max("l_quantity").alias("max_l_quantity"),
+    )
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        unique_col="l_orderkey",
+        aggs={"l_orderkey": "count", "l_quantity": "min"},
+        n=4,
+    )
+    got = {r.l_returnflag: r.count_l_orderkey for r in salted.collect()}
+    want = {r.l_returnflag: r.count_l_orderkey for r in plain.collect()}
+    assert got == want
+    gmin = {r.l_returnflag: r.min_l_quantity for r in salted.collect()}
+    wmin = {r.l_returnflag: r.min_l_quantity for r in plain.collect()}
+    assert gmin == wmin
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], "l_orderkey", {"l_quantity": "avg"})
