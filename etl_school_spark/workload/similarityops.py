@@ -96,3 +96,17 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bits=4/tables=16 measured at recall@5 ≈ 0.89 on this corpus (embeddings
     # are near-uniform — real clustered embeddings fare much better)
     return lsh_topk(emb, queries, k=5, bits=4, tables=16).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# ANN top-k: IVF coarse-quantizer scale path (rows-only; recall asserted
+# against the exact baseline in tests/test_similarity.py). Deterministic
+# k-means training → reproducible index.
+# --------------------------------------------------------------------------
+@_q("ann_topk_ivf")
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.similarity.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).orderBy("query_id", "rank")

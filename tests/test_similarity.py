@@ -57,3 +57,22 @@ def test_cosine_matches_numpy(spark):
         a, b = rows[i], rows[j]
         expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(c - expected) < 1e-9
+
+
+def test_ivf_topk_recall_floor_and_determinism(spark):
+    from etl_school_spark.similarity.knn import brute_force_topk
+    from etl_school_spark.similarity.ivf import ivf_topk, train_centroids
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall degraded: {recall:.2f}"
+    # decimal-sum training is partition-order independent → identical twice
+    c1 = train_centroids(emb, n_cells=8, iters=1)
+    c2 = train_centroids(emb.repartition(7), n_cells=8, iters=1)
+    assert c1 == c2
