@@ -95,12 +95,22 @@ class FileBroker:
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
-            n = batch_df.count()
-            if n:
+            # per-task claim counts — the reference's load-balancing check
+            # ("each message claimed by exactly one consumer"; consumers ≈
+            # the query's tasks) queries claims per consumer id
+            per_task = (
+                batch_df.groupBy(F.spark_partition_id().alias("consumer_id"))
+                .agg(F.count(F.lit(1)).alias("n_messages"))
+                .collect()
+            )
+            if per_task:
                 batch_df.write.mode("append").parquet(sink_dir)
                 audit = batch_df.sparkSession.createDataFrame(
-                    [(topic, group, int(batch_id), n, time.time())],
-                    "topic string, claimed_by string, batch_id long, n_messages long, delivered_at double",
+                    [
+                        (topic, group, int(r.consumer_id), int(batch_id), int(r.n_messages), time.time())
+                        for r in per_task
+                    ],
+                    "topic string, claimed_by string, consumer_id int, batch_id long, n_messages long, delivered_at double",
                 )
                 audit.coalesce(1).write.mode("append").parquet(audit_dir)
             batch_df.unpersist()
@@ -114,6 +124,19 @@ class FileBroker:
         q.awaitTermination()
 
     # -- observe ----------------------------------------------------------
+    def claims(self, topic: str) -> DataFrame:
+        """Per-(group, consumer) claim counts — the reference's
+        load-balancing verification query (SIMPLE_KAFKA_TUTORIAL.md:75-79:
+        claim counts per consumer id prove every message went to exactly
+        one group member)."""
+        audit_dir = os.path.join(self.root, "audit", topic)
+        return (
+            self.spark.read.parquet(audit_dir)
+            .groupBy("claimed_by", "consumer_id")
+            .agg(F.sum("n_messages").alias("n_claimed"))
+            .orderBy("claimed_by", "consumer_id")
+        )
+
     def stats(self, topic: str) -> dict:
         """Queue-depth / delivery stats (broker get_topic_stats analog)."""
         tdir = self.topic_dir(topic)

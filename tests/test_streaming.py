@@ -183,3 +183,32 @@ def test_stateful_counts_accumulate_across_batches(spark, workdir):
     finals = {r.k: r.n for r in got.groupBy("k").agg(F.max("n").alias("n")).collect()}
     assert finals == {1: 3, 2: 3}  # one per batch, accumulated
     assert got.count() > 2  # emitted running totals across multiple batches
+
+
+def test_broker_claims_balance_and_sum_to_published(spark, workdir):
+    """Load-balancing evidence: per-consumer claims sum exactly to the
+    published count (every message claimed exactly once per group), and
+    independent groups each see the full log."""
+    from pyspark.sql import functions as F
+    from etl_school_spark.schemas import CC_PAYLOAD
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.broker import FileBroker
+
+    broker = FileBroker(spark, os.path.join(workdir, "broker"))
+    broker.create_topic("cc")
+    # several publishes → several files → several tasks/consumers claim
+    for s in range(4):
+        broker.publish("cc", gen_cc_events(25, seed=s))
+
+    for group in ("g1", "g2"):
+        broker.consume_available("cc", CC_PAYLOAD, group, os.path.join(workdir, f"sink_{group}"))
+
+    claims = broker.claims("cc")
+    per_group = {
+        r.claimed_by: r.total
+        for r in claims.groupBy("claimed_by").agg(F.sum("n_claimed").alias("total")).collect()
+    }
+    assert per_group == {"g1": 100, "g2": 100}  # exactly once per group
+    st = broker.stats("cc")
+    assert st["published"] == 100
+    assert st["pending_by_group"] == {"g1": 0, "g2": 0}
