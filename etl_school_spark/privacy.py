@@ -24,7 +24,9 @@ def mask_pan(col, role: str):
     if role == "auditor":  # sha2 prefix + last 4 (A4:1022)
         return F.concat(F.substring(F.sha2(c, 256), 1, 12), F.lit("..."), F.expr(f"right({col}, 4)"))
     if role == "analyst":  # keep last 4 (A4:945-949, 983)
-        return F.regexp_replace(c, r"^([0-9]{0,12})([0-9]{4})$", r"************$2")
+        # {0,15} covers the full 13-19 digit PAN range; {0,12} would let
+        # 17-19 digit PANs through unmasked (found by property testing)
+        return F.regexp_replace(c, r"^([0-9]{0,15})([0-9]{4})$", r"***************$2")
     return F.lit("MASKED")
 
 

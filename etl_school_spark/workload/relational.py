@@ -585,7 +585,7 @@ def event_span_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c_custkey,
-           regexp_replace(pan, '^([0-9]{0,12})([0-9]{4})$', '************\\2') AS pan_masked,
+           regexp_replace(pan, '^([0-9]{0,15})([0-9]{4})$', '***************\\2') AS pan_masked,
            substr(pan, 1, 4) || '********' || substr(pan, 13, 4) AS pan_slice_mask,
            sha256(pan) AS pan_sha
     FROM pans
@@ -598,7 +598,7 @@ def masking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.select(
             "c_custkey",
-            F.regexp_replace(pan, r"^([0-9]{0,12})([0-9]{4})$", r"************$2").alias("pan_masked"),
+            F.regexp_replace(pan, r"^([0-9]{0,15})([0-9]{4})$", r"***************$2").alias("pan_masked"),
             F.concat(F.substring(pan, 1, 4), F.lit("********"), F.substring(pan, 13, 4)).alias("pan_slice_mask"),
             F.sha2(pan, 256).alias("pan_sha"),
         )
