@@ -184,3 +184,50 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL API surface: the same engine drives pure spark.sql text over
+# registered views (the reference's native dialect). CTE + window + the
+# QUALIFY rewrite (SURVEY §2.5 W3) in one statement — Catalyst plans it
+# identically to the DataFrame form.
+# --------------------------------------------------------------------------
+@_q(
+    "sql_surface_latest_big_order",
+    """
+    WITH big AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_totalprice > 200000
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+      ) AS rn
+      FROM big
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM ranked WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def sql_surface_latest_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+          FROM orders WHERE o_totalprice > 200000
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+          ) AS rn
+          FROM big
+        )
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM ranked WHERE rn = 1
+        ORDER BY o_custkey
+        """
+    )
