@@ -1,0 +1,171 @@
+"""CLI — the engine's equivalents of the reference's entry points.
+
+Reference usage (README.md:131-143, SIMPLE_KAFKA_TUTORIAL.md:18-40):
+  python data_generator.py N | python batch_insert.py B
+  python simple_publish_data.py TOPIC / simple_consume_data.py TOPIC
+Engine usage:
+  python -m etl_school_spark generate  --n 1000 --out /tmp/orders
+  python -m etl_school_spark ingest    --stage /tmp/orders --table-dir /tmp/warehouse/orders
+  python -m etl_school_spark publish   --broker /tmp/broker --topic cc --n 100
+  python -m etl_school_spark consume   --broker /tmp/broker --topic cc --group g1 --sink /tmp/cc
+  python -m etl_school_spark dq        --table-dir /tmp/cc
+  python -m etl_school_spark validate  --table-dir /tmp/warehouse/orders --group-by car_model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from etl_school_spark.session import get_spark
+
+    return get_spark("etl-school-spark-cli")
+
+
+def cmd_generate(args) -> int:
+    from etl_school_spark.sources.generator import gen_buy_orders
+
+    spark = _spark()
+    df = gen_buy_orders(spark, args.n, seed=args.seed)
+    df.write.mode("overwrite").json(args.out)
+    print(json.dumps({"generated": args.n, "out": args.out}))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from etl_school_spark.schemas import CLIENT_BUY_ORDERS
+    from etl_school_spark.sources.readers import read_json_lines, split_corrupt
+    from etl_school_spark.sources.writers import write_parquet
+
+    spark = _spark()
+    df = read_json_lines(spark, args.stage, CLIENT_BUY_ORDERS)
+    good, bad = split_corrupt(df)
+    write_parquet(good, args.table_dir)
+    print(json.dumps({"ingested": good.count(), "corrupt": bad.count(), "table": args.table_dir}))
+    return 0
+
+
+def cmd_publish(args) -> int:
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.broker import FileBroker
+
+    spark = _spark()
+    broker = FileBroker(spark, args.broker)
+    n = broker.publish(args.topic, gen_cc_events(args.n, seed=args.seed))
+    print(json.dumps({"published": n, "topic": args.topic} | broker.stats(args.topic)))
+    return 0
+
+
+def cmd_consume(args) -> int:
+    from etl_school_spark.schemas import CC_PAYLOAD
+    from etl_school_spark.streaming.broker import FileBroker
+    from etl_school_spark.streaming.pipelines import flatten_cc_payload
+
+    spark = _spark()
+    broker = FileBroker(spark, args.broker)
+    broker.consume_available(
+        args.topic, CC_PAYLOAD, args.group, args.sink, transform=flatten_cc_payload
+    )
+    print(json.dumps(broker.stats(args.topic)))
+    return 0
+
+
+def cmd_dq(args) -> int:
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.quality import DqRule, dq_alerts, run_dq
+
+    spark = _spark()
+    df = spark.read.parquet(args.table_dir)
+    rules = [
+        DqRule("non_null_txn_id", F.col("txn_id").isNotNull(), 1.00),
+        DqRule("amount_ok", F.col("amount").between(0, 50000), 0.95),
+        DqRule("approved_rate", F.col("approved"), 0.99),
+    ]
+    metrics = run_dq(spark, df, rules, args.metrics_dir)
+    alerts = dq_alerts(spark, metrics, rules)
+    print(
+        json.dumps(
+            {
+                "metrics": {r.metric_name: r.metric_value for r in metrics.collect()},
+                "alerts": [r.metric_name for r in alerts.collect()],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """The reference's post-load validation: count, preview, distribution
+    (commands.sql:106-115)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = spark.read.parquet(args.table_dir)
+    dist = (
+        df.groupBy(args.group_by)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(10)
+        .collect()
+    )
+    print(
+        json.dumps(
+            {
+                "rows": df.count(),
+                "columns": df.columns,
+                "top_groups": {str(r[args.group_by]): r.n for r in dist},
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_school_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate buy-order JSON-lines")
+    g.add_argument("--n", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("ingest", help="JSON stage → parquet table (COPY INTO)")
+    i.add_argument("--stage", required=True)
+    i.add_argument("--table-dir", required=True)
+    i.set_defaults(fn=cmd_ingest)
+
+    pub = sub.add_parser("publish", help="publish cc events to a topic")
+    pub.add_argument("--broker", required=True)
+    pub.add_argument("--topic", default="cc")
+    pub.add_argument("--n", type=int, default=100)
+    pub.add_argument("--seed", type=int, default=42)
+    pub.set_defaults(fn=cmd_publish)
+
+    c = sub.add_parser("consume", help="drain a topic into a parquet sink")
+    c.add_argument("--broker", required=True)
+    c.add_argument("--topic", default="cc")
+    c.add_argument("--group", default="g1")
+    c.add_argument("--sink", required=True)
+    c.set_defaults(fn=cmd_consume)
+
+    d = sub.add_parser("dq", help="run DQ metrics + alerts on a cc table")
+    d.add_argument("--table-dir", required=True)
+    d.add_argument("--metrics-dir", default=None)
+    d.set_defaults(fn=cmd_dq)
+
+    v = sub.add_parser("validate", help="count/preview/distribution checks")
+    v.add_argument("--table-dir", required=True)
+    v.add_argument("--group-by", default="car_model")
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

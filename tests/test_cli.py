@@ -1,0 +1,38 @@
+"""End-to-end CLI test: generate → ingest → validate, publish → consume → dq."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def _run(capsys, argv):
+    from etl_school_spark.__main__ import main
+
+    assert main(argv) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_batch_path(spark, tmp_path, capsys):
+    stage = str(tmp_path / "stage")
+    table = str(tmp_path / "orders")
+    r = _run(capsys, ["generate", "--n", "200", "--out", stage])
+    assert r["generated"] == 200
+    r = _run(capsys, ["ingest", "--stage", stage, "--table-dir", table])
+    assert r["ingested"] == 200 and r["corrupt"] == 0
+    r = _run(capsys, ["validate", "--table-dir", table, "--group-by", "car_model"])
+    assert r["rows"] == 200
+    assert sum(r["top_groups"].values()) <= 200 and len(r["top_groups"]) <= 10
+
+
+def test_cli_streaming_path(spark, tmp_path, capsys):
+    broker = str(tmp_path / "broker")
+    sink = str(tmp_path / "cc")
+    r = _run(capsys, ["publish", "--broker", broker, "--topic", "cc", "--n", "60"])
+    assert r["published"] == 60
+    r = _run(capsys, ["consume", "--broker", broker, "--topic", "cc", "--group", "g1", "--sink", sink])
+    assert r["delivered_by_group"] == {"g1": 60}
+    r = _run(capsys, ["dq", "--table-dir", sink])
+    assert r["metrics"]["non_null_txn_id"] == 1.0
+    assert "approved_rate" in r["metrics"]
