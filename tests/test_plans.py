@@ -1,0 +1,100 @@
+"""Physical-plan quality gate for every registered query.
+
+The 100 TB posture is a property of the PLAN, not the result: no
+row-at-a-time Python anywhere, Arrow-batched Python only where a kernel
+genuinely needs it, dims broadcast, filters pushed to the scan, top-K as
+TakeOrderedAndProject. This test locks those properties so a regression
+(a lost broadcast hint, an accidental Python UDF) fails CI, not the
+cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose construction RUNS a streaming job and returns materialized
+# results — they have no inspectable lazy plan, and their physical behavior
+# is covered by tests/test_streaming.py
+_MATERIALIZED = {
+    "streaming_incremental_ingest",
+    "streaming_windowed_counts",
+    "streaming_stateful_user_counts",
+}
+
+# Arrow-batched Python is the intended engine for these kernels
+_ARROW_OK = {"mm_image_features"}
+
+
+def _all_queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in _all_queries().items():
+        if name in _MATERIALIZED:
+            continue
+        df = fn(spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_row_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_arrow_python_only_where_intended(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p or "mapInPandas" in p)
+        and n not in _ARROW_OK
+    ]
+    assert offenders == [], f"unexpected Python stages in: {offenders}"
+
+
+def test_dim_joins_broadcast(plans):
+    for name in ("join_orders_customer", "join_lineitem_part", "revenue_by_nation", "threshold_alerts"):
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
+
+
+def test_topk_uses_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["topk_customers_by_spend"]
+
+
+def test_filters_reach_the_scan(plans):
+    # base-column predicates must push into the parquet scan (HAVING-style
+    # aggregate filters legitimately cannot)
+    for name in ("filter_time_range", "filter_isin_segment", "customers_without_orders"):
+        p = plans[name]
+        assert "PushedFilters: [" in p, f"{name}: no pushed filters section"
+        pushed = [
+            seg.split("]")[0]
+            for seg in p.split("PushedFilters: [")[1:]
+        ]
+        assert any(s.strip() for s in pushed), f"{name}: pushed-filter list is empty"
+
+
+def test_scans_prune_columns(plans):
+    # pricing_summary reads 7 of 16 lineitem columns; the scan schema must
+    # not contain columns the query never touches
+    p = plans["pricing_summary"]
+    assert "l_comment" not in p, "column pruning lost: scan reads l_comment"
+    assert "l_shipinstruct" not in p
+
+
+def test_no_cartesian_products_except_intended(plans):
+    # scalar-stats cross joins are 1-row broadcasts; anything else is a bug
+    allowed = {"outliers_3sigma", "embedding_neardup_pairs", "ann_topk_cosine", "scalar_function_suite"}
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p) and n not in allowed
+    ]
+    assert offenders == [], f"unexpected cartesian/nested-loop joins in: {offenders}"
