@@ -187,6 +187,63 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sessionization: gap-based sessions per user (new session when >30 min
+# since the previous event), assigned with lag + a running sum of
+# session-start flags — one shuffle on user_id, no iteration. The shape
+# every behavioral/training pipeline needs; windows keep it linear at
+# any scale.
+# --------------------------------------------------------------------------
+@_q(
+    "event_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           date_diff('microsecond', min(ts), max(ts)) AS span_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("_prev").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("span_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SQL API surface: the same engine drives pure spark.sql text over
 # registered views (the reference's native dialect). CTE + window + the
 # QUALIFY rewrite (SURVEY §2.5 W3) in one statement — Catalyst plans it
