@@ -78,3 +78,37 @@ def test_retention_sweep(spark, tmp_path):
     kept = retention_sweep(spark, table, "ts", keep_days=90, now_ts=now.timestamp())
     assert kept == 10  # ids 0..9 are within 90 days
     assert spark.read.parquet(table).count() == 10
+
+
+def test_partitioned_retention_drops_only_expired(spark, tmp_path):
+    """Partition-drop retention: expired dt= dirs removed with no rewrite;
+    date filters prune partitions in the scan."""
+    from etl_school_spark.orchestrate import (
+        retention_sweep_partitioned,
+        write_date_partitioned,
+    )
+    from etl_school_spark.tables import load_table
+
+    table = str(tmp_path / "events_part")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_date_partitioned(ev, table, "ts", mode="overwrite")
+
+    dates = sorted(r.dt for r in spark.read.parquet(table).select("dt").distinct().collect())
+    assert len(dates) > 2
+    # cutoff: keep only the last 2 dates
+    import datetime
+
+    cutoff = dates[-2]
+    now = datetime.datetime.combine(
+        cutoff + datetime.timedelta(days=90), datetime.time(), datetime.UTC
+    )
+    dropped, kept = retention_sweep_partitioned(table, keep_days=90, now_ts=now.timestamp())
+    assert dropped == len(dates) - 2 and kept == 2
+    remaining = spark.read.parquet(table)
+    assert sorted(r.dt for r in remaining.select("dt").distinct().collect()) == dates[-2:]
+
+    # date predicate must prune partitions, not filter rows post-scan
+    plan = remaining.filter(f"dt = DATE'{dates[-1]}'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert pf.strip(), "partition-filter list is empty — predicate not pruned"
