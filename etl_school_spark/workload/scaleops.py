@@ -187,6 +187,40 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact quantile profiling: Spark's percentile() and DuckDB's
+# quantile_cont share the (1-f)·a + f·b interpolation on sorted values,
+# so results are bit-identical — verified on both integer and continuous
+# columns. (At 100 TB swap in approx_percentile and accept an error
+# bound; the exact form is the profiling/oracle baseline.)
+# --------------------------------------------------------------------------
+@_q(
+    "quantile_profile",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.50) AS q50,
+           quantile_cont(o_totalprice, 0.90) AS q90,
+           quantile_cont(o_totalprice, 0.99) AS q99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.50)").alias("q50"),
+            F.expr("percentile(o_totalprice, 0.90)").alias("q90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("q99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization: gap-based sessions per user (new session when >30 min
 # since the previous event), assigned with lag + a running sum of
 # session-start flags — one shuffle on user_id, no iteration. The shape
