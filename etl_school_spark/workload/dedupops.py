@@ -69,3 +69,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=3, chunks=4).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# The actionable output of dedup: the corpus with only the canonical
+# (minimum-id) document retained per exact-content group — a left-semi
+# join against the canonical set, which at scale moves only ids.
+# --------------------------------------------------------------------------
+@_q(
+    "corpus_after_exact_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d SEMI JOIN canon USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_after_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.exact import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        drop_exact_duplicates(docs)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
