@@ -47,6 +47,19 @@ def anonymize(df: DataFrame, pan_col: str, id_col: str) -> DataFrame:
     )
 
 
+def forget_keys(df: DataFrame, key_col: str, keys: DataFrame | list) -> DataFrame:
+    """Right-to-erasure projection: drop every row whose ``key_col`` is in
+    the deletion set (an anti join — at scale only keys move, and with a
+    small deletion list the join broadcasts). Callers overwrite the table
+    with the result, like ``anonymize``."""
+    spark = df.sparkSession
+    if isinstance(keys, list):
+        keys_df = spark.createDataFrame([(k,) for k in keys], f"{key_col} {df.schema[key_col].dataType.simpleString()}")
+    else:
+        keys_df = keys.toDF(key_col)
+    return df.join(F.broadcast(keys_df), key_col, "left_anti")
+
+
 def pii_classification(spark: SparkSession) -> DataFrame:
     """G8: the static PII registry (A4:950-970)."""
     rows = [

@@ -81,3 +81,20 @@ def read_stage(
     if fmt == "parquet":
         return reader.parquet(stage_dir)
     raise ValueError(f"unsupported stage format: {fmt}")
+
+
+def conform_to_schema(df: DataFrame, schema: StructType) -> DataFrame:
+    """Schema-evolution shim: project ``df`` onto ``schema`` by column NAME
+    — missing columns become typed NULLs, extra columns are dropped, and
+    present columns are cast to the declared type. This is the engine's
+    ``MATCH_BY_COLUMN_NAME`` (batch_insert.py:71-73): producers may add or
+    reorder fields without breaking the load; consumers always see the
+    declared shape (``unionByName(allowMissingColumns)`` semantics made
+    explicit and cast-safe)."""
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -35,24 +36,92 @@ def copy_into(
     fmt: str = "json",
     pattern: str | None = None,
     purge: bool = True,
+    history_dir: str | None = None,
 ) -> int:
     """S8/S11: load staged files into the target table dir, then purge.
 
     Returns the number of rows loaded. Corrupt rows are diverted to
-    ``<target_dir>__rejects`` rather than failing the load.
+    ``<target_dir>__rejects`` rather than failing the load. With
+    ``history_dir`` set, appends one audit row per load — the
+    ``copy_history`` analog (A4:390-398, 706-712) the monitoring queries
+    aggregate (files, rows good/rejected, bytes, duration).
     """
+    t0 = time.time()
+    pat = pattern or "*"
+    files = sorted(glob.glob(os.path.join(stage_dir, pat)))
     staged = read_stage(spark, stage_dir, schema, fmt=fmt, pattern=pattern)
     good, bad = split_corrupt(staged) if fmt == "json" else (staged, None)
     n = good.count()
     if n:
         write_parquet(good, target_dir)
+    n_bad = 0
     if bad is not None and not bad.isEmpty():
+        n_bad = bad.count()
         bad.write.mode("append").json(target_dir + "__rejects")
+    if history_dir:
+        row = (
+            target_dir,
+            len(files),
+            int(n),
+            int(n_bad),
+            int(sum(os.path.getsize(f) for f in files if os.path.isfile(f))),
+            float(t0),
+            float(time.time()),
+        )
+        spark.createDataFrame(
+            [row],
+            "target string, n_files long, rows_loaded long, rows_rejected long, "
+            "file_bytes long, started double, completed double",
+        ).coalesce(1).write.mode("append").parquet(history_dir)
     if purge:
-        pat = pattern or "*"
-        for f in glob.glob(os.path.join(stage_dir, pat)):
-            os.remove(f)
+        for f in files:
+            if os.path.isfile(f):
+                os.remove(f)
     return n
+
+
+def copy_history_rollup(spark: SparkSession, history_dir: str) -> DataFrame:
+    """A10/T7: load-volume rollup over the copy audit —
+    ``sum(row_count), sum(file_size)`` per target (A4:706-712)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(history_dir)
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_loads"),
+            F.sum("n_files").alias("total_files"),
+            F.sum("rows_loaded").alias("total_rows"),
+            F.sum("rows_rejected").alias("total_rejected"),
+            F.sum("file_bytes").alias("total_bytes"),
+            F.max("completed").alias("last_load"),
+        )
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession, table_dir: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Small-file compaction for streaming/append sinks: rewrite the
+    directory into ceil(bytes/target) files. Streaming sinks accrete one
+    file per micro-batch; at scale the many-small-files tax (task per
+    file, metadata pressure) makes periodic compaction a standard
+    maintenance task. Returns (files_before, files_after)."""
+    import math
+    import shutil
+
+    files_before = [
+        f for f in glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files_before)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(table_dir)
+    tmp = table_dir.rstrip("/") + "__compact"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_dir)
+    shutil.move(tmp, table_dir)
+    files_after = glob.glob(os.path.join(table_dir, "*.parquet"))
+    return len(files_before), len(files_after)
 
 
 def export_csv(df: DataFrame, path: str | None = None, limit: int | None = None) -> str:

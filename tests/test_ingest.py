@@ -82,3 +82,71 @@ def test_generator_deterministic_and_dimensional(spark):
     assert models <= catalog
     # dimension lookup filled brand/horsepower/sell_price
     assert all(r.brand and r.horsepower and r.sell_price for r in a)
+
+
+def test_copy_history_audit_and_rollup(spark, tmp_path):
+    """copy_into with history_dir appends a copy_history row per load;
+    rollup aggregates volumes (A4:706-712 analog)."""
+    from etl_school_spark.schemas import CLIENT_BUY_ORDERS
+    from etl_school_spark.sources.generator import gen_buy_orders
+    from etl_school_spark.sources.writers import copy_history_rollup, copy_into
+
+    stage = str(tmp_path / "stage")
+    target = str(tmp_path / "orders")
+    hist = str(tmp_path / "copy_history")
+    for i in range(2):
+        gen_buy_orders(spark, 30, seed=i).write.mode("overwrite").json(stage)
+        n = copy_into(spark, stage, target, CLIENT_BUY_ORDERS, history_dir=hist)
+        assert n == 30
+    roll = copy_history_rollup(spark, hist).collect()
+    assert len(roll) == 1
+    assert roll[0].n_loads == 2 and roll[0].total_rows == 60
+    assert roll[0].total_bytes > 0
+
+
+def test_compaction_shrinks_files_keeps_data(spark, tmp_path):
+    from etl_school_spark.sources.writers import compact_parquet_dir
+    from etl_school_spark.tables import load_table
+
+    table = str(tmp_path / "frag")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # simulate a streaming sink: many tiny files
+    ev.repartition(40).write.parquet(table)
+    before_count = spark.read.parquet(table).count()
+    n_before, n_after = compact_parquet_dir(spark, table, target_file_mb=128)
+    assert n_before >= 40 and n_after < n_before
+    after = spark.read.parquet(table)
+    assert after.count() == before_count
+
+
+def test_conform_to_schema_evolution(spark):
+    """Producers adding/reordering/dropping fields don't break the load."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_school_spark.sources.readers import conform_to_schema
+
+    declared = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("extra_metric", LongType()),
+        ]
+    )
+    evolved = spark.createDataFrame(
+        [("7", "a", "surprise")], "id string, name string, new_field string"
+    )
+    out = conform_to_schema(evolved, declared)
+    assert out.schema == declared
+    row = out.collect()[0]
+    assert row.id == 7 and row.name == "a" and row.extra_metric is None
+
+
+def test_forget_keys_erasure(spark):
+    from etl_school_spark.privacy import forget_keys
+    from etl_school_spark.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    doomed = [r.c_custkey for r in cust.limit(5).collect()]
+    out = forget_keys(cust, "c_custkey", doomed)
+    assert out.count() == cust.count() - 5
+    assert out.filter(out.c_custkey.isin(doomed)).count() == 0
