@@ -16,13 +16,23 @@ from etl_school_spark.workload import (
     dedupops,
     multimodalops,
     relational,
+    samplingops,
     scaleops,
     similarityops,
     streamingops,
     textops,
 )
 
-_MODULES = [relational, scaleops, textops, dedupops, similarityops, streamingops, multimodalops]
+_MODULES = [
+    relational,
+    scaleops,
+    textops,
+    dedupops,
+    similarityops,
+    streamingops,
+    multimodalops,
+    samplingops,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

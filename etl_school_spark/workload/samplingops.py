@@ -1,0 +1,66 @@
+"""Sampling / splitting workload — oracle-checked because membership is a
+pure md5-prefix function both engines compute identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_school_spark.functions.sampling import (
+    deterministic_sample,
+    threshold_hex,
+    train_test_split,
+)
+from etl_school_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_T10 = threshold_hex(0.10)
+_T90 = threshold_hex(0.90)
+
+
+@_q(
+    "sample_documents_10pct",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T10}'
+    ORDER BY doc_id
+    """,
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@_q(
+    "train_test_split_counts",
+    f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T90}'
+                THEN 'train' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n
+    FROM documents
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", 0.90)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )

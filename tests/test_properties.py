@@ -138,3 +138,18 @@ def test_masking_preserves_only_last4(spark, pans):
         assert auditor[i].endswith(pan[-4:])
         sha = hashlib.sha256(pan.encode()).hexdigest()
         assert auditor[i].startswith(sha[:12])
+
+
+@_S
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=5, max_size=30, unique=True))
+def test_deterministic_sample_is_partition_and_retry_stable(spark, ids):
+    from etl_school_spark.functions.sampling import deterministic_sample, train_test_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    s1 = {r.id for r in deterministic_sample(df, "id", 0.5).collect()}
+    s2 = {r.id for r in deterministic_sample(df.repartition(7), "id", 0.5).collect()}
+    assert s1 == s2  # pure function of the key
+    split = {r.id: r.split for r in train_test_split(df, "id", 0.8).collect()}
+    again = {r.id: r.split for r in train_test_split(df.repartition(3), "id", 0.8).collect()}
+    assert split == again
+    assert set(split.values()) <= {"train", "test"}
