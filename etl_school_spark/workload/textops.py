@@ -19,6 +19,7 @@ from etl_school_spark.functions.text import (
     regex_token_count,
     stopword_share,
     token_count,
+    tokens,
 )
 from etl_school_spark.tables import load_table
 
@@ -163,3 +164,40 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vocabulary building: top terms by corpus frequency with document
+# frequency (the IDF denominator). explode → two-level agg; Catalyst's
+# partial aggregation makes the term count map-side combinable, so the
+# shuffle carries distinct terms, not token instances — the property that
+# keeps vocabulary extraction tractable at corpus scale.
+# --------------------------------------------------------------------------
+@_q(
+    "vocabulary_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, u.t AS term
+      FROM documents, unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE u.t <> ''
+    )
+    SELECT term,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM tok
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 50
+    """,
+)
+def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(50)
+    )
