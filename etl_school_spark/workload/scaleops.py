@@ -187,6 +187,84 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dense time-series resample: hourly counts per event type with missing
+# buckets zero-filled. The dense axis is sequence+explode over the global
+# hour bounds (a 1-row broadcast, not a scan), crossed with the distinct
+# type dimension, then left-joined to the sparse aggregate — the
+# sparse→dense shape every training/monitoring pipeline needs before
+# windowed models. Axis size is O(hours × types), independent of row
+# count, so this stays cheap at any data scale.
+# --------------------------------------------------------------------------
+@_q(
+    "dense_hourly_series",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY bucket, event_type
+    )
+    SELECT h.bucket, t.event_type, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN c ON c.bucket = h.bucket AND c.event_type = t.event_type
+    ORDER BY h.bucket, t.event_type
+    """,
+)
+def dense_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    sparse = (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(sparse, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("cnt", F.lit(0)).alias("n"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: long → wide (the inverse of the reference's UNPIVOT, F13).
+# Spark's pivot with an explicit value list compiles to one pass of
+# conditional aggregates — same plan the portable oracle spells out, no
+# second shuffle and no value-discovery job.
+# --------------------------------------------------------------------------
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact quantile profiling: Spark's percentile() and DuckDB's
 # quantile_cont share the (1-f)·a + f·b interpolation on sorted values,
 # so results are bit-identical — verified on both integer and continuous
