@@ -74,3 +74,35 @@ def incremental_ingest(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime=processing_time).start()
+
+
+def incremental_ingest_fanin(
+    spark: SparkSession,
+    stage_dirs: list[str],
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: StructType = CC_PAYLOAD,
+    transform=flatten_cc_payload,
+):
+    """T6 fan-in: several stage branches union into ONE sink stream —
+    the reference's two generator tasks feeding PIPE3_WAIT_ALL
+    (A4:559-602). One checkpoint covers all branches (offsets tracked per
+    source), so the merged append is still exactly-once per batch.
+    """
+    from functools import reduce
+
+    streams = []
+    for d in stage_dirs:
+        os.makedirs(d, exist_ok=True)
+        streams.append(spark.readStream.schema(schema).json(d))
+    unioned = reduce(lambda a, b: a.unionByName(b), streams)
+    typed = transform(unioned) if transform is not None else unioned
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

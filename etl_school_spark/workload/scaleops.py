@@ -356,6 +356,35 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Set difference / intersection (completes the §2.7 family beyond the
+# reference's UNION ALL): nations that have customers but no suppliers,
+# and nations having both. EXCEPT/INTERSECT plan as aggregate+anti/semi
+# joins — no full-relation sort.
+# --------------------------------------------------------------------------
+@_q(
+    "nation_set_ops",
+    """
+    WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE c_acctbal > 9900),
+         sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    SELECT 'supplier_only' AS which, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+    UNION ALL
+    SELECT 'both' AS which, n_name FROM (SELECT n_name FROM sn INTERSECT SELECT n_name FROM cn)
+    ORDER BY which, n_name
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = dim_join(cust, nation, on=cust.c_nationkey == nation.n_nationkey, how="inner").select("n_name").distinct()
+    sn = dim_join(supp, nation, on=supp.s_nationkey == nation.n_nationkey, how="inner").select("n_name").distinct()
+    only = sn.exceptAll(cn).select(F.lit("supplier_only").alias("which"), "n_name")
+    both = sn.intersect(cn).select(F.lit("both").alias("which"), "n_name")
+    return only.unionByName(both).orderBy("which", "n_name")
+
+
+# --------------------------------------------------------------------------
 # SQL API surface: the same engine drives pure spark.sql text over
 # registered views (the reference's native dialect). CTE + window + the
 # QUALIFY rewrite (SURVEY §2.5 W3) in one statement — Catalyst plans it

@@ -212,3 +212,30 @@ def test_broker_claims_balance_and_sum_to_published(spark, workdir):
     st = broker.stats("cc")
     assert st["published"] == 100
     assert st["pending_by_group"] == {"g1": 0, "g2": 0}
+
+
+def test_fanin_union_streams_one_sink(spark, workdir):
+    """T6: two stage branches union into one exactly-once sink; re-run
+    drains only new files from either branch."""
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.pipelines import incremental_ingest_fanin
+
+    a = os.path.join(workdir, "stage_a")
+    b = os.path.join(workdir, "stage_b")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(a), os.makedirs(b)
+
+    def drop(d, name, events):
+        with open(os.path.join(d, name), "w") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+
+    drop(a, "a0.json", gen_cc_events(20, seed=21))
+    drop(b, "b0.json", gen_cc_events(15, seed=22))
+    incremental_ingest_fanin(spark, [a, b], sink, ckpt)
+    assert spark.read.parquet(sink).count() == 35
+
+    drop(b, "b1.json", gen_cc_events(5, seed=23))  # one branch advances
+    incremental_ingest_fanin(spark, [a, b], sink, ckpt)
+    assert spark.read.parquet(sink).count() == 40
