@@ -90,8 +90,15 @@ def test_scans_prune_columns(plans):
 
 
 def test_no_cartesian_products_except_intended(plans):
-    # scalar-stats cross joins are 1-row broadcasts; anything else is a bug
-    allowed = {"outliers_3sigma", "embedding_neardup_pairs", "ann_topk_cosine", "scalar_function_suite"}
+    # scalar-stats cross joins are 1-row broadcasts, and the dense-series
+    # axis is an intended tiny cross product; anything else is a bug
+    allowed = {
+        "outliers_3sigma",
+        "embedding_neardup_pairs",
+        "ann_topk_cosine",
+        "scalar_function_suite",
+        "dense_hourly_series",
+    }
     offenders = [
         n
         for n, p in plans.items()
