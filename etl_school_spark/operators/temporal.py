@@ -1,0 +1,106 @@
+"""Temporal joins Spark lacks as primitives (task-brief custom operators):
+as-of join and interval range join, built as compositions of DataFrame
+ops — no UDFs, no driver loops.
+
+- ``asof_join``: for each left row, the latest right row with
+  right.ts <= left.ts per key. NOT a range join + window over the blown-up
+  pair space: both sides are UNIONED with a side tag and a single
+  per-key window carries the last right value forward. One shuffle on the
+  key, state O(1) per row — the only formulation that survives a 100 TB
+  left side.
+- ``interval_range_join``: left rows × intervals containing them.
+  The naive plan is a broadcast-nested-loop inequality join (quadratic
+  work). Here intervals explode to the fixed-width time buckets they
+  cover and the join is an EQUI-join on (key, bucket) + an exact refine
+  filter — each left row has exactly one bucket, so no dedup is needed
+  and the matching work is proportional to (rows + interval·span).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of (backward) join: attach the most recent ``value_cols`` from
+    ``right`` at-or-before each left row's ``ts``, matching on ``key``.
+
+    Right rows at exactly the same ``ts`` are visible to the left row
+    (<= semantics, the DuckDB/pandas ASOF default). ``how='inner'``
+    drops left rows with no prior right row; ``'left'`` keeps them with
+    NULLs.
+    """
+    lcols = [c for c in left.columns]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts → visible at-or-before
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_k",
+        "_ts",
+        "_is_right",
+        "_l",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
+    )
+    out = carried.filter(F.col("_is_right") == 0).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out
+
+
+def interval_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """All (left, interval) pairs with same ``key`` and
+    ``start <= ts < end``, as a bucketed equi-join (see module doc)."""
+    b = F.lit(int(bucket_seconds))
+    l_bucket = (F.unix_micros(F.col(ts).cast("timestamp")) / 1_000_000 / b).cast("long")
+    lhs = left.withColumn("_bucket", l_bucket)
+    s_us = F.unix_micros(F.col(start).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end).cast("timestamp"))
+    rhs = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (s_us / 1_000_000 / b).cast("long"),
+                # end is exclusive: the bucket of the last contained instant
+                ((e_us - 1) / 1_000_000 / b).cast("long"),
+            )
+        ),
+    )
+    joined = lhs.join(rhs, on=[key, "_bucket"])
+    return joined.filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))).drop("_bucket")

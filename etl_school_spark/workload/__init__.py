@@ -20,12 +20,14 @@ from etl_school_spark.workload import (
     scaleops,
     similarityops,
     streamingops,
+    temporalops,
     textops,
 )
 
 _MODULES = [
     relational,
     scaleops,
+    temporalops,
     textops,
     dedupops,
     similarityops,
