@@ -237,3 +237,32 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     result = spark.createDataFrame(out.collect(), out.schema).orderBy("user_id")
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@_q(
+    "continuous_hourly_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id < {_N_STREAM_EVENTS}
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+)
+def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the staged stream maintains
+    a materialized hourly rollup by merging each micro-batch into only
+    the touched hour partitions (dynamic partition overwrite). The final
+    materialized table must equal the one-shot batch GROUP BY — the
+    oracle."""
+    from etl_school_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    work = tempfile.mkdtemp(prefix="etl_rollup_")
+    stage = os.path.join(work, "stage")
+    _stage_events_json(spark, sf_dir, stage)
+    continuous_rollup(spark, stage, os.path.join(work, "rollup"), os.path.join(work, "ckpt"))
+    out = read_rollup(spark, os.path.join(work, "rollup")).orderBy("bucket", "event_type")
+    result = spark.createDataFrame(out.collect(), out.schema).orderBy("bucket", "event_type")
+    shutil.rmtree(work, ignore_errors=True)
+    return result

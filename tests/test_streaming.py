@@ -239,3 +239,47 @@ def test_fanin_union_streams_one_sink(spark, workdir):
     drop(b, "b1.json", gen_cc_events(5, seed=23))  # one branch advances
     incremental_ingest_fanin(spark, [a, b], sink, ckpt)
     assert spark.read.parquet(sink).count() == 40
+
+
+def test_continuous_rollup_merges_across_batches(spark, workdir):
+    """The rollup merge path: two batches touching the SAME hour must sum,
+    and only touched partitions exist on disk."""
+    from pyspark.sql import functions as F
+    from etl_school_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    stage = os.path.join(workdir, "rstage")
+    os.makedirs(stage)
+    rows_a = [
+        {"event_id": 1, "ts": "2024-03-01T10:05:00.000000", "user_id": 1, "event_type": "view", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-03-01T10:55:00.000000", "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    rows_b = [
+        {"event_id": 3, "ts": "2024-03-01T10:30:00.000000", "user_id": 3, "event_type": "view", "value": 4.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-03-01T11:10:00.000000", "user_id": 1, "event_type": "click", "value": 8.0, "props": "{}"},
+    ]
+    for i, (fn, rows) in enumerate((("a.json", rows_a), ("b.json", rows_b))):
+        p = os.path.join(stage, fn)
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (1700000000 + i * 60,) * 2)
+
+    rollup = os.path.join(workdir, "rollup")
+    continuous_rollup(spark, stage, rollup, os.path.join(workdir, "rckpt"))
+
+    got = {
+        (r.bucket.hour, r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got[(10, "view")] == (3, 7.5)  # merged across both batches
+    assert got[(11, "click")] == (1, 8.0)
+    parts = sorted(e for e in os.listdir(rollup) if e.startswith("part="))
+    assert parts == ["part=2024-03-01-10", "part=2024-03-01-11"]
+
+    # idempotent re-drain: no new data → rollup unchanged
+    continuous_rollup(spark, stage, rollup, os.path.join(workdir, "rckpt"))
+    again = {
+        (r.bucket.hour, r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert again == got
