@@ -15,6 +15,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from etl_school_spark.sources.readers import read_stage, split_corrupt
@@ -83,8 +84,6 @@ def copy_into(
 def copy_history_rollup(spark: SparkSession, history_dir: str) -> DataFrame:
     """A10/T7: load-volume rollup over the copy audit —
     ``sum(row_count), sum(file_size)`` per target (A4:706-712)."""
-    from pyspark.sql import functions as F
-
     return (
         spark.read.parquet(history_dir)
         .groupBy("target")
@@ -97,6 +96,41 @@ def copy_history_rollup(spark: SparkSession, history_dir: str) -> DataFrame:
             F.max("completed").alias("last_load"),
         )
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+) -> tuple[int, int]:
+    """Keyed MERGE (upsert) into a parquet-backed table: rows in
+    ``updates`` replace same-key rows, new keys append. Implemented as
+    current ⟕anti updates ∪ updates, then an atomic swap — the
+    plain-parquet equivalent of MERGE INTO (a table format like
+    Delta/Iceberg does this transactionally; the dataflow is identical).
+    The anti join broadcasts the update KEYS only, so cost is one pass
+    over the current table regardless of update width.
+
+    Returns (rows_updated_or_inserted, total_rows_after).
+    """
+    import shutil
+
+    n_upd = updates.count()
+    if os.path.isdir(table_dir) and any(f.endswith(".parquet") for f in os.listdir(table_dir)):
+        current = spark.read.parquet(table_dir)
+        keys = updates.select(key).distinct()
+        survivors = current.join(F.broadcast(keys), key, "left_anti")
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    tmp = table_dir.rstrip("/") + "__merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    total = spark.read.parquet(tmp).count()
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    shutil.move(tmp, table_dir)
+    return n_upd, total
 
 
 def compact_parquet_dir(

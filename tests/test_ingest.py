@@ -150,3 +150,20 @@ def test_forget_keys_erasure(spark):
     out = forget_keys(cust, "c_custkey", doomed)
     assert out.count() == cust.count() - 5
     assert out.filter(out.c_custkey.isin(doomed)).count() == 0
+
+
+def test_merge_upsert_replaces_and_appends(spark, tmp_path):
+    from etl_school_spark.sources.writers import merge_upsert
+
+    table = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    merge_upsert(spark, table, base, "id")
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    n_upd, total = merge_upsert(spark, table, updates, "id")
+    assert (n_upd, total) == (2, 4)
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
