@@ -201,3 +201,63 @@ def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "term")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top terms per document. idf = ln(N/df); ln() differs between
+# JVM and libm in the last ULP (measured: 11/600 integer inputs), so the
+# score is rounded to 6 decimals on BOTH sides before ranking — the
+# cross-engine determinism pattern for any transcendental function.
+# --------------------------------------------------------------------------
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, u.t AS term
+      FROM documents, unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE u.t <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") < 50)
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
