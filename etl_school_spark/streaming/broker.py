@@ -123,6 +123,58 @@ class FileBroker:
         )
         q.awaitTermination()
 
+    def consume_available_group(
+        self,
+        topic: str,
+        schema: StructType,
+        consumer_group: str,
+        sink_dir: str,
+        n_consumers: int = 2,
+        transform=None,
+    ) -> None:
+        """S14/T8 with an explicit N-member group: each message belongs to
+        exactly ONE member, decided by a deterministic hash of its source
+        file — the Spark-native form of 'consumers in a group split the
+        topic's partitions'. Every member runs its own checkpointed drain
+        over its disjoint slice; the union of slices is the topic.
+        """
+        src_dir = self.topic_dir(topic)
+        for member in range(n_consumers):
+            ckpt = os.path.join(
+                self.root, "checkpoints", consumer_group, f"m{member}", topic
+            )
+            audit_dir = os.path.join(self.root, "audit", topic)
+            os.makedirs(audit_dir, exist_ok=True)
+            src = (
+                self.spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 16)
+                .json(src_dir)
+                .withColumn("_file", F.input_file_name())
+                .filter(F.pmod(F.xxhash64(F.col("_file")), F.lit(n_consumers)) == member)
+                .drop("_file")
+            )
+            if transform is not None:
+                src = transform(src)
+            topic_, group, member_ = topic, consumer_group, member
+
+            def sink(batch_df: DataFrame, batch_id: int, _m=member_) -> None:
+                n = batch_df.count()
+                if n:
+                    batch_df.write.mode("append").parquet(sink_dir)
+                    batch_df.sparkSession.createDataFrame(
+                        [(topic_, group, int(_m), int(batch_id), int(n), time.time())],
+                        "topic string, claimed_by string, consumer_id int, batch_id long, "
+                        "n_messages long, delivered_at double",
+                    ).coalesce(1).write.mode("append").parquet(audit_dir)
+
+            q = (
+                src.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
     # -- observe ----------------------------------------------------------
     def claims(self, topic: str) -> DataFrame:
         """Per-(group, consumer) claim counts — the reference's

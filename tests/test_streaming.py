@@ -283,3 +283,30 @@ def test_continuous_rollup_merges_across_batches(spark, workdir):
         for r in read_rollup(spark, rollup).collect()
     }
     assert again == got
+
+
+def test_group_members_split_topic_without_overlap(spark, workdir):
+    """N-member consumer group: members own disjoint slices, the union is
+    the whole topic, and the claim audit shows who claimed what."""
+    from pyspark.sql import functions as F
+    from etl_school_spark.schemas import CC_PAYLOAD
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.broker import FileBroker
+
+    broker = FileBroker(spark, os.path.join(workdir, "broker"))
+    broker.create_topic("cc")
+    for s in range(6):  # 6 files → hash-split across members
+        broker.publish("cc", gen_cc_events(10, seed=100 + s))
+
+    sink = os.path.join(workdir, "sink")
+    broker.consume_available_group("cc", CC_PAYLOAD, "g", sink, n_consumers=3)
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 60  # every message exactly once across the group
+    assert got.select("element", "transaction.id").distinct().count() == 60
+
+    claims = broker.claims("cc").filter("claimed_by = 'g'").collect()
+    total = sum(r.n_claimed for r in claims)
+    assert total == 60
+    members = {r.consumer_id for r in claims}
+    assert len(members) >= 2  # work actually split across members
