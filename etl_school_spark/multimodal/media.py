@@ -126,6 +126,29 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def extract_frames(media: DataFrame, every: int = 4) -> DataFrame:
+    """Materialize the sampled frames' BYTES (binary out), not just their
+    offsets: mapInPandas slices each content blob into its sampled
+    fixed-size frames. Binary-in/binary-out through Arrow — the shape a
+    real video keyframe extractor has, with slicing standing in for the
+    codec."""
+    stride = FRAME_BYTES * every
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for off in range(0, len(blob), stride):
+                    ids.append(mid)
+                    idxs.append(off // FRAME_BYTES)
+                    frames.append(bytes(blob[off : off + FRAME_BYTES]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, "media_id long, frame_idx long, frame_bytes binary"
+    )
+
+
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """Sample every ``every``-th fixed-size frame of each "video": emit
     (media_id, frame_idx, frame_offset, frame_len) rows. Pure

@@ -71,3 +71,24 @@ def test_audio_features_jvm_only(spark):
 def test_real_decoder_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_extract_frames_binary_roundtrip(spark):
+    from etl_school_spark.multimodal.media import extract_frames
+
+    m = _media(spark)
+    originals = {r.media_id: bytes(r.content) for r in m.limit(3).collect()}
+    rows = [r for r in extract_frames(m, every=4).collect() if r.media_id in originals]
+    assert rows, "no frames extracted"
+    for r in rows:
+        blob = originals[r.media_id]
+        start = r.frame_idx * 4096
+        assert bytes(r.frame_bytes) == blob[start : start + 4096]
+    # frame offsets agree with the pure-JVM frame_sample metadata
+    from etl_school_spark.multimodal.media import frame_sample
+    meta = {
+        (r.media_id, r.frame_idx)
+        for r in frame_sample(m, every=4).collect()
+        if r.media_id in originals
+    }
+    assert {(r.media_id, r.frame_idx) for r in rows} == meta
