@@ -73,6 +73,39 @@ def latest_metrics(metrics: DataFrame) -> DataFrame:
     return metrics.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def streaming_dq(
+    spark: SparkSession,
+    stage_dir: str,
+    schema,
+    rules: list[DqRule],
+    metrics_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """DQ-on-arrival: evaluate the rule suite on EVERY micro-batch and
+    append the metric rows — the streaming form of the reference's
+    10/30-minute DQ tasks (A4:865-884), except metrics cover exactly the
+    fresh rows instead of rescanning the table. Alerting then runs on
+    ``latest_metrics`` of the metrics table as in batch."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        if df.isEmpty():
+            return
+        run_dq(batch_df.sparkSession, df, rules, metrics_dir, group="stream_dq")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dq_alerts(spark: SparkSession, metrics: DataFrame, rules: list[DqRule]) -> DataFrame:
     """G7: join latest metrics against thresholds, emit breach rows
     (A4:874-919)."""

@@ -103,3 +103,41 @@ def test_dashboard_panels(spark):
     assert csv.splitlines()[0] == "o_orderkey,o_totalprice"
     opts = d.filter_options("o_orderstatus")
     assert opts == sorted(opts)
+
+
+def test_streaming_dq_per_batch_metrics(spark, tmp_path):
+    """DQ rules run on each micro-batch; metrics accumulate per batch and
+    alerting works off the latest values."""
+    import json as _json
+    import os
+
+    from etl_school_spark.quality import DqRule, dq_alerts, latest_metrics
+    from etl_school_spark.quality import streaming_dq
+    from etl_school_spark.schemas import CC_PAYLOAD
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.pipelines import flatten_cc_payload
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for i in range(2):
+        p = os.path.join(stage, f"b{i}.json")
+        with open(p, "w") as fh:
+            for e in gen_cc_events(40, seed=50 + i):
+                fh.write(_json.dumps(e) + "\n")
+        os.utime(p, (1700000000 + i * 60,) * 2)
+
+    rules = [
+        DqRule("non_null_txn_id", F.col("txn_id").isNotNull(), 1.00),
+        DqRule("approved_rate", F.col("approved"), 0.999),
+    ]
+    metrics_dir = str(tmp_path / "metrics")
+    streaming_dq(
+        spark, stage, CC_PAYLOAD, rules, metrics_dir, str(tmp_path / "ckpt"),
+        transform=flatten_cc_payload,
+    )
+    m = spark.read.parquet(metrics_dir)
+    assert m.filter("metric_name = 'non_null_txn_id'").count() == 2  # one per batch
+    assert set(m.select("metric_group").distinct().toPandas().metric_group) == {"stream_dq"}
+    alerts = dq_alerts(spark, m, rules)
+    assert {r.metric_name for r in alerts.collect()} <= {"approved_rate"}
+    assert latest_metrics(m).count() == 2  # one latest row per metric
