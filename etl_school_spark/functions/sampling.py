@@ -46,3 +46,16 @@ def train_test_split(df: DataFrame, key: str, train_fraction: float = 0.9) -> Da
             "test"
         ),
     )
+
+
+def quota_sample(df: DataFrame, key: str, class_col: str, fractions: dict[str, float]) -> DataFrame:
+    """Class-rebalancing sample: keep a different deterministic fraction
+    per class (e.g. downsample the dominant language, keep all of the
+    rare ones). Classes absent from ``fractions`` are dropped. Membership
+    is still a pure function of (key), so rebalanced corpora are
+    reproducible."""
+    expr = None
+    for cls, frac in fractions.items():
+        cond = (F.col(class_col) == cls) & (hash_bucket(key) < F.lit(threshold_hex(frac)))
+        expr = cond if expr is None else (expr | cond)
+    return df.filter(expr)

@@ -64,3 +64,33 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "lang")
     )
+
+
+# class rebalancing: downsample dominant en, keep all rare languages
+_QUOTAS = {"en": 0.30, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+_QUOTA_SQL = " OR ".join(
+    f"(lang = '{c}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{threshold_hex(f)}')"
+    for c, f in _QUOTAS.items()
+)
+
+
+@_q(
+    "rebalanced_corpus_counts",
+    f"""
+    SELECT lang, COUNT(*) AS n
+    FROM documents
+    WHERE {_QUOTA_SQL}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def rebalanced_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.functions.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quota_sample(docs, "doc_id", "lang", _QUOTAS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
