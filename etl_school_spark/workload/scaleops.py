@@ -356,6 +356,43 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Feature scaling: per-group z-score normalization. Group stats are a
+# tiny aggregate broadcast back over the fact rows (J2 shape); the score
+# is rounded to 6 decimals because stddev's float summation differs
+# across engines in the last ULPs.
+# --------------------------------------------------------------------------
+@_q(
+    "zscore_order_prices",
+    """
+    WITH stats AS (
+      SELECT o_orderpriority, avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           round((o_totalprice - mu) / sd, 6) AS z
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+)
+def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"), F.stddev_samp("o_totalprice").alias("sd")
+    )
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round((F.col("o_totalprice") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Set difference / intersection (completes the §2.7 family beyond the
 # reference's UNION ALL): nations that have customers but no suppliers,
 # and nations having both. EXCEPT/INTERSECT plan as aggregate+anti/semi
