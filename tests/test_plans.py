@@ -98,6 +98,7 @@ def test_no_cartesian_products_except_intended(plans):
         "ann_topk_cosine",
         "scalar_function_suite",
         "dense_hourly_series",
+        "tfidf_top_terms",  # 1-row n_docs scalar broadcast
     }
     offenders = [
         n
