@@ -422,6 +422,68 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# GROUPING SETS with grouping_id: per-(priority,status), per-priority,
+# and grand-total levels in one expand+agg pass — completes the
+# multi-level aggregation family next to ROLLUP.
+# --------------------------------------------------------------------------
+@_q(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching with blocking: candidate pairs come from an
+# EQUI-join on a blocking key (name prefix), then exact levenshtein
+# refine — the entity-resolution shape that avoids the all-pairs cross
+# join (candidates ∝ block sizes, not n²). levenshtein is integer DP,
+# bit-identical across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "fuzzy_name_matches",
+    """
+    WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 17) AS blk FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select("c_custkey", "c_name", F.substring("c_name", 1, 17).alias("blk"))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .withColumn("dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select(F.col("a.c_custkey").alias("id_a"), F.col("b.c_custkey").alias("id_b"), "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # SQL API surface: the same engine drives pure spark.sql text over
 # registered views (the reference's native dialect). CTE + window + the
 # QUALIFY rewrite (SURVEY §2.5 W3) in one statement — Catalyst plans it
