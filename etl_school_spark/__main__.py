@@ -98,6 +98,62 @@ def cmd_dq(args) -> int:
     return 0
 
 
+def cmd_consume_group(args) -> int:
+    from etl_school_spark.schemas import CC_PAYLOAD
+    from etl_school_spark.streaming.broker import FileBroker
+    from etl_school_spark.streaming.pipelines import flatten_cc_payload
+
+    spark = _spark()
+    broker = FileBroker(spark, args.broker)
+    broker.consume_available_group(
+        args.topic, CC_PAYLOAD, args.group, args.sink,
+        n_consumers=args.consumers, transform=flatten_cc_payload,
+    )
+    claims = {
+        f"consumer_{r.consumer_id}": r.n_claimed
+        for r in broker.claims(args.topic).collect()
+        if r.claimed_by == args.group
+    }
+    print(json.dumps({"group": args.group, "claims": claims} | broker.stats(args.topic)))
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    from etl_school_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    spark = _spark()
+    continuous_rollup(spark, args.stage, args.rollup_dir, args.checkpoint)
+    n = read_rollup(spark, args.rollup_dir).count()
+    print(json.dumps({"rollup": args.rollup_dir, "buckets": n}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from etl_school_spark.sources.writers import compact_parquet_dir
+
+    spark = _spark()
+    before, after = compact_parquet_dir(spark, args.table_dir, args.target_mb)
+    print(json.dumps({"files_before": before, "files_after": after}))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    import __spark_entry__ as e
+
+    spark = _spark()
+    qs = e.queries()
+    if args.query not in qs:
+        print(json.dumps({"error": f"unknown query {args.query}", "known": sorted(qs)}))
+        return 1
+    df = qs[args.query](spark, args.sf_dir)
+    print(
+        df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    return 0
+
+
 def cmd_validate(args) -> int:
     """The reference's post-load validation: count, preview, distribution
     (commands.sql:106-115)."""
@@ -162,6 +218,30 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table-dir", required=True)
     v.add_argument("--group-by", default="car_model")
     v.set_defaults(fn=cmd_validate)
+
+    cg = sub.add_parser("consume-group", help="drain a topic with an N-member group")
+    cg.add_argument("--broker", required=True)
+    cg.add_argument("--topic", default="cc")
+    cg.add_argument("--group", default="g1")
+    cg.add_argument("--consumers", type=int, default=2)
+    cg.add_argument("--sink", required=True)
+    cg.set_defaults(fn=cmd_consume_group)
+
+    ru = sub.add_parser("rollup", help="maintain the continuous hourly rollup")
+    ru.add_argument("--stage", required=True)
+    ru.add_argument("--rollup-dir", required=True)
+    ru.add_argument("--checkpoint", required=True)
+    ru.set_defaults(fn=cmd_rollup)
+
+    co = sub.add_parser("compact", help="compact a parquet dir's small files")
+    co.add_argument("--table-dir", required=True)
+    co.add_argument("--target-mb", type=int, default=128)
+    co.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser("explain", help="print a registered query's physical plan")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -36,3 +36,21 @@ def test_cli_streaming_path(spark, tmp_path, capsys):
     r = _run(capsys, ["dq", "--table-dir", sink])
     assert r["metrics"]["non_null_txn_id"] == 1.0
     assert "approved_rate" in r["metrics"]
+
+
+def test_cli_group_rollup_compact_explain(spark, tmp_path, capsys):
+    broker = str(tmp_path / "broker")
+    sink = str(tmp_path / "cc")
+    _run(capsys, ["publish", "--broker", broker, "--topic", "cc", "--n", "40"])
+    r = _run(capsys, ["consume-group", "--broker", broker, "--topic", "cc",
+                      "--group", "g", "--consumers", "2", "--sink", sink])
+    assert sum(r["claims"].values()) == 40
+
+    r = _run(capsys, ["compact", "--table-dir", sink])
+    assert r["files_after"] <= r["files_before"]
+
+    from etl_school_spark.__main__ import main
+    assert main(["explain", "--query", "orders_per_priority"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert main(["explain", "--query", "nope"]) == 1
