@@ -422,6 +422,55 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# OHLC downsampling: per-hour open/high/low/close of the event value.
+# Open/close come from row_numbers over a (ts, event_id)-ordered window
+# (unique tiebreak ⇒ deterministic, unlike first()/last() on unordered
+# groups), then one hash aggregate produces all five measures.
+# --------------------------------------------------------------------------
+@_q(
+    "ohlc_hourly",
+    """
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT bucket,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy(b).orderBy("ts", "event_id")
+    wd = Window.partitionBy(b).orderBy(F.desc("ts"), F.desc("event_id"))
+    r = events.select(
+        b.alias("bucket"),
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        r.groupBy("bucket")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # GROUPING SETS with grouping_id: per-(priority,status), per-priority,
 # and grand-total levels in one expand+agg pass — completes the
 # multi-level aggregation family next to ROLLUP.
