@@ -72,6 +72,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Duplicate CLUSTERS: connected components over the near-dup pair graph
+# (iterative min-label propagation). Oracle: transitive closure by
+# recursive CTE, component = min reachable id — exact equivalence of a
+# genuinely iterative DataFrame algorithm.
+# --------------------------------------------------------------------------
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_NGRAM_ORACLE.replace("ORDER BY id_a, id_b", "")}
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(s, t) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+)
+SELECT s AS node, least(s, min(t)) AS component
+FROM reach
+GROUP BY s
+ORDER BY node
+"""
+
+
+@_q("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return connected_components(pairs).orderBy("node")
+
+
+# --------------------------------------------------------------------------
 # The actionable output of dedup: the corpus with only the canonical
 # (minimum-id) document retained per exact-content group — a left-semi
 # join against the canonical set, which at scale moves only ids.

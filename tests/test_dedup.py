@@ -66,3 +66,16 @@ def test_word_shingles_short_doc_edge(spark):
     assert out[0].s == []
     assert out[1].s == ["a b c"]
     assert out[2].s == []
+
+
+def test_connected_components_chain_clique_pair(spark):
+    """Chains propagate labels transitively; disjoint groups stay apart."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
