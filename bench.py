@@ -43,8 +43,11 @@ def main() -> None:
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n and n in qs]
     names += [n for n in extra if n not in names]
 
-    # warm the JVM/codegen and the OS page cache once (excluded from timing)
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: run EVERY query once (excluded from timing) so the timed
+    # pass measures steady state — codegen compiled, file metadata and OS
+    # page cache hot — not first-run JVM compilation noise
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
