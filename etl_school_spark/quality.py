@@ -73,6 +73,28 @@ def latest_metrics(metrics: DataFrame) -> DataFrame:
     return metrics.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def observed_write(
+    df: DataFrame,
+    path: str,
+    rules: list[DqRule],
+    mode: str = "append",
+) -> dict[str, float]:
+    """One-pass ingest + DQ: compute the metric suite DURING the write job
+    via the Observation API — the data is scanned once, not written then
+    re-read for metrics. At 100 TB this halves the ingest pipeline's IO
+    versus write-then-profile.
+
+    Returns {metric_name: ratio} (plus ``_rows``).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    aggs = [F.avg(F.when(r.pred, 1.0).otherwise(0.0)).alias(r.name) for r in rules]
+    observed = df.observe(obs, F.count(F.lit(1)).alias("_rows"), *aggs)
+    observed.write.mode(mode).parquet(path)
+    return dict(obs.get)
+
+
 def streaming_dq(
     spark: SparkSession,
     stage_dir: str,

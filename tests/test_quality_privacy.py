@@ -141,3 +141,25 @@ def test_streaming_dq_per_batch_metrics(spark, tmp_path):
     alerts = dq_alerts(spark, m, rules)
     assert {r.metric_name for r in alerts.collect()} <= {"approved_rate"}
     assert latest_metrics(m).count() == 2  # one latest row per metric
+
+
+def test_observed_write_single_pass_metrics(spark, tmp_path):
+    """Metrics computed during the write job equal post-hoc computation."""
+    from etl_school_spark.quality import DqRule, observed_write
+
+    df = _cc(spark, 100)
+    rules = [
+        DqRule("non_null_txn_id", F.col("txn_id").isNotNull(), 1.0),
+        DqRule("amount_ok", F.col("amount").between(0, 50000), 0.95),
+    ]
+    path = str(tmp_path / "observed")
+    got = observed_write(df, path, rules)
+    assert got["_rows"] == 100
+    assert got["non_null_txn_id"] == 1.0
+
+    written = spark.read.parquet(path)
+    assert written.count() == 100
+    posthoc = written.agg(
+        F.avg(F.when(F.col("amount").between(0, 50000), 1.0).otherwise(0.0))
+    ).collect()[0][0]
+    assert abs(got["amount_ok"] - posthoc) < 1e-12
