@@ -76,6 +76,70 @@ def incremental_ingest(
     return writer.trigger(processingTime=processing_time).start()
 
 
+class ProgressAudit:
+    """T7 for streams: a StreamingQueryListener that appends one JSON-lines
+    row per finished micro-batch (query, batch, rows, duration, rates) to
+    an audit directory the engine's own queries can analyze — the
+    streaming analog of the reference's task_history monitoring
+    (A4:692-728)."""
+
+    def __init__(self, spark: SparkSession, audit_dir: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        os.makedirs(audit_dir, exist_ok=True)
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                import json as _json
+                import time as _time
+
+                p = event.progress
+                row = {
+                    "query_id": str(p.id),
+                    "name": p.name,
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    "observed_at": _time.time(),
+                }
+                fname = os.path.join(outer.audit_dir, f"progress_{p.batchId}_{str(p.id)[:8]}.json")
+                with open(fname, "a") as fh:
+                    fh.write(_json.dumps(row) + "\n")
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self.spark = spark
+        self.audit_dir = audit_dir
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def detach(self) -> None:
+        self.spark.streams.removeListener(self._listener)
+
+    def history(self) -> DataFrame:
+        return self.spark.read.json(self.audit_dir)
+
+    def summary(self) -> DataFrame:
+        """Per-query batch counts, rows, and duration stats."""
+        h = self.history()
+        return h.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("num_input_rows").alias("total_rows"),
+            F.avg("batch_duration_ms").alias("avg_batch_ms"),
+            F.max("batch_duration_ms").alias("max_batch_ms"),
+        )
+
+
 def incremental_ingest_fanin(
     spark: SparkSession,
     stage_dirs: list[str],

@@ -310,3 +310,33 @@ def test_group_members_split_topic_without_overlap(spark, workdir):
     assert total == 60
     members = {r.consumer_id for r in claims}
     assert len(members) >= 2  # work actually split across members
+
+
+def test_progress_audit_records_batches(spark, workdir):
+    """The listener persists per-batch progress rows a DataFrame can query."""
+    from etl_school_spark.sources.generator import gen_cc_events
+    from etl_school_spark.streaming.pipelines import ProgressAudit, incremental_ingest
+
+    audit = ProgressAudit(spark, os.path.join(workdir, "paudit"))
+    try:
+        stage = os.path.join(workdir, "pstage")
+        os.makedirs(stage)
+        with open(os.path.join(stage, "f.json"), "w") as fh:
+            for e in gen_cc_events(25, seed=77):
+                fh.write(json.dumps(e) + "\n")
+        incremental_ingest(
+            spark, stage, os.path.join(workdir, "psink"), os.path.join(workdir, "pckpt")
+        )
+        import time
+
+        for _ in range(20):  # listener events are async
+            files = os.listdir(os.path.join(workdir, "paudit"))
+            if files:
+                break
+            time.sleep(0.5)
+        h = audit.history()
+        assert h.filter("num_input_rows > 0").count() >= 1
+        s = audit.summary().collect()
+        assert any(r.total_rows >= 25 for r in s)
+    finally:
+        audit.detach()
