@@ -94,3 +94,38 @@ def rebalanced_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size per-class sample: exactly k docs per language, chosen by
+# hash order (deterministic "random" without an RNG) — the per-class
+# window form of reservoir sampling.
+# --------------------------------------------------------------------------
+@_q(
+    "per_class_k_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 10
+    ORDER BY lang, doc_id
+    """,
+)
+def per_class_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_school_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash_bucket("doc_id"), "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

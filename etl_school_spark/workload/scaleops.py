@@ -422,6 +422,86 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robust outlier profile: median absolute deviation (MAD) instead of the
+# reference's 3-sigma (A4:762-769) — resistant to the outliers it hunts.
+# Two exact-percentile passes (group medians broadcast between them);
+# exact percentile is bit-identical across engines.
+# --------------------------------------------------------------------------
+@_q(
+    "mad_outlier_profile",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med, abs(o_totalprice - m.med) AS adev, o_totalprice
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority, any_value(med) AS med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority, m.med, m.mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+    GROUP BY d.o_orderpriority, m.med, m.mad
+    ORDER BY d.o_orderpriority
+    """,
+)
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.first("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram: portable floor((x-lo)/w) bucketing (no dialect
+# histogram function needed); bins with zero rows are absent by design.
+# --------------------------------------------------------------------------
+@_q(
+    "price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000.0 AS bin_lo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("bin") * 50000.0).alias("bin_lo"), "n")
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
 # OHLC downsampling: per-hour open/high/low/close of the event value.
 # Open/close come from row_numbers over a (ts, event_id)-ordered window
 # (unique tiebreak ⇒ deterministic, unlike first()/last() on unordered
