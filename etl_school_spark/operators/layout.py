@@ -48,6 +48,28 @@ def colocated_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-by write: range-repartition on the cluster key, sort rows
+    within each output file. Parquet then stores tight per-row-group
+    min/max statistics on the key, so point/range scans skip whole files
+    and row groups (data skipping) — the plain-parquet version of
+    Delta/Iceberg ORDER BY clustering, and the #1 cheap scan optimization
+    at 100 TB after partitioning.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def salt_column(unique_col: str | Column, n: int) -> Column:
     """Deterministic salt in [0, n) from a unique column — reproducible
     across runs/retries (rand() would break exactly-once retries)."""

@@ -86,3 +86,36 @@ def test_salted_agg_rejects_non_algebraic(spark):
     li = load_table(spark, SF, "lineitem")
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], "l_orderkey", {"l_quantity": "avg"})
+
+
+def test_clustered_write_produces_disjoint_tight_ranges(spark, tmp_path):
+    """Range-clustered files carry non-overlapping min/max key stats —
+    the property parquet data skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_school_spark.operators.layout import write_clustered
+    from etl_school_spark.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "clustered")
+    write_clustered(orders, path, ["o_custkey"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_custkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # files cover disjoint key ranges
+
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == orders.count()
