@@ -39,9 +39,12 @@ def _q(name: str, oracle: str | None = None):
 _N_STREAM_EVENTS = 300
 
 
-def _stage_events_json(spark: SparkSession, sf_dir: str, stage_dir: str) -> None:
-    """Write the first N events as JSON-lines files onto the stage (3 files
-    — multiple micro-batch source files)."""
+def _stage_events_json(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 3
+) -> None:
+    """Write the first N events as JSON-lines files onto the stage
+    (``n_files`` source files; 1 guarantees a single micro-batch — a
+    file is never split across batches)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") < _N_STREAM_EVENTS)
@@ -57,8 +60,8 @@ def _stage_events_json(spark: SparkSession, sf_dir: str, stage_dir: str) -> None
         .collect()
     )
     os.makedirs(stage_dir, exist_ok=True)
-    per_file = (len(ev) + 2) // 3
-    for fi in range(3):
+    per_file = (len(ev) + n_files - 1) // n_files
+    for fi in range(n_files):
         chunk = ev[fi * per_file : (fi + 1) * per_file]
         with open(os.path.join(stage_dir, f"events_{fi}.json"), "w") as fh:
             for r in chunk:
@@ -110,12 +113,18 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _counter = iter(range(10**9))
 
 
-def _staged_stream(spark: SparkSession, sf_dir: str, work: str, max_files: int | None = 1):
+def _staged_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    max_files: int | None = 1,
+    n_stage_files: int = 3,
+):
     """Stage the event subset and open a file stream with an absolute
     (tz-independent) event-time column ``ts_abs``. ``max_files=1`` gives
-    one micro-batch per staged file; None drains in a single batch."""
+    one micro-batch per staged file; None drains without a rate limit."""
     stage = os.path.join(work, "stage")
-    _stage_events_json(spark, sf_dir, stage)
+    _stage_events_json(spark, sf_dir, stage, n_files=n_stage_files)
     reader = spark.readStream.schema(EVENTS)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -155,13 +164,15 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped instead of growing state forever (the drop path is covered by
     tests/test_streaming.py with controlled batch boundaries).
 
-    The backlog drains in ONE data batch (no rate limit) so the emitted
-    set is exactly the oracle's closed-window set regardless of file
-    order; the trailing no-data batch performs the eviction.
+    The backlog MUST drain in one data batch (a mid-stream watermark
+    advance would drop oracle-counted late rows), so the input is staged
+    as a SINGLE file — a file is never split across micro-batches — and
+    no rate limit is set; the trailing no-data batch performs the
+    eviction.
     """
     work = tempfile.mkdtemp(prefix="etl_wstream_")
     name = f"wcounts_{next(_counter)}"
-    typed = _staged_stream(spark, sf_dir, work, max_files=None)
+    typed = _staged_stream(spark, sf_dir, work, max_files=None, n_stage_files=1)
     agg = (
         typed.withWatermark("ts_abs", "10 minutes")
         .groupBy(F.window("ts_abs", "1 hour").alias("w"), "event_type")
