@@ -422,6 +422,59 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlation profile (rounded — covariance float sums are partition-
+# order dependent in the last ULPs) and ordered string aggregation
+# (sorted collect → join, deterministic unlike bare listagg).
+# --------------------------------------------------------------------------
+@_q(
+    "correlation_profile",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "statuses_per_priority",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
 # Robust outlier profile: median absolute deviation (MAD) instead of the
 # reference's 3-sigma (A4:762-769) — resistant to the outliers it hunts.
 # Two exact-percentile passes (group medians broadcast between them);
