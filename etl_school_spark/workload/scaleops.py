@@ -422,6 +422,35 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Calendar rollup: orders by ISO weekday and month. Weekday numbering
+# conventions differ per engine (Spark dayofweek: 1=Sun; DuckDB
+# dayofweek: 0=Sun) — ISO day-of-week is the portable formulation
+# (Spark weekday()+1 ≡ DuckDB isodow, both 1=Mon..7=Sun).
+# --------------------------------------------------------------------------
+@_q(
+    "calendar_rollup",
+    """
+    SELECT isodow(o_orderdate) AS iso_dow,
+           CAST(month(o_orderdate) AS BIGINT) AS month,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY iso_dow, month
+    ORDER BY iso_dow, month
+    """,
+)
+def calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("iso_dow", "month")
+    )
+
+
+# --------------------------------------------------------------------------
 # Correlation profile (rounded — covariance float sums are partition-
 # order dependent in the last ULPs) and ordered string aggregation
 # (sorted collect → join, deterministic unlike bare listagg).

@@ -99,6 +99,37 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Higher-order array functions as a first-class query: per-vector norm
+# and element bounds via aggregate/array_min/array_max — all JVM-side,
+# scalar outputs (oracle-safe).
+# --------------------------------------------------------------------------
+@_q(
+    "embedding_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS l2_norm,
+           CAST(list_min(embedding) AS DOUBLE) AS min_el,
+           CAST(list_max(embedding) AS DOUBLE) AS max_el
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.functions.vectors import as_double, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        l2_norm(v).alias("l2_norm"),
+        F.array_min(v).alias("min_el"),
+        F.array_max(v).alias("max_el"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # ANN top-k: IVF coarse-quantizer scale path (rows-only; recall asserted
 # against the exact baseline in tests/test_similarity.py). Deterministic
 # k-means training → reproducible index.
