@@ -422,6 +422,79 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Running total: cumulative customer spend over order history. The frame
+# is rows-unbounded-preceding with a unique (date, key) order, and the
+# cumulative sum is an exact decimal cast to double — deterministic at
+# any parallelism, like every money aggregate here.
+# --------------------------------------------------------------------------
+@_q(
+    "customer_running_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# NTILE quartiles: customers bucketed by total spend, then per-quartile
+# aggregates — the ranking-family member beyond row_number, identical
+# bucket-size semantics across engines given a unique total order.
+# --------------------------------------------------------------------------
+@_q(
+    "customer_spend_quartiles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT o_custkey, total,
+             ntile(4) OVER (ORDER BY total DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS quartile_spend
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("total").cast("decimal(18,2)")).cast("double").alias("quartile_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# --------------------------------------------------------------------------
 # Calendar rollup: orders by ISO weekday and month. Weekday numbering
 # conventions differ per engine (Spark dayofweek: 1=Sun; DuckDB
 # dayofweek: 0=Sun) — ISO day-of-week is the portable formulation
