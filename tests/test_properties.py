@@ -153,3 +153,41 @@ def test_deterministic_sample_is_partition_and_retry_stable(spark, ids):
     again = {r.id: r.split for r in train_test_split(df.repartition(3), "id", 0.8).collect()}
     assert split == again
     assert set(split.values()) <= {"train", "test"}
+
+
+@_S
+@given(_texts)
+def test_shingle_count_formula(spark, values):
+    from etl_school_spark.functions.text import word_shingles
+
+    rows = (
+        _df(spark, values)
+        .select("i", F.size(word_shingles("t", 3)).alias("n_sh"))
+        .collect()
+    )
+    for r in rows:
+        toks = _py_tokens(values[r.i])
+        expected = len({" ".join(toks[j : j + 3]) for j in range(max(0, len(toks) - 2))})
+        assert r.n_sh == expected
+
+
+@_S
+@given(_texts)
+def test_simhash_identity_and_bits(spark, values):
+    from etl_school_spark.functions.text import hamming, simhash64
+
+    df = _df(spark, values).select("i", simhash64("t").alias("h"))
+    rows = df.select("i", "h", hamming(F.col("h"), F.col("h")).alias("d")).collect()
+    for r in rows:
+        assert len(r.h) == 64 and set(r.h) <= {0, 1}
+        assert r.d == 0  # identical inputs → zero hamming distance
+
+
+def test_order_generator_is_seed_deterministic(spark):
+    from etl_school_spark.sources.generator import gen_buy_orders
+
+    a = gen_buy_orders(spark, 50, seed=5).collect()
+    b = gen_buy_orders(spark.newSession(), 50, seed=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = gen_buy_orders(spark, 50, seed=6).collect()
+    assert [tuple(r) for r in a] != [tuple(r) for r in c]
