@@ -251,6 +251,65 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_q(
+    "streaming_dedup_ingest",
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < {_N_STREAM_EVENTS}
+    ORDER BY event_id
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the stage holds every event TWICE (re-delivery /
+    at-least-once upstream), and the stream emits each exactly once via
+    watermarked dropDuplicates — state holds only ids within the
+    watermark horizon, so memory stays bounded on an infinite stream.
+    Duplicates arriving after their id is evicted are late-dropped, which
+    also yields exactly one copy. The oracle is the distinct batch set.
+    """
+    work = tempfile.mkdtemp(prefix="etl_dstream_")
+    stage, sink, ckpt = (os.path.join(work, d) for d in ("stage", "sink", "ckpt"))
+    _stage_events_json(spark, sf_dir, stage)
+    # duplicate the entire backlog into a second file (same events again)
+    import glob as _glob
+
+    dup = os.path.join(stage, "zz_redelivery.json")
+    with open(dup, "w") as out_fh:
+        for f in sorted(_glob.glob(os.path.join(stage, "events_*.json"))):
+            with open(f) as in_fh:
+                out_fh.write(in_fh.read())
+
+    typed = (
+        spark.readStream.schema(EVENTS)
+        .json(stage)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', to_timestamp_ntz(ts))"
+                )
+            ).alias("ts_abs"),
+        )
+        .withWatermark("ts_abs", "1 hour")
+        .dropDuplicates(["event_id"])
+        .drop("ts_abs")
+    )
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink).orderBy("event_id")
+    result = spark.createDataFrame(out.collect(), out.schema).orderBy("event_id")
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@_q(
     "continuous_hourly_rollup",
     f"""
     SELECT date_trunc('hour', ts) AS bucket, event_type,
