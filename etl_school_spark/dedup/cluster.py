@@ -16,6 +16,8 @@ round — no data is collected.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,7 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    changed = -1
     for _ in range(max_iterations):
         msgs = (
             und.join(labels, und.a == labels.node)
@@ -61,4 +64,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # graph diameter exceeded the round budget: labels are still a
+        # valid partition refinement but long chains may be SPLIT into
+        # multiple components — silent wrong answers are worse than noise
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); components of "
+            "long duplicate chains may be split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

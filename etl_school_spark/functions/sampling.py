@@ -27,24 +27,38 @@ def hash_bucket(key: Column | str) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, _WIDTH)
 
 
-def threshold_hex(fraction: float) -> str:
+def threshold_hex(fraction: float) -> str | None:
     """Hex threshold t such that P(bucket < t) ≈ fraction (exact:
-    floor(fraction·65536)/65536)."""
-    return format(max(0, min(_BUCKETS, round(fraction * _BUCKETS))), f"0{_WIDTH}x")
+    floor(fraction·65536)/65536).
+
+    Returns ``None`` for fraction >= 1, meaning "keep everything": no
+    4-hex-char threshold can admit the max bucket 'ffff' (a 5-char
+    '10000' compares LOWER than 'ffff' lexicographically and would keep
+    only ~1/16 of rows). Sub-1 fractions that round up to 65536 cap at
+    'ffff' (P = 65535/65536)."""
+    if fraction >= 1:
+        return None
+    return format(max(0, min(_BUCKETS - 1, round(fraction * _BUCKETS))), f"0{_WIDTH}x")
+
+
+def keep_condition(key: Column | str, fraction: float) -> Column:
+    """Boolean membership column for a deterministic ``fraction`` sample."""
+    t = threshold_hex(fraction)
+    if t is None:
+        return F.lit(True)
+    return hash_bucket(key) < F.lit(t)
 
 
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ≈``fraction`` of rows, membership a pure function of ``key``."""
-    return df.filter(hash_bucket(key) < F.lit(threshold_hex(fraction)))
+    return df.filter(keep_condition(key, fraction))
 
 
 def train_test_split(df: DataFrame, key: str, train_fraction: float = 0.9) -> DataFrame:
     """Assign a stable 'train'/'test' split column keyed on ``key``."""
     return df.withColumn(
         "split",
-        F.when(hash_bucket(key) < F.lit(threshold_hex(train_fraction)), "train").otherwise(
-            "test"
-        ),
+        F.when(keep_condition(key, train_fraction), "train").otherwise("test"),
     )
 
 
@@ -56,6 +70,6 @@ def quota_sample(df: DataFrame, key: str, class_col: str, fractions: dict[str, f
     reproducible."""
     expr = None
     for cls, frac in fractions.items():
-        cond = (F.col(class_col) == cls) & (hash_bucket(key) < F.lit(threshold_hex(frac)))
+        cond = (F.col(class_col) == cls) & keep_condition(key, frac)
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr)

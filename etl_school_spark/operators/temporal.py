@@ -40,19 +40,24 @@ def asof_join(
     NULLs.
     """
     lcols = [c for c in left.columns]
+    # the carried payload is ONE struct per right row (never NULL for a
+    # right row, even when every member is NULL) so last(ignorenulls)
+    # carries the LATEST right row as a unit — a legitimately-NULL value
+    # column is propagated, not skipped in favor of an older non-NULL one
+    r_struct = right.select(F.struct(*[F.col(c) for c in value_cols]).alias("_v"))
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct.schema["_v"].dataType).alias("_v"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
     )
     # right rows sort BEFORE left rows at equal ts → visible at-or-before
     w = (
@@ -61,19 +66,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "_k",
-        "_ts",
         "_is_right",
         "_l",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}") for c in value_cols],
+        F.last("_v", ignorenulls=True).over(w).alias("_v"),
     )
     out = carried.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        # matched flag survives independently of value NULL-ness
+        F.col("_v").isNotNull().alias("_matched"),
+        *[F.col(f"_v.{c}").alias(c) for c in value_cols],
     )
     if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_matched"))
+    return out.drop("_matched")
 
 
 def interval_range_join(

@@ -127,10 +127,26 @@ def merge_upsert(
     tmp = table_dir.rstrip("/") + "__merge"
     merged.write.mode("overwrite").parquet(tmp)
     total = spark.read.parquet(tmp).count()
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    shutil.move(tmp, table_dir)
+    _swap_into_place(tmp, table_dir)
     return n_upd, total
+
+
+def _swap_into_place(tmp: str, table_dir: str) -> None:
+    """Crash-safe directory swap: every intermediate state keeps at least
+    one complete copy of the table (rename old aside → move new into
+    place → delete old), unlike rmtree-then-move which has a window
+    where the table is simply gone."""
+    import shutil
+
+    old = table_dir.rstrip("/") + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # leftover from a previous crash after step 2
+    had_old = os.path.isdir(table_dir)
+    if had_old:
+        os.rename(table_dir, old)
+    shutil.move(tmp, table_dir)
+    if had_old:
+        shutil.rmtree(old)
 
 
 def compact_parquet_dir(
@@ -142,7 +158,6 @@ def compact_parquet_dir(
     file, metadata pressure) makes periodic compaction a standard
     maintenance task. Returns (files_before, files_after)."""
     import math
-    import shutil
 
     files_before = [
         f for f in glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
@@ -152,8 +167,7 @@ def compact_parquet_dir(
     df = spark.read.parquet(table_dir)
     tmp = table_dir.rstrip("/") + "__compact"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_dir)
-    shutil.move(tmp, table_dir)
+    _swap_into_place(tmp, table_dir)
     files_after = glob.glob(os.path.join(table_dir, "*.parquet"))
     return len(files_before), len(files_after)
 

@@ -69,7 +69,10 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # class rebalancing: downsample dominant en, keep all rare languages
 _QUOTAS = {"en": 0.30, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
 _QUOTA_SQL = " OR ".join(
-    f"(lang = '{c}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{threshold_hex(f)}')"
+    # fraction >= 1 → keep-all (threshold_hex returns None; no hash clause)
+    f"(lang = '{c}')"
+    if threshold_hex(f) is None
+    else f"(lang = '{c}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{threshold_hex(f)}')"
     for c, f in _QUOTAS.items()
 )
 

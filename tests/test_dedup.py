@@ -79,3 +79,19 @@ def test_connected_components_chain_clique_pair(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A chain whose diameter exceeds the round budget must not return
+    silently-split components without a warning (ADVICE r1)."""
+    import warnings
+
+    from etl_school_spark.dedup.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iterations=1).collect()
+    assert any("did not converge" in str(x.message) for x in w)

@@ -191,3 +191,31 @@ def test_order_generator_is_seed_deterministic(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     c = gen_buy_orders(spark, 50, seed=6).collect()
     assert [tuple(r) for r in a] != [tuple(r) for r in c]
+
+
+@given(st.floats(min_value=0.0, max_value=2.0, allow_nan=False))
+@settings(max_examples=30, deadline=None)
+def test_threshold_hex_total_and_monotone(fraction):
+    """fraction >= 1 → keep-all sentinel (None); below 1 the threshold is
+    4 hex chars, so every bucket value compares against it correctly
+    (ADVICE r1: the 5-char '10000' threshold silently kept ~1/16)."""
+    from etl_school_spark.functions.sampling import threshold_hex
+
+    t = threshold_hex(fraction)
+    if fraction >= 1:
+        assert t is None
+    else:
+        assert len(t) == 4
+        assert t <= "ffff"
+
+
+def test_quota_sample_fraction_one_keeps_all(spark):
+    from etl_school_spark.functions.sampling import deterministic_sample, quota_sample
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_fr = docs.filter("lang = 'fr'").count()
+    assert n_fr > 0
+    kept = quota_sample(docs, "doc_id", "lang", {"fr": 1.0}).count()
+    assert kept == n_fr  # keep-all really keeps all
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()

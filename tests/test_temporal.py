@@ -58,3 +58,22 @@ def test_range_join_matches_naive(spark):
     f = {(r.window_id, r.event_id) for r in fast.collect()}
     n = {(r.window_id, r.event_id) for r in naive.collect()}
     assert f == n and len(f) > 0
+
+
+def test_asof_latest_null_value_is_carried_not_skipped(spark):
+    """A right row whose value is legitimately NULL must win over an older
+    non-NULL row (struct-carry semantics), and inner mode must keep the
+    matched row (ADVICE r1: last(ignorenulls) on the bare column skipped
+    NULL-valued right rows)."""
+    left = spark.createDataFrame([(1, _ts(12))], "id long, ts timestamp_ntz").withColumn(
+        "k", F.lit("a")
+    )
+    right = spark.createDataFrame(
+        [(_ts(9), 90), (_ts(11), None)], "ts timestamp_ntz, v long"
+    ).withColumn("k", F.lit("a"))
+
+    out = asof_join(left, right, "k", "ts", ["v"]).collect()
+    assert len(out) == 1 and out[0].v is None  # latest row's NULL, not 90
+
+    inner = asof_join(left, right, "k", "ts", ["v"], how="inner").collect()
+    assert len(inner) == 1 and inner[0].v is None  # matched → kept
