@@ -15,17 +15,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# r2: headline names track the consolidated registry — each suite runs
+# strictly MORE work than the r1 query it replaced (whole family vs one
+# member), so totals are not comparable to BENCH_r01 line-for-line
 HEADLINE = [
     "pricing_summary",
     "orders_per_priority",
-    "join_orders_customer",
-    "join_lineitem_part",
     "topk_customers_by_spend",
-    "latest_event_per_user",
-    "having_wide_orders",
-    "hourly_event_rollup",
-    "json_extract_typed",
-    "outliers_3sigma",
+    "filter_predicate_suite",
+    "join_agg_suite",
+    "group_agg_suite",
+    "per_user_event_profile",
+    "timeseries_suite",
+    "event_window_suite",
+    "star_revenue_suite",
 ]
 
 

@@ -26,12 +26,28 @@ from etl_school_spark.tables import load_table
 QUERIES = {}
 ORACLES = {}
 
+# suite components: exact-checked at test time (tests/test_entry.py),
+# surfaced to the driver inside consolidated suite queries below so the
+# whole family fits the driver's 50-query correctness window
+COMPONENTS = {}
+COMPONENT_ORACLES = {}
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _c(name: str, oracle: str | None = None):
+    def deco(fn):
+        COMPONENTS[name] = fn
+        if oracle is not None:
+            COMPONENT_ORACLES[name] = oracle
         return fn
 
     return deco
@@ -111,7 +127,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P4/P6 — comparison + timestamp-range predicates (A5:84-100)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "filter_time_range",
     """
     SELECT event_id, ts, event_type, value
@@ -139,7 +155,7 @@ def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P5 — set-membership filters (A5:73-82 isin per dimension)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "filter_isin_segment",
     """
     SELECT c_custkey, c_name, c_mktsegment, c_acctbal
@@ -160,7 +176,7 @@ def filter_isin_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P7/F5 — multi-column case-insensitive search (A5:102-111)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "search_ilike",
     """
     SELECT c_custkey, c_name, c_mktsegment
@@ -180,7 +196,7 @@ def search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P9/F1 — regex predicate (A4:758-760 regexp_like validation)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "filter_regex",
     """
     SELECT c_custkey, c_name
@@ -201,7 +217,7 @@ def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P10/P8 — OR'd range/sanity predicate with NULL checks (A4:744-747)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "filter_sanity_or",
     """
     SELECT o_orderkey, o_totalprice, o_orderdate
@@ -228,7 +244,7 @@ def filter_sanity_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # P1/P2 — JSON path extraction with NULL-safe cast (A4:224-269)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "json_extract_typed",
     """
     SELECT event_id, event_type,
@@ -251,7 +267,7 @@ def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J1/A3 — inner equi-join + multi-column group (A4:916-918, A4:494-497)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "join_orders_customer",
     """
     SELECT c_mktsegment, o_orderstatus,
@@ -276,7 +292,7 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J4 — broadcast left join to small dimension (data_generator.py:34-37)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "join_lineitem_part",
     """
     SELECT p_brand,
@@ -301,7 +317,7 @@ def join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J2/A5 — 3-sigma outlier detection via scalar stats (A4:762-769)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "outliers_3sigma",
     """
     WITH stats AS (SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sigma FROM orders)
@@ -323,7 +339,7 @@ def outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # W1/J3 — ratio-to-total over empty window (A4:489-492)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "ratio_to_total_segment",
     """
     SELECT c_mktsegment, COUNT(*) AS n,
@@ -341,7 +357,7 @@ def ratio_to_total_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # W2/W3 — latest-per-group, QUALIFY rewrite (A4:824-833, A4:902-907)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "latest_event_per_user",
     """
     SELECT user_id, event_id, ts, event_type
@@ -363,7 +379,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A6/A7/A14 — conditional aggregation + distinct counts + null-safe division
 # (A4:800-818, A5:135)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "conditional_agg_profile",
     """
     SELECT event_type,
@@ -395,7 +411,7 @@ def conditional_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A8 — GROUP BY … HAVING duplicate detection (A4:738-742)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "having_wide_orders",
     """
     SELECT l_orderkey, COUNT(*) AS n_lines
@@ -418,7 +434,7 @@ def having_wide_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A13 — DISTINCT dedup (commands.sql:126-128, A5:51-57)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "distinct_flag_status",
     """
     SELECT DISTINCT l_returnflag, l_linestatus
@@ -434,7 +450,7 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # U1 — N-way UNION ALL of labelled counts (A4:480-486)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "union_stage_counts",
     """
     SELECT 'region' AS stage, COUNT(*) AS n_rows FROM region
@@ -455,7 +471,7 @@ def union_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U3/J1/G7 — VALUES thresholds joined to computed metrics → alerts
 # (A4:874-919)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "threshold_alerts",
     """
     WITH metrics AS (
@@ -522,7 +538,7 @@ def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A11/F8 — time-bucketed aggregation (A4:924-930 date_trunc trend view)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "hourly_event_rollup",
     """
     SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
@@ -547,7 +563,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A12/F7 — min/max timestamps + second-granularity span (A4:692-728)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "event_span_per_user",
     """
     SELECT user_id,
@@ -576,7 +592,7 @@ def event_span_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F1/F2/F3/F4 — masking expressions: regex PAN mask, slice+concat mask, sha2
 # (A4:945-949, A4:983-989, A4:1022, A4:1060)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "masking_functions",
     """
     WITH pans AS (
@@ -609,7 +625,7 @@ def masking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # F13 — UNPIVOT wide metrics to long form (A4:807, 821-823)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "unpivot_metrics",
     """
     WITH wide AS (
@@ -640,7 +656,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F7/F8/F11 — date arithmetic, truncation, rounding, abs/mod generalization
 # (A4:396-397, A4:927, A4:1061)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "scalar_function_suite",
     """
     SELECT event_id,
@@ -666,3 +682,262 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ==========================================================================
+# Consolidated driver-facing suites (see workload/_suite.py). Each suite
+# unions its components' full results onto one tagged frame — one driver
+# correctness row per FAMILY, zero loss of value-level checking. Catalyst
+# plans each branch independently under the Union, so per-component plan
+# properties (pushdown, broadcasts) are preserved and still gated by
+# tests/test_plans.py.
+# ==========================================================================
+
+from etl_school_spark.workload._suite import (  # noqa: E402
+    oracle_branch,
+    oracle_union,
+    tag_branch,
+    union_suite,
+)
+
+_FILTER_SCHEMA = {
+    "key": "long",
+    "s1": "string",
+    "s2": "string",
+    "x": "double",
+    "t": "timestamp_ntz",
+}
+
+_FILTER_BRANCHES = {
+    # which → (component, spark slots, oracle slot exprs)
+    "time_range": (
+        "filter_time_range",
+        dict(key="event_id", s1="event_type", x="value", t="ts"),
+    ),
+    "isin_segment": (
+        "filter_isin_segment",
+        dict(key="c_custkey", s1="c_name", s2="c_mktsegment", x="c_acctbal"),
+    ),
+    "ilike": (
+        "search_ilike",
+        dict(key="c_custkey", s1="c_name", s2="c_mktsegment"),
+    ),
+    "regex": ("filter_regex", dict(key="c_custkey", s1="c_name")),
+    "sanity_or": (
+        "filter_sanity_or",
+        dict(key="o_orderkey", x="o_totalprice", t="o_orderdate"),
+    ),
+    "json_typed": (
+        "json_extract_typed",
+        dict(key="event_id", s1="event_type", x="k_value"),
+    ),
+}
+
+
+@_q(
+    "filter_predicate_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _FILTER_SCHEMA, **slots)
+            for which, (comp, slots) in _FILTER_BRANCHES.items()
+        ]
+    ),
+)
+def filter_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4–P10 + P1/P3 in one driver row: every predicate family's full
+    row-level result, tagged and unioned."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _FILTER_SCHEMA, **slots)
+        for which, (comp, slots) in _FILTER_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "key")
+
+
+_JOIN_SCHEMA = {"k1": "string", "k2": "string", "n": "long", "val": "double"}
+
+_JOIN_BRANCHES = {
+    "orders_customer": (
+        "join_orders_customer",
+        dict(k1="c_mktsegment", k2="o_orderstatus", n="n_orders", val="total_price"),
+    ),
+    "lineitem_part": (
+        "join_lineitem_part",
+        dict(k1="p_brand", n="n_lines", val="sum_qty"),
+    ),
+}
+
+
+@_q(
+    "join_agg_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _JOIN_SCHEMA, **slots)
+            for which, (comp, slots) in _JOIN_BRANCHES.items()
+        ]
+    ),
+)
+def join_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (inner equi-join + multi-col group) and J4 (broadcast dim left
+    join) — both broadcast plans asserted in tests/test_plans.py."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _JOIN_SCHEMA, **slots)
+        for which, (comp, slots) in _JOIN_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "k1", "k2")
+
+
+_STATS_SCHEMA = {
+    "k1": "string",
+    "key": "long",
+    "n": "long",
+    "x1": "double",
+    "x2": "double",
+}
+
+_STATS_BRANCHES = {
+    "outliers_3sigma": (
+        "outliers_3sigma",
+        dict(key="o_orderkey", x1="o_totalprice"),
+    ),
+    "ratio_to_total": (
+        "ratio_to_total_segment",
+        dict(k1="c_mktsegment", n="n", x1="pct"),
+    ),
+    "threshold_alerts": (
+        "threshold_alerts",
+        dict(k1="metric_name", x1="metric_value", x2="threshold"),
+    ),
+}
+
+
+@_q(
+    "stats_alert_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _STATS_SCHEMA, **slots)
+            for which, (comp, slots) in _STATS_BRANCHES.items()
+        ]
+    ),
+)
+def stats_alert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 scalar-stats cross join (3-sigma), W1/J3 ratio-to-total, and
+    U3/G7 VALUES-thresholds alerting in one driver row."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _STATS_SCHEMA, **slots)
+        for which, (comp, slots) in _STATS_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "k1", "key")
+
+
+_GROUP_SCHEMA = {
+    "k1": "string",
+    "key": "long",
+    "n1": "long",
+    "n2": "long",
+    "n3": "long",
+    "x1": "double",
+}
+
+_GROUP_BRANCHES = {
+    "conditional_profile": (
+        "conditional_agg_profile",
+        dict(k1="event_type", n1="n_events", n2="n_users", n3="n_high", x1="high_share"),
+    ),
+    "having_wide": ("having_wide_orders", dict(key="l_orderkey", n1="n_lines")),
+    "distinct_flag": (
+        "distinct_flag_status",
+        dict(k1=lambda: F.concat_ws("/", "l_returnflag", "l_linestatus")),
+    ),
+    "union_counts": ("union_stage_counts", dict(k1="stage", n1="n_rows")),
+}
+
+_GROUP_ORACLE_SLOTS = {
+    "conditional_profile": dict(
+        k1="event_type", n1="n_events", n2="n_users", n3="n_high", x1="high_share"
+    ),
+    "having_wide": dict(key="l_orderkey", n1="n_lines"),
+    "distinct_flag": dict(k1="concat_ws('/', l_returnflag, l_linestatus)"),
+    "union_counts": dict(k1="stage", n1="n_rows"),
+}
+
+
+@_q(
+    "group_agg_suite",
+    oracle_union(
+        [
+            oracle_branch(
+                which, COMPONENT_ORACLES[comp], _GROUP_SCHEMA, **_GROUP_ORACLE_SLOTS[which]
+            )
+            for which, (comp, _) in _GROUP_BRANCHES.items()
+        ]
+    ),
+)
+def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7/A14 conditional aggregation, A8 HAVING, A13 DISTINCT, and
+    U1 labelled UNION ALL counts in one driver row."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _GROUP_SCHEMA, **slots)
+        for which, (comp, slots) in _GROUP_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "k1", "key")
+
+
+@_q(
+    "per_user_event_profile",
+    f"""
+    SELECT l.user_id, l.event_id, l.ts, l.event_type,
+           s.first_ts, s.last_ts, s.span_sec
+    FROM ({COMPONENT_ORACLES["latest_event_per_user"]}) l
+    JOIN ({COMPONENT_ORACLES["event_span_per_user"]}) s ON l.user_id = s.user_id
+    ORDER BY l.user_id
+    """,
+)
+def per_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 latest-per-group joined to A12 min/max+span — the per-entity
+    profile shape, one row per user, window + aggregate in one plan."""
+    latest = COMPONENTS["latest_event_per_user"](spark, sf_dir)
+    span = COMPONENTS["event_span_per_user"](spark, sf_dir)
+    return latest.join(span, "user_id").orderBy("user_id")
+
+
+_SCALAR_SCHEMA = {
+    "key": "long",
+    "s1": "string",
+    "s2": "string",
+    "s3": "string",
+    "x1": "double",
+    "x2": "double",
+    "t1": "timestamp_ntz",
+    "t2": "timestamp_ntz",
+}
+
+_SCALAR_BRANCHES = {
+    "masking": (
+        "masking_functions",
+        dict(key="c_custkey", s1="pan_masked", s2="pan_slice_mask", s3="pan_sha"),
+    ),
+    "scalar_funcs": (
+        "scalar_function_suite",
+        dict(key="event_id", x1="value_cents", x2="user_bucket", t1="ts_next_day", t2="ts_day"),
+    ),
+    "unpivot": ("unpivot_metrics", dict(s1="metric_name", x1="metric_value")),
+}
+
+
+@_q(
+    "scalar_mask_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _SCALAR_SCHEMA, **slots)
+            for which, (comp, slots) in _SCALAR_BRANCHES.items()
+        ]
+    ),
+)
+def scalar_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1–F14 scalar families in one driver row: masking expressions
+    (regex/slice/sha2), date arithmetic + rounding, and UNPIVOT."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _SCALAR_SCHEMA, **slots)
+        for which, (comp, slots) in _SCALAR_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "key", "s1")

@@ -23,6 +23,12 @@ from etl_school_spark.tables import load_table
 QUERIES = {}
 ORACLES = {}
 
+# suite components: exact-checked at test time (tests/test_entry.py),
+# surfaced to the driver inside consolidated suite queries below so the
+# whole family fits the driver's 50-query correctness window
+COMPONENTS = {}
+COMPONENT_ORACLES = {}
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -34,12 +40,22 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _c(name: str, oracle: str | None = None):
+    def deco(fn):
+        COMPONENTS[name] = fn
+        if oracle is not None:
+            COMPONENT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 # --------------------------------------------------------------------------
 # J4 left-outer with genuinely missing keys + F10 coalesce-default.
 # Aggregate-before-join: the orders side shrinks to one row per customer
 # BEFORE the join, so the shuffle moves #customers rows, not #orders.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "customer_order_counts",
     """
     SELECT c_custkey, c_mktsegment, coalesce(n, 0) AS n_orders
@@ -65,7 +81,7 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below the join, so the probe side shrinks before any shuffle;
 # left_anti never materializes the non-matching side's columns.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "customers_without_orders",
     """
     SELECT c_custkey, c_mktsegment
@@ -111,7 +127,7 @@ def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.withColumn("_rev", ep * disc)
 
 
-@_q(
+@_c(
     "revenue_by_nation",
     f"""
     SELECT r_name, n_name, {_REVENUE_SQL}
@@ -133,7 +149,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
+@_c(
     "revenue_rollup",
     f"""
     SELECT r_name, n_name, {_REVENUE_SQL}
@@ -161,7 +177,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordered-window delta: microseconds since the previous event per user.
 # Unique (ts, event_id) tiebreak keeps lag deterministic across engines.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "event_gaps_lag",
     """
     SELECT user_id, event_id,
@@ -195,7 +211,7 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windowed models. Axis size is O(hours × types), independent of row
 # count, so this stays cheap at any data scale.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "dense_hourly_series",
     """
     WITH b AS (
@@ -241,7 +257,7 @@ def dense_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conditional aggregates — same plan the portable oracle spells out, no
 # second shuffle and no value-discovery job.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
@@ -271,7 +287,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns. (At 100 TB swap in approx_percentile and accept an error
 # bound; the exact form is the profiling/oracle baseline.)
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "quantile_profile",
     """
     SELECT o_orderpriority,
@@ -305,7 +321,7 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every behavioral/training pipeline needs; windows keep it linear at
 # any scale.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "event_sessions",
     """
     WITH flagged AS (
@@ -318,10 +334,10 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -361,7 +377,7 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is rounded to 6 decimals because stddev's float summation differs
 # across engines in the last ULPs.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "zscore_order_prices",
     """
     WITH stats AS (
@@ -398,7 +414,7 @@ def zscore_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and nations having both. EXCEPT/INTERSECT plan as aggregate+anti/semi
 # joins — no full-relation sort.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "nation_set_ops",
     """
     WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -427,7 +443,7 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumulative sum is an exact decimal cast to double — deterministic at
 # any parallelism, like every money aggregate here.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "customer_running_spend",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
@@ -460,7 +476,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates — the ranking-family member beyond row_number, identical
 # bucket-size semantics across engines given a unique total order.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "customer_spend_quartiles",
     """
     WITH spend AS (
@@ -500,7 +516,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dayofweek: 0=Sun) — ISO day-of-week is the portable formulation
 # (Spark weekday()+1 ≡ DuckDB isodow, both 1=Mon..7=Sun).
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "calendar_rollup",
     """
     SELECT isodow(o_orderdate) AS iso_dow,
@@ -528,7 +544,7 @@ def calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order dependent in the last ULPs) and ordered string aggregation
 # (sorted collect → join, deterministic unlike bare listagg).
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "correlation_profile",
     """
     SELECT l_returnflag,
@@ -553,7 +569,7 @@ def correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
+@_c(
     "statuses_per_priority",
     """
     SELECT o_orderpriority,
@@ -582,7 +598,7 @@ def statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two exact-percentile passes (group medians broadcast between them);
 # exact percentile is bit-identical across engines.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "mad_outlier_profile",
     """
     WITH med AS (
@@ -634,7 +650,7 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed-bin histogram: portable floor((x-lo)/w) bucketing (no dialect
 # histogram function needed); bins with zero rows are absent by design.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "price_histogram",
     """
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
@@ -662,7 +678,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (unique tiebreak ⇒ deterministic, unlike first()/last() on unordered
 # groups), then one hash aggregate produces all five measures.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "ohlc_hourly",
     """
     WITH r AS (
@@ -710,7 +726,7 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and grand-total levels in one expand+agg pass — completes the
 # multi-level aggregation family next to ROLLUP.
 # --------------------------------------------------------------------------
-@_q(
+@_c(
     "grouping_sets_orders",
     """
     SELECT o_orderpriority, o_orderstatus,
@@ -812,3 +828,327 @@ def sql_surface_latest_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey
         """
     )
+
+
+# ==========================================================================
+# Consolidated driver-facing suites (see workload/_suite.py): the scale
+# family's components union onto tagged frames, one driver correctness
+# row per family, with every value slot explicitly cast on both engines.
+# ==========================================================================
+
+from etl_school_spark.workload import relational as _relational  # noqa: E402
+from etl_school_spark.workload._suite import (  # noqa: E402
+    oracle_branch,
+    oracle_union,
+    tag_branch,
+    union_suite,
+)
+
+_JOINSHAPE_SCHEMA = {"key": "long", "seg": "string", "n": "long"}
+
+_JOINSHAPE_BRANCHES = {
+    "order_counts": (
+        "customer_order_counts",
+        dict(key="c_custkey", seg="c_mktsegment", n="n_orders"),
+    ),
+    "without_big_orders": (
+        "customers_without_orders",
+        dict(key="c_custkey", seg="c_mktsegment"),
+    ),
+}
+
+
+@_q(
+    "join_shape_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _JOINSHAPE_SCHEMA, **slots)
+            for which, (comp, slots) in _JOINSHAPE_BRANCHES.items()
+        ]
+    ),
+)
+def join_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-before-join left outer (shuffle moves one row per
+    customer, not per order) + anti-join existence check in one row."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _JOINSHAPE_SCHEMA, **slots)
+        for which, (comp, slots) in _JOINSHAPE_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "key")
+
+
+_STAR_SCHEMA = {"r_name": "string", "n_name": "string", "revenue": "double"}
+
+_STAR_BRANCHES = {
+    "by_nation": ("revenue_by_nation", dict(r_name="r_name", n_name="n_name", revenue="revenue")),
+    "rollup": ("revenue_rollup", dict(r_name="r_name", n_name="n_name", revenue="revenue")),
+}
+
+
+@_q(
+    "star_revenue_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _STAR_SCHEMA, **slots)
+            for which, (comp, slots) in _STAR_BRANCHES.items()
+        ]
+    ),
+)
+def star_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-table star chain (fact shuffles only for fact-fact joins;
+    nation/region broadcast) grouped flat and with ROLLUP subtotals."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _STAR_SCHEMA, **slots)
+        for which, (comp, slots) in _STAR_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy(
+        "which", F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+    )
+
+
+_EVWIN_SCHEMA = {"user_id": "long", "key": "long", "n": "long", "us": "long"}
+
+_EVWIN_BRANCHES = {
+    "gaps_lag": ("event_gaps_lag", dict(user_id="user_id", key="event_id", us="gap_us")),
+    "sessions": (
+        "event_sessions",
+        dict(user_id="user_id", key="session_id", n="n_events", us="span_us"),
+    ),
+}
+
+
+@_q(
+    "event_window_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _EVWIN_SCHEMA, **slots)
+            for which, (comp, slots) in _EVWIN_BRANCHES.items()
+        ]
+    ),
+)
+def event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window lag deltas + gap-based sessionization — both one
+    shuffle on user_id; integer slots BIGINT-cast on both engines (the
+    r1 event_sessions hash mismatch was DuckDB's HUGEINT windowed SUM)."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _EVWIN_SCHEMA, **slots)
+        for which, (comp, slots) in _EVWIN_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "user_id", "key")
+
+
+_TS_SCHEMA = {
+    "bucket": "timestamp_ntz",
+    "k": "string",
+    "n": "long",
+    "x1": "double",
+    "x2": "double",
+    "x3": "double",
+    "x4": "double",
+}
+
+_TS_BRANCHES = {
+    "dense_hourly": ("dense_hourly_series", dict(bucket="bucket", k="event_type", n="n")),
+    "ohlc": (
+        "ohlc_hourly",
+        dict(bucket="bucket", n="n", x1="open", x2="high", x3="low", x4="close"),
+    ),
+    "hourly_rollup": (
+        "hourly_event_rollup",
+        dict(bucket="bucket_hour", k="event_type", n="n", x1="sum_value"),
+    ),
+}
+
+
+def _ts_component(name):
+    return COMPONENTS[name] if name in COMPONENTS else _relational.COMPONENTS[name]
+
+
+def _ts_component_oracle(name):
+    return (
+        COMPONENT_ORACLES[name]
+        if name in COMPONENT_ORACLES
+        else _relational.COMPONENT_ORACLES[name]
+    )
+
+
+@_q(
+    "timeseries_suite",
+    oracle_union(
+        [
+            oracle_branch(which, _ts_component_oracle(comp), _TS_SCHEMA, **slots)
+            for which, (comp, slots) in _TS_BRANCHES.items()
+        ]
+    ),
+)
+def timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense hourly resample (zero-filled axis), OHLC
+    downsampling, and A11 time-bucketed rollup in one driver row."""
+    branches = [
+        tag_branch(_ts_component(comp)(spark, sf_dir), which, _TS_SCHEMA, **slots)
+        for which, (comp, slots) in _TS_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "bucket", "k")
+
+
+_ML_SCHEMA = {
+    "k1": "string",
+    "k2": "string",
+    "gid": "long",
+    "n1": "long",
+    "n2": "long",
+    "n3": "long",
+    "s": "string",
+}
+
+_ML_BRANCHES = {
+    "pivot_status": (
+        "pivot_status_by_priority",
+        dict(k1="o_orderpriority", n1="F", n2="O", n3="P"),
+    ),
+    "grouping_sets": (
+        "grouping_sets_orders",
+        dict(k1="o_orderpriority", k2="o_orderstatus", gid="gid", n1="n"),
+    ),
+    "calendar": (
+        "calendar_rollup",
+        dict(gid=lambda: F.col("iso_dow") * 100 + F.col("month"), n1="n"),
+    ),
+    "statuses": ("statuses_per_priority", dict(k1="o_orderpriority", s="statuses")),
+}
+
+_ML_ORACLE_SLOTS = {
+    "pivot_status": dict(k1="o_orderpriority", n1='"F"', n2='"O"', n3='"P"'),
+    "grouping_sets": dict(k1="o_orderpriority", k2="o_orderstatus", gid="gid", n1="n"),
+    "calendar": dict(gid="iso_dow * 100 + month", n1="n"),
+    "statuses": dict(k1="o_orderpriority", s="statuses"),
+}
+
+
+@_q(
+    "multilevel_agg_suite",
+    oracle_union(
+        [
+            oracle_branch(
+                which, COMPONENT_ORACLES[comp], _ML_SCHEMA, **_ML_ORACLE_SLOTS[which]
+            )
+            for which, (comp, _) in _ML_BRANCHES.items()
+        ]
+    ),
+)
+def multilevel_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT long→wide, GROUPING SETS with grouping_id, the ISO-portable
+    calendar rollup, and ordered string aggregation in one driver row."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _ML_SCHEMA, **slots)
+        for which, (comp, slots) in _ML_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "gid", "k1", "k2")
+
+
+_PROF_SCHEMA = {
+    "k1": "string",
+    "key": "long",
+    "n1": "long",
+    "n2": "long",
+    "x1": "double",
+    "x2": "double",
+    "x3": "double",
+}
+
+_PROF_BRANCHES = {
+    "quantiles": (
+        "quantile_profile",
+        dict(k1="o_orderpriority", n1="n", x1="q50", x2="q90", x3="q99"),
+    ),
+    "mad_outliers": (
+        "mad_outlier_profile",
+        dict(k1="o_orderpriority", n1="n", n2="n_outliers", x1="med", x2="mad"),
+    ),
+    "correlation": (
+        "correlation_profile",
+        dict(k1="l_returnflag", n1="n", x1="corr_qty_price", x2="corr_disc_tax"),
+    ),
+    "zscore": (
+        "zscore_order_prices",
+        dict(k1="o_orderpriority", key="o_orderkey", x1="z"),
+    ),
+    "histogram": ("price_histogram", dict(key="bin", n1="n", x1="bin_lo")),
+}
+
+
+@_q(
+    "stats_profile_suite",
+    oracle_union(
+        [
+            oracle_branch(which, COMPONENT_ORACLES[comp], _PROF_SCHEMA, **slots)
+            for which, (comp, slots) in _PROF_BRANCHES.items()
+        ]
+    ),
+)
+def stats_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling family in one driver row: exact quantiles, MAD robust
+    outliers, correlations, per-group z-scores, fixed-bin histogram."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _PROF_SCHEMA, **slots)
+        for which, (comp, slots) in _PROF_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "k1", "key")
+
+
+_WSET_SCHEMA = {
+    "k1": "string",
+    "key": "long",
+    "n": "long",
+    "x1": "double",
+    "t1": "timestamp_ntz",
+}
+
+_WSET_BRANCHES = {
+    "running_spend": (
+        "customer_running_spend",
+        dict(
+            k1=lambda: F.col("o_custkey").cast("string"),
+            key="o_orderkey",
+            x1="running_spend",
+            t1="o_orderdate",
+        ),
+    ),
+    "quartiles": (
+        "customer_spend_quartiles",
+        dict(key="quartile", n="n_customers", x1="quartile_spend"),
+    ),
+    "set_ops": (
+        "nation_set_ops",
+        dict(k1=lambda: F.concat_ws(":", "which", "n_name")),
+    ),
+}
+
+_WSET_ORACLE_SLOTS = {
+    "running_spend": dict(
+        k1="CAST(o_custkey AS VARCHAR)", key="o_orderkey", x1="running_spend", t1="o_orderdate"
+    ),
+    "quartiles": dict(key="quartile", n="n_customers", x1="quartile_spend"),
+    "set_ops": dict(k1="concat_ws(':', which, n_name)"),
+}
+
+
+@_q(
+    "window_setops_suite",
+    oracle_union(
+        [
+            oracle_branch(
+                which, COMPONENT_ORACLES[comp], _WSET_SCHEMA, **_WSET_ORACLE_SLOTS[which]
+            )
+            for which, (comp, _) in _WSET_BRANCHES.items()
+        ]
+    ),
+)
+def window_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals (rows-unbounded window), NTILE quartiles, and
+    EXCEPT/INTERSECT set operations in one driver row."""
+    branches = [
+        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _WSET_SCHEMA, **slots)
+        for which, (comp, slots) in _WSET_BRANCHES.items()
+    ]
+    return union_suite(branches).orderBy("which", "k1", "key")

@@ -41,3 +41,21 @@ def test_oracle_parity_smoke(spark, duck):
         if problems:
             failures[name] = problems
     assert not failures, failures
+
+
+def test_component_oracle_parity(spark, duck):
+    """The consolidated suites surface whole families to the driver; this
+    keeps each COMPONENT exact-checked individually, so a suite-level
+    projection bug can't mask a component-level value regression."""
+    from etl_school_spark.workload import relational, scaleops
+    from tools.check_oracle import compare
+
+    failures = {}
+    for mod in (relational, scaleops):
+        for name, sql in mod.COMPONENT_ORACLES.items():
+            spark_pdf = mod.COMPONENTS[name](spark, SF_SMOKE).toPandas()
+            duck_pdf = duck.execute(sql).fetchdf()
+            problems = compare(name, spark_pdf, duck_pdf)
+            if problems:
+                failures[name] = problems
+    assert not failures, failures

@@ -60,7 +60,9 @@ def test_arrow_python_only_where_intended(plans):
 
 
 def test_dim_joins_broadcast(plans):
-    for name in ("join_orders_customer", "join_lineitem_part", "revenue_by_nation", "threshold_alerts"):
+    # suite plans contain their components' joins as Union branches —
+    # the broadcast property must survive consolidation
+    for name in ("join_agg_suite", "star_revenue_suite", "stats_alert_suite"):
         assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
 
 
@@ -71,7 +73,7 @@ def test_topk_uses_take_ordered(plans):
 def test_filters_reach_the_scan(plans):
     # base-column predicates must push into the parquet scan (HAVING-style
     # aggregate filters legitimately cannot)
-    for name in ("filter_time_range", "filter_isin_segment", "customers_without_orders"):
+    for name in ("filter_predicate_suite", "join_shape_suite"):
         p = plans[name]
         assert "PushedFilters: [" in p, f"{name}: no pushed filters section"
         pushed = [
@@ -93,11 +95,11 @@ def test_no_cartesian_products_except_intended(plans):
     # scalar-stats cross joins are 1-row broadcasts, and the dense-series
     # axis is an intended tiny cross product; anything else is a bug
     allowed = {
-        "outliers_3sigma",
+        "stats_alert_suite",  # outliers_3sigma branch: 1-row stats broadcast
         "embedding_neardup_pairs",
         "ann_topk_cosine",
-        "scalar_function_suite",
-        "dense_hourly_series",
+        "scalar_mask_suite",  # scalar_function_suite branch
+        "timeseries_suite",  # dense-series axis: tiny intended cross product
         "tfidf_top_terms",  # 1-row n_docs scalar broadcast
     }
     offenders = [
