@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_school_spark.similarity.knn import brute_force_topk, cosine_pairs, lsh_topk
+from etl_school_spark.similarity.knn import (
+    brute_force_topk,
+    cosine_pairs_bucketed,
+    lsh_topk,
+)
 from etl_school_spark.tables import load_table
 
 QUERIES = {}
@@ -37,7 +41,12 @@ _COS = """
 
 
 # --------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs (brute-force exact baseline)
+# Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact-cosine
+# verify (no all-pairs cross join in the plan; the brute-force crossJoin
+# stays in tests/test_similarity.py as the recall yardstick). The oracle
+# is still the exact all-pairs SQL — the bucketed pipeline must and does
+# find every qualifying pair (parameters sized for measured recall 1.0,
+# see knn.cosine_pairs_bucketed).
 # --------------------------------------------------------------------------
 @_q(
     "embedding_neardup_pairs",
@@ -54,7 +63,7 @@ _COS = """
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return cosine_pairs_bucketed(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -94,9 +94,11 @@ def test_scans_prune_columns(plans):
 def test_no_cartesian_products_except_intended(plans):
     # scalar-stats cross joins are 1-row broadcasts, and the dense-series
     # axis is an intended tiny cross product; anything else is a bug
+    # embedding_neardup_pairs is deliberately NOT allowed: its r2 rewrite
+    # is the LSH-bucketed equi-join pipeline, and a reappearing cross
+    # join there is exactly the regression this gate exists to catch
     allowed = {
         "stats_alert_suite",  # outliers_3sigma branch: 1-row stats broadcast
-        "embedding_neardup_pairs",
         "ann_topk_cosine",
         "scalar_mask_suite",  # scalar_function_suite branch
         "timeseries_suite",  # dense-series axis: tiny intended cross product

@@ -76,3 +76,21 @@ def test_ivf_topk_recall_floor_and_determinism(spark):
     c1 = train_centroids(emb, n_cells=8, iters=1)
     c2 = train_centroids(emb.repartition(7), n_cells=8, iters=1)
     assert c1 == c2
+
+
+def test_bucketed_pairs_equal_brute_force(spark):
+    """The registered near-dup query is the LSH-bucketed pipeline; the
+    all-pairs crossJoin survives ONLY here, as its recall yardstick.
+    Exact set+score equality is required (the driver's oracle is the
+    brute-force SQL)."""
+    from etl_school_spark.similarity.knn import cosine_pairs, cosine_pairs_bucketed
+    from etl_school_spark.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        brute = {(r.id_a, r.id_b): r.cosine_sim for r in cosine_pairs(emb, 0.4).collect()}
+        fast = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in cosine_pairs_bucketed(emb, 0.4).collect()
+        }
+        assert fast == brute and len(brute) > 0, sf
