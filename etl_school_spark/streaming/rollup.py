@@ -38,10 +38,22 @@ def _batch_rollup(batch: DataFrame) -> DataFrame:
             "event_type",
             "n",
             F.col("_dsum").cast("double").alias("sum_value"),
-            F.col("_dsum").alias("_exact"),
+            # SUM over decimal(28,10) widens to (38,10); cast back so every
+            # file in the rollup dir carries the SAME physical decimal
+            # width — a mixed-width dir crashes later partition reads
+            # (FIXED_LEN_BYTE_ARRAY size mismatch)
+            F.col("_dsum").cast("decimal(28,10)").alias("_exact"),
             F.date_format("bucket", "yyyy-MM-dd-HH").alias("part"),
         )
     )
+
+
+# explicit read schema: partition reads must not depend on which file's
+# footer schema inference happens to pick
+_ROLLUP_SCHEMA = (
+    "bucket timestamp_ntz, event_type string, n bigint, "
+    "sum_value double, _exact decimal(28,10)"
+)
 
 
 def _merge_into(spark: SparkSession, rollup_dir: str, delta: DataFrame) -> None:
@@ -54,7 +66,11 @@ def _merge_into(spark: SparkSession, rollup_dir: str, delta: DataFrame) -> None:
         e.startswith("part=") for e in os.listdir(rollup_dir)
     )
     if exists:
-        current = spark.read.parquet(rollup_dir).filter(F.col("part").isin(parts))
+        current = (
+            spark.read.schema(_ROLLUP_SCHEMA + ", part string")
+            .parquet(rollup_dir)
+            .filter(F.col("part").isin(parts))
+        )
         merged = (
             current.select("bucket", "event_type", "n", "_exact", "part")
             .unionByName(delta.select("bucket", "event_type", "n", "_exact", "part"))
@@ -101,4 +117,8 @@ def continuous_rollup(
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    return spark.read.parquet(rollup_dir).select("bucket", "event_type", "n", "sum_value")
+    return (
+        spark.read.schema(_ROLLUP_SCHEMA + ", part string")
+        .parquet(rollup_dir)
+        .select("bucket", "event_type", "n", "sum_value")
+    )

@@ -11,6 +11,7 @@ equal the equivalent batch SELECT (the oracle).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -37,6 +38,21 @@ def _q(name: str, oracle: str | None = None):
 
 
 _N_STREAM_EVENTS = 300
+
+# Streaming sinks live under ONE session-scoped root removed at
+# interpreter exit, so registered queries can return LAZY reads over
+# their sinks (no driver-side collect in any checked query path — the
+# r1 wrappers collected only because their temp dirs were deleted
+# before the caller consumed the result).
+_WORK_ROOT: str | None = None
+
+
+def _session_workdir(prefix: str) -> str:
+    global _WORK_ROOT
+    if _WORK_ROOT is None:
+        _WORK_ROOT = tempfile.mkdtemp(prefix="etl_stream_session_")
+        atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT)
 
 
 def _stage_events_json(
@@ -81,7 +97,7 @@ def _stage_events_json(
 def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage → checkpointed stream → typed flatten → parquet sink, drained
     with availableNow; returns the sink contents."""
-    work = tempfile.mkdtemp(prefix="etl_stream_")
+    work = _session_workdir("ingest_")
     stage, sink, ckpt = (os.path.join(work, d) for d in ("stage", "sink", "ckpt"))
     _stage_events_json(spark, sf_dir, stage)
 
@@ -103,14 +119,7 @@ def streaming_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    out = spark.read.parquet(sink).orderBy("event_id")
-    # materialize before the temp stage/checkpoint go away
-    result = spark.createDataFrame(out.collect(), out.schema).orderBy("event_id")
-    shutil.rmtree(work, ignore_errors=True)
-    return result
-
-
-_counter = iter(range(10**9))
+    return spark.read.parquet(sink).orderBy("event_id")
 
 
 def _staged_stream(
@@ -170,8 +179,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rate limit is set; the trailing no-data batch performs the
     eviction.
     """
-    work = tempfile.mkdtemp(prefix="etl_wstream_")
-    name = f"wcounts_{next(_counter)}"
+    work = _session_workdir("wcounts_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
     typed = _staged_stream(spark, sf_dir, work, max_files=None, n_stage_files=1)
     agg = (
         typed.withWatermark("ts_abs", "10 minutes")
@@ -181,17 +190,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name).orderBy("ws_us", "event_type")
-    result = spark.createDataFrame(out.collect(), out.schema).orderBy("ws_us", "event_type")
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    return spark.read.parquet(sink).orderBy("ws_us", "event_type")
 
 
 @_q(
@@ -215,7 +221,7 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    work = tempfile.mkdtemp(prefix="etl_sstream_")
+    work = _session_workdir("stateful_")
     sink = os.path.join(work, "sink")
     ckpt = os.path.join(work, "ckpt")
     typed = _staged_stream(spark, sf_dir, work)
@@ -244,10 +250,12 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination()
 
     # running totals are monotone per user; the max is the final count
-    out = spark.read.parquet(sink).groupBy("user_id").agg(F.max("n").alias("n")).orderBy("user_id")
-    result = spark.createDataFrame(out.collect(), out.schema).orderBy("user_id")
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    return (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .orderBy("user_id")
+    )
 
 
 @_q(
@@ -266,7 +274,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Duplicates arriving after their id is evicted are late-dropped, which
     also yields exactly one copy. The oracle is the distinct batch set.
     """
-    work = tempfile.mkdtemp(prefix="etl_dstream_")
+    work = _session_workdir("dedup_")
     stage, sink, ckpt = (os.path.join(work, d) for d in ("stage", "sink", "ckpt"))
     _stage_events_json(spark, sf_dir, stage)
     # duplicate the entire backlog into a second file (same events again)
@@ -303,10 +311,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(sink).orderBy("event_id")
-    result = spark.createDataFrame(out.collect(), out.schema).orderBy("event_id")
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    return spark.read.parquet(sink).orderBy("event_id")
 
 
 @_q(
@@ -328,11 +333,8 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from etl_school_spark.streaming.rollup import continuous_rollup, read_rollup
 
-    work = tempfile.mkdtemp(prefix="etl_rollup_")
+    work = _session_workdir("rollup_")
     stage = os.path.join(work, "stage")
     _stage_events_json(spark, sf_dir, stage)
     continuous_rollup(spark, stage, os.path.join(work, "rollup"), os.path.join(work, "ckpt"))
-    out = read_rollup(spark, os.path.join(work, "rollup")).orderBy("bucket", "event_type")
-    result = spark.createDataFrame(out.collect(), out.schema).orderBy("bucket", "event_type")
-    shutil.rmtree(work, ignore_errors=True)
-    return result
+    return read_rollup(spark, os.path.join(work, "rollup")).orderBy("bucket", "event_type")

@@ -14,14 +14,10 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose construction RUNS a streaming job and returns materialized
-# results — they have no inspectable lazy plan, and their physical behavior
-# is covered by tests/test_streaming.py
-_MATERIALIZED = {
-    "streaming_incremental_ingest",
-    "streaming_windowed_counts",
-    "streaming_stateful_user_counts",
-}
+# r2: the streaming wrappers now return LAZY reads over their sinks
+# (no driver collect anywhere in a registered query body), so every
+# registered query has an inspectable plan and none is exempt
+_MATERIALIZED: set[str] = set()
 
 # Arrow-batched Python is the intended engine for these kernels
 _ARROW_OK = {"mm_image_features"}

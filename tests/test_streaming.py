@@ -285,6 +285,40 @@ def test_continuous_rollup_merges_across_batches(spark, workdir):
     assert again == got
 
 
+def test_continuous_rollup_survives_disjoint_then_mixed_batches(spark, workdir):
+    """Regression: SUM widens decimal(28,10)→(38,10), so batch 1's files
+    used to carry a wider physical decimal than merge-rewritten ones; a
+    batch whose merge read spanned both widths crashed on the
+    FIXED_LEN_BYTE_ARRAY size mismatch. Sequence: batch 2 touches NONE of
+    batch 1's partitions (mixed dir), batch 3 touches both."""
+    from etl_school_spark.streaming.rollup import continuous_rollup, read_rollup
+
+    stage = os.path.join(workdir, "r3stage")
+    os.makedirs(stage)
+    batches = [
+        [{"event_id": 1, "ts": "2024-03-01T10:05:00.000000", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}],
+        [{"event_id": 2, "ts": "2024-03-01T11:05:00.000000", "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"}],
+        [
+            {"event_id": 3, "ts": "2024-03-01T10:45:00.000000", "user_id": 3, "event_type": "view", "value": 4.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-03-01T11:45:00.000000", "user_id": 4, "event_type": "view", "value": 8.0, "props": "{}"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(stage, f"f{i}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (1700000000 + i * 60,) * 2)  # force 3 distinct batches
+
+    rollup = os.path.join(workdir, "rollup3")
+    continuous_rollup(spark, stage, rollup, os.path.join(workdir, "r3ckpt"))
+    got = {
+        (r.bucket.hour, r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    assert got == {(10, "view"): (2, 5.0), (11, "view"): (2, 10.0)}
+
+
 def test_group_members_split_topic_without_overlap(spark, workdir):
     """N-member consumer group: members own disjoint slices, the union is
     the whole topic, and the claim audit shows who claimed what."""
