@@ -1,6 +1,7 @@
-"""Exact n-gram Jaccard near-dup detection via an inverted-index self-join.
+"""Exact n-gram Jaccard near-dup detection via an inverted-index self-join
+with prefix filtering.
 
-Algorithm (the classic set-similarity-join shape):
+Baseline (``ngram_jaccard_pairs_postings``, the classic shape):
 1. shingle each doc into distinct word n-grams
 2. explode to (shingle, doc) postings and self-join on shingle —
    every pair sharing ≥1 shingle becomes a candidate exactly once per
@@ -8,18 +9,28 @@ Algorithm (the classic set-similarity-join shape):
 3. join back each side's shingle-set size; Jaccard = inter/(|A|+|B|-inter)
 4. filter ≥ threshold
 
-This is EXACT (any pair with Jaccard ≥ t > 0 shares at least one shingle,
-so no candidate is missed) while never materializing the full O(n²) pair
-space — the join fan-out is bounded by posting-list sizes. At 100 TB the
-classic refinement is prefix filtering (only join on each doc's rarest
-shingles); hot shingles here are already mitigated by using n ≥ 3 (near-
-unique shingles) and AQE skew splitting.
+Registered path (``ngram_jaccard_pairs``) adds PREFIX FILTERING, the
+classic exact refinement (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+under a global canonical shingle order (ascending corpus frequency,
+shingle value as tiebreak), a pair with Jaccard ≥ t MUST share a shingle
+within each side's first ``|S| - ceil(t·|S|) + 1`` shingles. Joining only
+those prefixes keeps exactness while
+
+- shrinking postings by ~t of every doc's shingles, and
+- dropping the HOTTEST shingles from the join (prefixes keep the rarest
+  ones), which kills the posting-list skew a frequency-heavy corpus
+  produces at 100 TB scale.
+
+Candidates are then verified exactly with a JVM-side
+``array_intersect`` on the full shingle sets — no Python, no rescan of
+the pair space.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_school_spark.functions.text import word_shingles
 
@@ -31,17 +42,26 @@ def shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     ).withColumn("set_size", F.size("shingles"))
 
 
-def ngram_jaccard_pairs(
+def _jaccard_from_inter(inter: DataFrame, threshold: float) -> DataFrame:
+    # raw double division of identical ints is bit-identical across engines;
+    # rounding would only add half-way-boundary risk
+    jac = F.col("inter").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_postings(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All unordered pairs (i < j) with word-n-gram Jaccard ≥ threshold.
-
-    Returns columns: id_a, id_b, jaccard (double, 6-decimal rounded).
-    """
+    """Baseline inverted-index join (no prefix filter) — kept as the
+    equivalence yardstick for the prefix-filtered path."""
     sets = shingle_sets(docs, id_col, text_col, n)
     postings = sets.select("doc", "set_size", F.explode("shingles").alias("shingle"))
 
@@ -57,11 +77,61 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # raw double division of identical ints is bit-identical across engines;
-    # rounding would only add half-way-boundary risk
-    jac = F.col("inter").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    return (
-        inter.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _jaccard_from_inter(inter, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All unordered pairs (i < j) with word-n-gram Jaccard ≥ threshold,
+    via exact prefix filtering (see module doc).
+
+    Returns columns: id_a, id_b, jaccard (double).
+    """
+    sets = shingle_sets(docs, id_col, text_col, n)
+    postings = sets.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+
+    # global canonical order: ascending corpus frequency, shingle tiebreak
+    freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = postings.join(freq, "shingle")
+    w = Window.partitionBy("doc").orderBy("freq", "shingle")
+    # prefix length |S| - ceil(t·|S|) + 1; the 1e-9 guard keeps ceil from
+    # rounding an exact integer product UP off a float representation
+    # error (which would shrink the prefix and break exactness)
+    plen = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9)) + 1
+    prefixes = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select("doc", "shingle")
     )
+
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sets.select(
+        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("set_size").alias("size_b")
+    )
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+        .filter(F.col("inter") > 0)
+    )
+    return _jaccard_from_inter(inter, threshold)

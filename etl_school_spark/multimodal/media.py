@@ -49,6 +49,21 @@ def _fake_decode(data: bytes) -> tuple[int, int, int]:
     return n % _MAX_W + 16, (n * 31) % _MAX_H + 16, 3
 
 
+def _decode_dims(data: bytes, decoder=None) -> tuple[int, int, int]:
+    """Resolve the decode seam: an explicitly injected ``decoder`` wins
+    (it is captured BY VALUE in the mapInPandas closure, so it reaches
+    the Python worker process — a driver-side monkeypatch of
+    ``decode_image_real`` would not); otherwise the module-level
+    integration point, falling back to the deterministic fake while no
+    codec is installed."""
+    if decoder is not None:
+        return decoder(data)
+    try:
+        return decode_image_real(data)
+    except NotImplementedError:
+        return _fake_decode(data)
+
+
 def attach_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     """documents → media table: opaque binary content + typed metadata.
 
@@ -72,13 +87,17 @@ _IMG_SCHEMA = (
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched decode → per-image features. No shuffle; scales with
-    partition count. Column-prunes to (media_id, content) before Python."""
+    partition count. Column-prunes to (media_id, content) before Python.
+
+    ``decoder``: optional ``bytes -> (width, height, channels)`` real
+    codec, shipped to workers inside the kernel closure (the supported
+    injection point for Pillow etc.; see ``_decode_dims``)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(b) for b in pdf["content"]]
+            dims = [_decode_dims(b, decoder) for b in pdf["content"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

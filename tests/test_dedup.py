@@ -95,3 +95,26 @@ def test_connected_components_warns_on_nonconvergence(spark):
         warnings.simplefilter("always")
         connected_components(chain, max_iterations=1).collect()
     assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_prefix_filtered_jaccard_equals_postings_baseline(spark):
+    """Prefix filtering must be EXACT: identical pair set and scores vs
+    the full inverted-index join, at multiple thresholds (including ones
+    whose t*|S| product is an exact integer — the ceil edge case)."""
+    from etl_school_spark.dedup.ngram import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_postings,
+    )
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.5, 0.8):
+        base = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs_postings(docs, t).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, t).collect()
+        }
+        assert fast == base, t
+        assert len(base) > 0

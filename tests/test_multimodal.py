@@ -92,3 +92,26 @@ def test_extract_frames_binary_roundtrip(spark):
         if r.media_id in originals
     }
     assert {(r.media_id, r.frame_idx) for r in rows} == meta
+
+
+def test_real_decoder_seam_round_trips_bytes(spark):
+    """Inject a 'real' decoder through the documented seam and prove the
+    mapInPandas batch contract feeds it the ACTUAL media bytes and
+    returns its values: dims are read out of each blob's leading bytes,
+    something the byte-length fake cannot produce."""
+    from etl_school_spark.multimodal.media import attach_media, image_features
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = attach_media(docs)
+
+    def header_decoder(data: bytes) -> tuple[int, int, int]:
+        return int(data[0]) + 1, int(data[-1]) + 1, 4
+
+    got = {r.media_id: (r.width, r.height, r.channels)
+           for r in image_features(media, decoder=header_decoder).collect()}
+    expect = {
+        r.media_id: (int(r.content[0]) + 1, int(r.content[-1]) + 1, 4)
+        for r in media.select("media_id", "content").collect()
+    }
+    assert got == expect and len(got) == 20

@@ -374,3 +374,43 @@ def test_progress_audit_records_batches(spark, workdir):
         assert any(r.total_rows >= 25 for r in s)
     finally:
         audit.detach()
+
+
+def test_kafka_source_option_plumbing_and_fallback(spark, workdir):
+    """Kafka variant (connector absent here): option plumbing is exact,
+    availability detection says no, the no-fallback path errors clearly,
+    and the file fallback yields the same typed streaming columns the
+    kafka path would."""
+    import pytest
+
+    from etl_school_spark.schemas import EVENTS
+    from etl_school_spark.streaming.kafka_source import (
+        kafka_available,
+        kafka_reader_options,
+        read_topic_stream,
+    )
+
+    opts = kafka_reader_options("b1:9092,b2:9092", "events", "latest", 5000)
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("b", "t")
+
+    assert kafka_available(spark) is False
+
+    with pytest.raises(RuntimeError, match="connector"):
+        read_topic_stream(spark, EVENTS)
+
+    stage = os.path.join(workdir, "kstage")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "e.json"), "w") as fh:
+        fh.write(json.dumps({"event_id": 1, "ts": "2024-01-01T00:00:00.000000",
+                             "user_id": 1, "event_type": "view", "value": 1.0,
+                             "props": "{}"}) + "\n")
+    df = read_topic_stream(spark, EVENTS, fallback_stage_dir=stage)
+    assert df.isStreaming
+    assert df.columns == [f.name for f in EVENTS.fields]
