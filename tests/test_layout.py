@@ -119,3 +119,21 @@ def test_clustered_write_produces_disjoint_tight_ranges(spark, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_event_user_skew_is_bounded(spark):
+    """Evidence for the PLANS.md skew note: the user_id key distribution
+    the window queries shuffle on stays near-uniform in the driver's
+    testdata (max/mean < 2). If the generator ever plants a hot user,
+    this fails and the window queries need the documented
+    split-and-stitch treatment instead."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_user.agg(
+        F.max("n").alias("mx"), F.avg("n").alias("avg")
+    ).collect()[0]
+    assert stats.mx / stats.avg < 2.0, f"user_id skew factor {stats.mx / stats.avg:.2f}"
