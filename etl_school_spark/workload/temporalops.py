@@ -86,3 +86,68 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_id", "event_id")
         .orderBy("window_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Native Spark session windows (F.session_window): gap-based sessions as
+# a first-class GROUP BY operator — the same semantics the manual
+# lag+running-sum formulation (event_window_suite:sessions) builds by
+# hand, but engine-native, and the construct Structured Streaming uses
+# for streaming sessionization. Spark closes a session when the next
+# event arrives AT or after last_ts + gap, so the oracle's gaps-and-
+# islands flag uses >= (the manual query's convention is >, a different
+# boundary rule — both are checked).
+# window.start = min(ts); window.end = max(ts) + gap. Emitted as NTZ-
+# epoch micros (tz-independent on both engines).
+# --------------------------------------------------------------------------
+@_q(
+    "session_window_rollup",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(ns) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS ses_start_us,
+           epoch_us(max(ts)) + 1800000000 AS ses_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, ses_start_us
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.operators.aggregates import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    # session_window needs an absolute TIMESTAMP; NTZ-epoch micros keep it
+    # session-timezone-independent (same trick as the streaming queries)
+    abs_ts = F.timestamp_micros(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    return (
+        events.select("user_id", abs_ts.alias("ts_abs"), "value")
+        .groupBy("user_id", F.session_window("ts_abs", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("ses_start_us"),
+            F.unix_micros("w.end").alias("ses_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "ses_start_us")
+    )

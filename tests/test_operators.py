@@ -86,3 +86,72 @@ def test_top_k_is_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert [r.x for r in out.collect()] == [99, 98, 97]
+
+
+def test_sharded_sessionization_equals_plain(spark):
+    """Boundary-stitched sessionization (the hot-key skew escape hatch
+    documented in PLANS.md) must be EXACTLY equivalent to the one-
+    partition-per-key formulation — on real event data with awkward
+    shard widths, including one forcing many shard crossings."""
+    from etl_school_spark.operators.sessions import gap_sessions, gap_sessions_sharded
+    from etl_school_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id"
+    )
+    gap = 30 * 60 * 1_000_000
+    plain = {
+        (r.user_id, r.ses_start, r.ses_end, r.n_events)
+        for r in gap_sessions(ev, "user_id", "ts", gap, "event_id").collect()
+    }
+    assert len(plain) > 0
+    # 7-hour shards (not gap-aligned) and 17-minute shards (SMALLER than
+    # the gap → every session spans many shards; stitch chains must merge
+    # transitively)
+    for shard_us in (7 * 3600 * 1_000_000, 17 * 60 * 1_000_000):
+        sharded = {
+            (r.user_id, r.ses_start, r.ses_end, r.n_events)
+            for r in gap_sessions_sharded(
+                ev, "user_id", "ts", gap, "event_id", shard_us=shard_us
+            ).collect()
+        }
+        assert sharded == plain, shard_us
+
+
+def test_sharded_sessionization_boundary_cases(spark):
+    """Hand-built chains across shard boundaries: a session ending
+    exactly gap-1us before the next (merge), exactly gap (split — the
+    native session_window convention), and a 3-shard-spanning session."""
+    import datetime
+
+    from etl_school_spark.operators.sessions import gap_sessions, gap_sessions_sharded
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    us = datetime.timedelta(microseconds=1)
+    mins = lambda m: datetime.timedelta(minutes=m)
+    rows = [
+        # key "a": events every 10 min for 50 min → ONE session spanning
+        # three 17-min shards
+        *[("a", base + mins(10 * i), i) for i in range(6)],
+        # key "b": second event exactly gap after the first → split
+        ("b", base, 0),
+        ("b", base + mins(30), 1),
+        # key "c": second event gap-1us after the first → merge
+        ("c", base, 0),
+        ("c", base + mins(30) - us, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, eid long")
+    gap = 30 * 60 * 1_000_000
+
+    def canon(out):
+        return {(r.k, r.ses_start, r.ses_end, r.n_events) for r in out.collect()}
+
+    plain = canon(gap_sessions(df, "k", "ts", gap, "eid"))
+    sharded = canon(
+        gap_sessions_sharded(df, "k", "ts", gap, "eid", shard_us=17 * 60 * 1_000_000)
+    )
+    assert sharded == plain
+    by_key = {}
+    for k, *_ in plain:
+        by_key[k] = by_key.get(k, 0) + 1
+    assert by_key == {"a": 1, "b": 2, "c": 1}
