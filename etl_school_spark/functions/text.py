@@ -45,15 +45,21 @@ def regex_token_count(col: Column | str, pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-z
     return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Documents shorter than n words get an
-    empty shingle set (guard needed: sequence(1, 0) would count DOWN)."""
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All word n-grams in order, duplicates kept (repetition metrics need
+    the multiset). Documents shorter than n words get an empty list (guard
+    needed: sequence(1, 0) would count DOWN)."""
     w = tokens(col)
-    shingled = F.transform(
+    grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return F.array_distinct(F.when(F.size(w) >= n, shingled).otherwise(F.array().cast("array<string>")))
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def stopword_share(col: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -98,6 +104,59 @@ def lang_id(col: Column | str) -> Column:
         best = F.when(take & (score > 0), F.lit(lang_code)).otherwise(best)
         best_score = F.when(take, score).otherwise(best_score)
     return best
+
+
+def max_frequency(arr: Column) -> Column:
+    """Highest frequency of any element in a string array, as a long.
+
+    Sort, then fold once tracking the longest run of equal neighbours —
+    O(L log L) per ROW and zero shuffles, so a corpus-wide repetition
+    profile is embarrassingly parallel (contrast the explode + groupBy
+    shape, which shuffles ~L rows per document across the cluster twice).
+    Empty array -> 0.
+    """
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run2.alias("run"), F.greatest(acc["best"], run2).alias("best")
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def top_word_share(col: Column | str) -> Column:
+    """Gopher-style repetition signal: share of tokens taken by the single
+    most frequent token (Rae et al. 2021 §A1.1 use the analogous top
+    n-gram character fraction). 4-decimal rounded; null for empty docs."""
+    w = tokens(col)
+    return F.round(
+        max_frequency(w).cast("double") / F.nullif(F.size(w), F.lit(0)).cast("double"), 4
+    )
+
+
+def top_ngram_share(col: Column | str, n: int = 2) -> Column:
+    """Share of word n-gram occurrences taken by the most frequent n-gram.
+    Null when the document has fewer than n tokens."""
+    g = word_ngrams(col, n)
+    return F.round(
+        max_frequency(g).cast("double") / F.nullif(F.size(g), F.lit(0)).cast("double"), 4
+    )
+
+
+def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    occurrence (1 - distinct/total). High values flag boilerplate /
+    templated text. Null when the document has fewer than n tokens."""
+    g = word_ngrams(col, n)
+    total = F.nullif(F.size(g), F.lit(0)).cast("double")
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total, 4)
 
 
 def fingerprint(col: Column | str) -> Column:

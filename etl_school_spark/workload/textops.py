@@ -13,6 +13,7 @@ from etl_school_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     distinct_token_count,
+    dup_ngram_frac,
     fingerprint,
     lang_id,
     quality_score,
@@ -20,6 +21,8 @@ from etl_school_spark.functions.text import (
     stopword_share,
     token_count,
     tokens,
+    top_ngram_share,
+    top_word_share,
 )
 from etl_school_spark.tables import load_table
 
@@ -73,28 +76,63 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Quality scoring: deterministic composite of length/diversity/stopwords
+# Quality scoring: deterministic composite of length/diversity/stopwords,
+# plus Gopher-style repetition signals (Rae et al. 2021 §A1.1: top n-gram /
+# duplicate n-gram fractions). Spark computes the repetition signals with a
+# per-row sorted-run fold (max_frequency) — zero shuffles, embarrassingly
+# parallel at 100 TB; the oracle uses an equivalent O(L^2) list_filter count
+# (fine at oracle scale, semantics identical).
 # --------------------------------------------------------------------------
 @_q(
     "text_quality_scores",
     f"""
     WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') w FROM documents),
+    g AS (
+      SELECT doc_id, lang, w,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      FROM t
+    ),
     c AS (
       SELECT doc_id, lang,
              len(w)*1.0 AS n_tok,
              len(list_distinct(w))*1.0 / nullif(len(w)*1.0, 0) AS ttr,
-             round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS sw
-      FROM t
+             round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS sw,
+             round(list_max(list_transform(list_distinct(w),
+                     t -> len(list_filter(w, x -> x = t))))*1.0 / nullif(len(w), 0), 4) AS top_word_share,
+             round(list_max(list_transform(list_distinct(g2),
+                     t -> len(list_filter(g2, x -> x = t))))*1.0 / nullif(len(g2), 0), 4) AS top_2gram_share,
+             round(1.0 - len(list_distinct(g3))*1.0 / nullif(len(g3), 0), 4) AS dup_3gram_frac
+      FROM g
     )
     SELECT doc_id, lang,
-           round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality
+           round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality,
+           top_word_share,
+           top_2gram_share,
+           dup_3gram_frac,
+           (top_word_share <= 0.2 AND top_2gram_share <= 0.2 AND dup_3gram_frac <= 0.2)
+             AS repetition_ok
     FROM c
     ORDER BY doc_id
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", quality_score("text").alias("quality")).orderBy("doc_id")
+    tws = top_word_share("text")
+    t2s = top_ngram_share("text", 2)
+    d3f = dup_ngram_frac("text", 3)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            quality_score("text").alias("quality"),
+            tws.alias("top_word_share"),
+            t2s.alias("top_2gram_share"),
+            d3f.alias("dup_3gram_frac"),
+            ((tws <= 0.2) & (t2s <= 0.2) & (d3f <= 0.2)).alias("repetition_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

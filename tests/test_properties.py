@@ -219,3 +219,44 @@ def test_quota_sample_fraction_one_keeps_all(spark):
     kept = quota_sample(docs, "doc_id", "lang", {"fr": 1.0}).count()
     assert kept == n_fr  # keep-all really keeps all
     assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+@_S
+@given(_texts)
+def test_max_frequency_matches_counter(spark, values):
+    """The sorted-run fold equals collections.Counter's most_common count
+    (the zero-shuffle repetition kernel behind the Gopher-style metrics)."""
+    from collections import Counter
+
+    from etl_school_spark.functions.text import max_frequency, tokens
+
+    rows = _df(spark, values).select("i", max_frequency(tokens("t")).alias("m")).collect()
+    for r in rows:
+        toks = _py_tokens(values[r.i])
+        assert r.m == max(Counter(toks).values())
+
+
+def test_repetition_metrics_handcrafted(spark):
+    from etl_school_spark.functions.text import dup_ngram_frac, top_ngram_share, top_word_share
+
+    docs = [
+        (0, "spam spam spam spam"),          # one token repeated 4x
+        (1, "a b c d e"),                    # all distinct
+        (2, "x y x y x y"),                  # alternating: top 2gram 'x y' 3/5
+        (3, "w"),                            # too short for 2/3-grams -> null
+    ]
+    out = {
+        r.i: r
+        for r in spark.createDataFrame(docs, "i long, t string")
+        .select(
+            "i",
+            top_word_share("t").alias("tw"),
+            top_ngram_share("t", 2).alias("t2"),
+            dup_ngram_frac("t", 3).alias("d3"),
+        )
+        .collect()
+    }
+    assert out[0].tw == 1.0 and out[0].t2 == 1.0 and out[0].d3 == 0.5  # 2 grams, 1 distinct
+    assert out[1].tw == 0.2 and out[1].t2 == 0.25 and out[1].d3 == 0.0
+    assert out[2].tw == 0.5 and out[2].t2 == 0.6 and out[2].d3 == 0.5  # xyx,yxy,xyx,yxy
+    assert out[3].t2 is None and out[3].d3 is None
