@@ -134,3 +134,40 @@ def corpus_after_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / Dolma style): corpus docs
+# sharing any word n-gram with a held-out "benchmark" set. Here the
+# benchmark is a deterministic slice of documents (doc_id % 50 = 0) so the
+# oracle can reproduce it; at scale the benchmark side is tiny and its
+# distinct-gram set is broadcast — the corpus is touched once, map-side.
+# --------------------------------------------------------------------------
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+SELECT g.doc_id, COUNT(*) AS overlap_grams
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 50 != 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+@_q("benchmark_contamination", _CONTAMINATION_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.contamination import contaminated_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contaminated_docs(corpus, bench, n=4).orderBy("doc_id")

@@ -45,27 +45,6 @@ def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
-@_q(
-    "train_test_split_counts",
-    f"""
-    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T90}'
-                THEN 'train' ELSE 'test' END AS split,
-           lang, COUNT(*) AS n
-    FROM documents
-    GROUP BY split, lang
-    ORDER BY split, lang
-    """,
-)
-def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        train_test_split(docs, "doc_id", 0.90)
-        .groupBy("split", "lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("split", "lang")
-    )
-
-
 # class rebalancing: downsample dominant en, keep all rare languages
 _QUOTAS = {"en": 0.30, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
 _QUOTA_SQL = " OR ".join(
@@ -77,26 +56,40 @@ _QUOTA_SQL = " OR ".join(
 )
 
 
+# Train/test split counts and class-rebalancing counts as one suite query
+# (UNION ALL over a `bucket` discriminator) so both sampling surfaces share
+# a single driver-correctness slot.
 @_q(
-    "rebalanced_corpus_counts",
+    "sampling_counts_suite",
     f"""
-    SELECT lang, COUNT(*) AS n
+    SELECT 'split:' || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T90}'
+                            THEN 'train' ELSE 'test' END AS bucket,
+           lang, COUNT(*) AS n
+    FROM documents
+    GROUP BY bucket, lang
+    UNION ALL
+    SELECT 'rebalance' AS bucket, lang, COUNT(*) AS n
     FROM documents
     WHERE {_QUOTA_SQL}
     GROUP BY lang
-    ORDER BY lang
+    ORDER BY bucket, lang
     """,
 )
-def rebalanced_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sampling_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.functions.sampling import quota_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        quota_sample(docs, "doc_id", "lang", _QUOTAS)
-        .groupBy("lang")
+    split = (
+        train_test_split(docs, "doc_id", 0.90)
+        .groupBy(F.concat(F.lit("split:"), F.col("split")).alias("bucket"), "lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang")
     )
+    reb = (
+        quota_sample(docs, "doc_id", "lang", _QUOTAS)
+        .groupBy(F.lit("rebalance").alias("bucket"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return split.unionByName(reb).orderBy("bucket", "lang")
 
 
 # --------------------------------------------------------------------------

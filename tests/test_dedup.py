@@ -118,3 +118,39 @@ def test_prefix_filtered_jaccard_equals_postings_baseline(spark):
         }
         assert fast == base, t
         assert len(base) > 0
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    """Decontamination: a doc sharing an n-gram with the benchmark set is
+    flagged with the right DISTINCT-gram overlap count; clean docs survive."""
+    from etl_school_spark.dedup.contamination import contaminated_docs, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated corpus text here today"),
+            (3, "quick brown fox runs quick brown fox runs again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")], "doc_id long, text string"
+    )
+    bad = {r.doc_id: r.overlap_grams for r in contaminated_docs(docs, bench, n=3).collect()}
+    # benchmark 3-grams: {a quick brown, quick brown fox, brown fox appeared}
+    assert bad == {1: 1, 3: 1}  # both share exactly 'quick brown fox' (distinct)
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, n=3).collect())
+    assert kept == [2]
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the join as a broadcast — the
+    corpus side is never shuffled before the (rare-match) count."""
+    from etl_school_spark.dedup.contamination import contaminated_docs
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.limit(5)
+    plan = contaminated_docs(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
