@@ -896,10 +896,29 @@ _STAR_BRANCHES = {
 )
 def star_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 5-table star chain (fact shuffles only for fact-fact joins;
-    nation/region broadcast) grouped flat and with ROLLUP subtotals."""
+    nation/region broadcast) grouped flat and with ROLLUP subtotals.
+
+    Both branches grow from ONE per-(region, nation) DECIMAL aggregate:
+    the rollup's subtotals are re-aggregated from the 25-row flat result
+    (decimal addition is exact, so subtotals match a full-relation ROLLUP
+    bit-for-bit), and Spark's exchange reuse then evaluates the star join
+    once for the whole suite instead of once per branch."""
+    flat_dec = (
+        _star(spark, sf_dir)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("_rev").alias("_rev_dec"))
+    )
+    by_nation = flat_dec.select(
+        "r_name", "n_name", F.col("_rev_dec").cast("double").alias("revenue")
+    )
+    roll = (
+        flat_dec.rollup("r_name", "n_name")
+        .agg(F.sum("_rev_dec").cast("double").alias("revenue"))
+    )
+    slots = dict(r_name="r_name", n_name="n_name", revenue="revenue")
     branches = [
-        tag_branch(COMPONENTS[comp](spark, sf_dir), which, _STAR_SCHEMA, **slots)
-        for which, (comp, slots) in _STAR_BRANCHES.items()
+        tag_branch(by_nation, "by_nation", _STAR_SCHEMA, **slots),
+        tag_branch(roll, "rollup", _STAR_SCHEMA, **slots),
     ]
     return union_suite(branches).orderBy(
         "which", F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
