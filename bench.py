@@ -46,6 +46,11 @@ def main() -> None:
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n and n in qs]
     names += [n for n in extra if n not in names]
 
+    # One-time JVM I/O-stack init (Hadoop FS, parquet footer reader) would
+    # otherwise land entirely on the first cold query; a 1-row read of the
+    # smallest table pays it up front without warming any query's plan.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
+
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
     # included, so planning-time regressions are visible. pass 2 = warm
