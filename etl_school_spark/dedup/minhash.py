@@ -3,13 +3,23 @@
 Pipeline (all Catalyst expressions; one shuffle on band buckets):
 1. shingle each doc (distinct word n-grams)
 2. signature: for each of ``num_perm`` hash seeds i, take
-   min over shingles of xxhash64(shingle, i)  — a vectorized
+   min over shingles of a seeded md5-derived value — a vectorized
    transform/array_min over the shingle array, JVM-side
 3. slice the signature into ``bands`` bands of ``rows_per_band`` and hash
    each band; explode to (band_idx, band_hash, doc)
 4. docs colliding in any band become candidate pairs (groupBy-join on the
    band bucket)
 5. verify candidates with EXACT Jaccard on the shingle sets, filter ≥ t
+
+Hash choice: the per-seed hash is the first 16 hex chars of
+md5(shingle ':' seed), compared LEXICOGRAPHICALLY — for fixed-length
+lowercase hex this is the same order as the 64-bit integer value, so the
+minimum is a true MinHash. md5 was chosen over xxhash64 (r2) because
+every engine exposes it with identical semantics, which makes the whole
+pipeline — signatures, banding, candidates — reproducible in ANSI SQL
+and therefore driver-oracle-checkable end to end; the extra cost over
+xxhash64 is a few ns/shingle inside codegen, invisible next to the
+shuffle it feeds.
 
 With 128 perms and 32 bands × 4 rows, the S-curve puts ~0.99 recall at
 Jaccard 0.8. False positives are removed by the exact verify; false
@@ -28,13 +38,19 @@ from pyspark.sql import functions as F
 from etl_school_spark.dedup.ngram import shingle_sets
 
 
+def seeded_hash(shingle, seed):
+    """First 16 hex chars of md5('<shingle>:<seed>') — a 64-bit hash whose
+    lexicographic order equals its numeric order (fixed-width lower hex)."""
+    return F.substring(F.md5(F.concat_ws(":", shingle, seed.cast("string"))), 1, 16)
+
+
 def minhash_signatures(
     sets: DataFrame, num_perm: int = 128
 ) -> DataFrame:
-    """Add a `sig` array<long> column: per-seed min of xxhash64(shingle, seed)."""
+    """Add a `sig` array<string> column: per-seed min of the seeded md5 hash."""
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: seeded_hash(s, i))),
     )
     return sets.withColumn("sig", F.when(F.size("shingles") > 0, sig))
 
@@ -65,8 +81,8 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.struct(
                     bi.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band), lambda v: v.cast("string")))
+                    F.md5(
+                        F.concat_ws(",", F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band))
                     ).alias("band_hash"),
                 ),
             )

@@ -1,8 +1,9 @@
 """Text-analysis functions for training-data pipelines.
 
 All pure Catalyst expressions (split / transform / filter / aggregate /
-xxhash64) — they run inside whole-stage codegen and scale linearly with
-input size; no Python in the data path.
+md5) — they run inside whole-stage codegen and scale linearly with
+input size; no Python in the data path. Hashing is md5-based throughout
+so every derived value is reproducible in ANSI SQL (driver-oracle-checkable).
 
 Components: tokenization, word shingles, token stats, stopword/quality
 scoring, language-ID heuristic, document fingerprinting, SimHash.
@@ -166,31 +167,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
 
 
+# bit p (p=0 is the MSB) of a hex digit is set iff the digit is in this set
+HEX_BIT_SETS = ["89abcdef", "4567cdef", "2367abef", "13579bdf"]
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over the distinct token set as an array<int> of ±bit
     sums turned into 0/1 bits (bit k = 1 iff the sum of per-token bit-k
-    contributions is positive). Token bits come from xxhash64.
+    contributions is positive). Token bits are the first 64 bits of
+    md5(token), read as hex digits — bit k is bit (k%4) of hex digit
+    (k//4), extracted by set membership so the whole signature is
+    engine-portable (the identical extraction is expressible in ANSI SQL,
+    which is what makes the SimHash query driver-oracle-checkable).
 
     Returned as array<int> of length 64 (bit vector) — callers pack bands
     or compute hamming distance with zip_with, all expression-side.
     """
     w = F.array_distinct(tokens(col))
+    # md5 once per token, then fold the ±1 contributions over the hashes
+    hashes = F.transform(w, lambda t: F.substring(F.md5(t), 1, 16))
     zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def contrib(acc: Column, t: Column) -> Column:
-        h = F.xxhash64(t)
-        # shiftright requires a literal shift amount — unroll the 64 bits
+    def contrib(acc: Column, h: Column) -> Column:
         bits = F.array(
             *[
-                F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")).otherwise(
-                    F.lit(-1).cast("long")
-                )
+                F.when(
+                    F.substring(h, k // 4 + 1, 1).isin(list(HEX_BIT_SETS[k % 4])),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
                 for k in range(64)
             ]
         )
         return F.zip_with(acc, bits, lambda a, b: a + b)
 
-    sums = F.aggregate(w, zero64, contrib)
+    sums = F.aggregate(hashes, zero64, contrib)
     return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
 
 

@@ -2,11 +2,15 @@
 
 - ngram_jaccard: exact inverted-index set-similarity join, oracle-checked
   against a brute-force DuckDB pair scan (feasible at oracle scale).
-- minhash_lsh: probabilistic scale path, rows-only driver check; its
-  equivalence to the exact result on this corpus is asserted in
-  tests/test_dedup.py (the planted near-dups at jaccard ≈ 0.99 sit far
-  above the 32×4-band S-curve's 0.8 threshold, so recall is 1.0 here).
-- simhash: pigeonhole-blocked hamming near-dup, rows-only + tests.
+- minhash_lsh: probabilistic scale path. Since r3 the signature hash is
+  md5-derived (dedup/minhash.py), so the ENTIRE pipeline — signatures,
+  banding, candidate generation, exact verify — is reproduced in the
+  DuckDB oracle below and hash-checked by the driver; recall against the
+  exact join is additionally asserted in tests/test_dedup.py.
+- simhash: pigeonhole-blocked hamming near-dup. The md5-bit signature
+  (functions/text.py:simhash64) is reproduced in the oracle, which
+  deliberately skips the blocking and brute-forces all pairs — a green
+  hash therefore also re-proves the pigeonhole blocking loses no pair.
 """
 
 from __future__ import annotations
@@ -59,16 +63,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
 
 
-@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures aren't SQL-portable
+# Full MinHash+LSH replica: same shingles as _NGRAM_ORACLE, same seeded
+# md5 signature (minhash.seeded_hash), same 32×4 banding, same exact
+# Jaccard verify. 128 perms × |shingles| md5 calls per doc — oracle scale
+# only, but EXACTLY the registered pipeline.
+_MINHASH_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)])
+              ELSE [] END AS s
+  FROM t
+),
+signed AS (
+  SELECT doc_id, s, len(s) AS set_size,
+         [list_min([substr(md5(g || ':' || CAST(p AS VARCHAR)), 1, 16) for g in s])
+          for p in generate_series(0, 127)] AS sig
+  FROM sh WHERE len(s) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band_idx, md5(array_to_string(sig[(b*4+1):(b*4+4)], ',')) AS band_hash
+  FROM signed, unnest(generate_series(0, 31)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.s, sb.s))*1.0
+         / (sa.set_size + sb.set_size - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM cand c JOIN signed sa ON c.id_a = sa.doc_id JOIN signed sb ON c.id_b = sb.doc_id
+WHERE len(list_intersect(sa.s, sb.s))*1.0
+        / (sa.set_size + sb.set_size - len(list_intersect(sa.s, sb.s))) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle() -> str:
+    """Brute-force all-pairs SimHash oracle. The 64 signature bits replicate
+    functions.text.simhash64 (md5 hex-digit membership); skipping the
+    chunk blocking means a green hash also re-proves pigeonhole
+    completeness of the registered blocked plan."""
+    from etl_school_spark.functions.text import HEX_BIT_SETS
+
+    bit_exprs = []
+    for k in range(64):
+        members = ", ".join(f"'{c}'" for c in HEX_BIT_SETS[k % 4])
+        bit_exprs.append(
+            f"CASE WHEN list_sum([CASE WHEN substr(h, {k // 4 + 1}, 1) IN ({members})"
+            " THEN 1 ELSE -1 END for h in hs]) > 0 THEN 1 ELSE 0 END"
+        )
+    sig = "[" + ",\n         ".join(bit_exprs) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents
+),
+hmap AS (SELECT doc_id, [substr(md5(tk), 1, 16) for tk in toks] AS hs FROM t),
+s AS (SELECT doc_id, {sig} AS sig FROM hmap),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(list_zip(a.sig, b.sig), x -> CASE WHEN x[1] = x[2] THEN 0 ELSE 1 END)) AS hd
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming_dist FROM pairs WHERE hd <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@_q("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
 
 
-@_q("dedup_simhash")  # rows-only: xxhash64 signatures aren't SQL-portable
+@_q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3, chunks=4).orderBy("id_a", "id_b")
+    pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4)
+    # BIGINT on both engines (suite-wide integer-slot convention)
+    return (
+        pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -95,10 +95,57 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN top-k: random-hyperplane LSH scale path (rows-only; recall asserted
-# against the exact baseline in tests/test_similarity.py)
+# ANN top-k: random-hyperplane LSH scale path. Oracle-checkable since r3:
+# the hyperplanes are seeded Python constants (knn._hyperplanes, seed 7),
+# so the oracle embeds them as DOUBLE literals and replays the exact
+# bucketing — sign-bit codes per table, bucket equi-join, distinct
+# candidates, exact-cosine rank. Sign decisions are bit-identical across
+# engines because the dot product uses the same sequential-fold order as
+# the cosine formulation already proven exact (see module docstring).
+# Recall vs the exact baseline is additionally asserted in
+# tests/test_similarity.py.
 # --------------------------------------------------------------------------
-@_q("ann_topk_lsh")
+def _lsh_ann_oracle(k: int = 5, bits: int = 4, tables: int = 16, dim: int = 64, seed: int = 7) -> str:
+    from etl_school_spark.similarity.knn import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return f"list_sum(list_transform(list_zip(embedding, {arr}), x -> CAST(x[1] AS DOUBLE) * x[2]))"
+
+    codes = ",\n    ".join(
+        f"('{t}:' || "
+        + " || ".join(f"(CASE WHEN {dot_sql(p)} >= 0 THEN '1' ELSE '0' END)" for p in planes[t])
+        + ")"
+        for t in range(tables)
+    )
+    return f"""
+    WITH ab AS (
+      SELECT vec_id, unnest([{codes}]) AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM ab q JOIN ab c USING (bucket)
+      WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_COS.format(a='qe.embedding', b='ce.embedding')} AS score
+      FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+                JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@_q("ann_topk_lsh", _lsh_ann_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
@@ -139,9 +186,21 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN top-k: IVF coarse-quantizer scale path (rows-only; recall asserted
-# against the exact baseline in tests/test_similarity.py). Deterministic
-# k-means training → reproducible index.
+# ANN top-k: IVF coarse-quantizer scale path. Deterministic k-means
+# training → reproducible index; recall + determinism asserted against
+# the exact baseline in tests/test_similarity.py.
+#
+# Deliberately NO oracle (the one remaining driver rows-only row): the
+# centroids come from iterative Lloyd's k-means — a fixpoint over
+# DATA-dependent state, not a closed-form expression. A SQL twin would
+# need either a recursive CTE re-implementing the training loop
+# (different engine, different float-sum orders per iteration → centroid
+# drift → different cell assignments, i.e. a flaky oracle by
+# construction) or centroid literals captured from a prior Spark run,
+# which would make the oracle circular — it would verify serialization,
+# not computation. The LSH variant above is the hash-checkable twin of
+# this query shape; IVF's own guarantees are locked by recall and
+# bit-determinism tests instead.
 # --------------------------------------------------------------------------
 @_q("ann_topk_ivf")
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
