@@ -143,6 +143,44 @@ def lsh_topk(
     )
 
 
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_bits: int = 64,
+    n_subsets: int = 128,
+    bits: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing ANY subset bucket — the
+    blocking stage of ``cosine_pairs_bucketed``, exposed so tests can
+    assert the candidate count directly (sub-quadratic behavior on
+    clustered corpora, tests/test_similarity.py)."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
+    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
+
+    coded = emb.select(
+        F.col(id_col).alias("id"),
+        _code(F.col(vec_col), planes).alias("_pool"),
+    )
+    bucket_keys = F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), *[F.substring("_pool", b + 1, 1) for b in s])
+            for t, s in enumerate(subsets)
+        ]
+    )
+    ids = coded.select("id", F.explode(bucket_keys).alias("bucket"))
+    return (
+        ids.alias("a")
+        .join(ids.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def cosine_pairs_bucketed(
     emb: DataFrame,
     threshold: float,
@@ -175,28 +213,7 @@ def cosine_pairs_bucketed(
     plan touches only colliding buckets — that is the 100 TB path, with
     ``bits`` scaled up to match the threshold.
     """
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
-    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
-
-    coded = emb.select(
-        F.col(id_col).alias("id"),
-        _code(F.col(vec_col), planes).alias("_pool"),
-    )
-    bucket_keys = F.array(
-        *[
-            F.concat(F.lit(f"{t}:"), *[F.substring("_pool", b + 1, 1) for b in s])
-            for t, s in enumerate(subsets)
-        ]
-    )
-    ids = coded.select("id", F.explode(bucket_keys).alias("bucket"))
-    cand = (
-        ids.alias("a")
-        .join(ids.alias("b"), "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = lsh_candidate_pairs(emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed)
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
