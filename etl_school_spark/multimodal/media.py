@@ -5,12 +5,13 @@ typed metadata struct, the layout a 100 TB multimodal corpus uses: media
 bytes stay columnar in Parquet, metadata stays queryable without decoding.
 
 Decode kernels run as Arrow-batched ``mapInPandas`` — one Python worker
-per partition, whole record batches per call, never per-row Python. The
-actual codec (Pillow / libsndfile / ffmpeg) is NOT installed in this
-environment, so the byte→pixels step is stubbed: ``decode_image_real``
-raises ``NotImplementedError`` (the clearly-marked integration point) and
-the default kernel derives deterministic fake features from the byte
-stream. Everything Spark-side — schema, batch shape, partition flow,
+per partition, whole record batches per call, never per-row Python.
+``decode_image_real`` decodes PNG geometry for REAL (stdlib header
+parse, no external codec needed); for other formats the external codec
+(Pillow / libsndfile / ffmpeg) is NOT installed in this environment, so
+those bytes fall back to deterministic fake features derived from the
+byte stream (``_fake_decode``), keeping the integration point clearly
+marked. Everything Spark-side — schema, batch shape, partition flow,
 column pruning — is real and tested.
 
 At scale: ``image_features``/``audio_features`` are embarrassingly
@@ -34,11 +35,40 @@ _AUDIO_BYTES_PER_SEC = 32000  # 16 kHz, 16-bit mono
 FRAME_BYTES = 4096  # fake fixed-size "video frame"
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec §11.2.2; palette indices are 1 channel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_header(data: bytes) -> tuple[int, int, int]:
+    """Real PNG decode of (width, height, channels) from the IHDR chunk,
+    stdlib-only (public format: PNG spec, W3C/ISO 15948 §5.6/§11.2).
+
+    Layout: 8-byte signature, then the IHDR chunk — 4-byte big-endian
+    length (always 13), 4-byte type b'IHDR', then width(4) height(4)
+    bit-depth(1) color-type(1) compression(1) filter(1) interlace(1).
+    """
+    import struct
+
+    if len(data) < 33 or not data.startswith(_PNG_SIGNATURE):
+        raise ValueError("not a PNG byte stream")
+    length, ctype = struct.unpack(">I4s", data[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("malformed PNG: first chunk is not a 13-byte IHDR")
+    width, height, _bit_depth, color_type = struct.unpack(">IIBB", data[16:26])
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    return width, height, _PNG_CHANNELS[color_type]
+
+
 def decode_image_real(data: bytes) -> tuple[int, int, int]:
-    """The real-codec integration point. Install Pillow and monkeypatch /
-    wrap this to decode actual image bytes; not available here."""
+    """The real-codec integration point. PNG is decoded for real (header
+    parse, stdlib struct — no external codec needed for geometry); other
+    formats need Pillow etc.: install it and monkeypatch / wrap this."""
+    if data[:8] == _PNG_SIGNATURE:
+        return decode_png_header(data)
     raise NotImplementedError(
-        "real image codec not available in this environment; "
+        "no real codec for non-PNG bytes in this environment; "
         "override etl_school_spark.multimodal.media.decode_image_real"
     )
 
