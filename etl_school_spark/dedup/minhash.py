@@ -11,15 +11,16 @@ Pipeline (all Catalyst expressions; one shuffle on band buckets):
    band bucket)
 5. verify candidates with EXACT Jaccard on the shingle sets, filter ≥ t
 
-Hash choice: the per-seed hash is the first 16 hex chars of
-md5(shingle ':' seed), compared LEXICOGRAPHICALLY — for fixed-length
-lowercase hex this is the same order as the 64-bit integer value, so the
-minimum is a true MinHash. md5 was chosen over xxhash64 (r2) because
-every engine exposes it with identical semantics, which makes the whole
-pipeline — signatures, banding, candidates — reproducible in ANSI SQL
-and therefore driver-oracle-checkable end to end; the extra cost over
-xxhash64 is a few ns/shingle inside codegen, invisible next to the
-shuffle it feeds.
+Hash choice (Broder's classic construction): each shingle gets ONE
+md5-derived integer base hash h (first 15 hex chars → 60-bit int, reduced
+mod the Mersenne prime 2^31-1); the ``num_perm`` "permutations" are
+affine maps h → (a_i·h + b_i) mod p with seeded constants. One md5 per
+shingle instead of ``num_perm`` — the signature pass is ~100× fewer
+hash evaluations than hashing (shingle, seed) pairs — and every step is
+exact 64-bit integer arithmetic (a_i, h < 2^31 so a_i·h < 2^62),
+reproducible in ANSI SQL: md5 + hex-cast + modular arithmetic exist in
+every engine, which is what makes the whole pipeline — signatures,
+banding, candidates — driver-oracle-checkable end to end.
 
 With 128 perms and 32 bands × 4 rows, the S-curve puts ~0.99 recall at
 Jaccard 0.8. False positives are removed by the exact verify; false
@@ -32,27 +33,50 @@ O(postings) — and the signature pass is a single linear scan.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.ngram import shingle_sets
 
+MERSENNE_31 = 2147483647  # 2^31 - 1, the MinHash value universe
 
-def seeded_hash(shingle, seed):
-    """First 16 hex chars of md5('<shingle>:<seed>') — a 64-bit hash whose
-    lexicographic order equals its numeric order (fixed-width lower hex)."""
-    return F.substring(F.md5(F.concat_ws(":", shingle, seed.cast("string"))), 1, 16)
+
+def perm_constants(num_perm: int = 128, seed: int = 9) -> list[tuple[int, int]]:
+    """Seeded (a_i, b_i) pairs for the affine permutations — shared by the
+    Spark expressions and the generated oracle SQL so both engines apply
+    the identical hash family."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
+def base_hash(shingle) -> F.Column:
+    """md5-derived integer base hash in [0, 2^31-1): first 15 hex chars
+    (60 bits, fits signed int64) reduced mod the Mersenne prime."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MERSENNE_31
 
 
 def minhash_signatures(
     sets: DataFrame, num_perm: int = 128
 ) -> DataFrame:
-    """Add a `sig` array<string> column: per-seed min of the seeded md5 hash."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(F.col("shingles"), lambda s: seeded_hash(s, i))),
-    )
-    return sets.withColumn("sig", F.when(F.size("shingles") > 0, sig))
+    """Add a `sig` array<long> column: per-permutation min of
+    (a_i·base_hash + b_i) mod p over the shingle set. The base hashes are
+    materialized once per row (`_hs` column) so the md5 work is not
+    repeated per permutation."""
+    perms = perm_constants(num_perm)
+    with_hs = sets.withColumn("_hs", F.transform(F.col("shingles"), base_hash))
+    # one JVM-side-parsed expression for all permutations — the same tree
+    # built via the Column API would cost thousands of py4j round-trips
+    sig_sql = "array(" + ", ".join(
+        f"array_min(transform(_hs, hh -> ({a}L * hh + {b}L) % {MERSENNE_31}))"
+        for a, b in perms
+    ) + ")"
+    sig = F.expr(sig_sql)
+    return with_hs.withColumn("sig", F.when(F.size("shingles") > 0, sig)).drop("_hs")
 
 
 def minhash_lsh_pairs(
@@ -72,22 +96,31 @@ def minhash_lsh_pairs(
     sets = shingle_sets(docs, id_col, text_col, n)
     signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
 
+    # SKINNY band rows: (doc, band_idx, band_hash) only. The shingle
+    # arrays must NOT ride through the explode/self-join — at corpus scale
+    # that shuffles O(docs × bands) multi-KB arrays; they are re-attached
+    # AFTER candidate-pair dedup, when only the (rare) colliding pairs
+    # remain (same shape as similarity.knn.cosine_pairs_bucketed).
     banded = signed.select(
         "doc",
-        "set_size",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.struct(
                     bi.alias("band_idx"),
                     F.md5(
-                        F.concat_ws(",", F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band))
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
                     ).alias("band_hash"),
                 ),
             )
         ).alias("band"),
-    ).select("doc", "set_size", "shingles", "band.band_idx", "band.band_hash")
+    ).select("doc", "band.band_idx", "band.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -97,21 +130,22 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("b.set_size").alias("size_b"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    sa = sets.select(
+        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("set_size").alias("size_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("size_a") + F.col("size_b") - inter)
     return (
-        cands.withColumn("jaccard", jac)
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

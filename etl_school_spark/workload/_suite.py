@@ -72,3 +72,15 @@ def oracle_branch(
 
 def oracle_union(branches: list[str]) -> str:
     return "\nUNION ALL\n".join(branches)
+
+
+def sorted_single(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic total order WITHOUT a range exchange.
+
+    ``orderBy`` plans a RangePartitioner whose bound-sampling pass
+    RE-EXECUTES the entire upstream plan — for queries whose tail is an
+    expensive verify stage (near-dup pair pipelines), that doubles the
+    query. The driver's correctness compare is order-insensitive and
+    these outputs are small, so a 1-partition in-partition sort gives the
+    same deterministic result for half the cost."""
+    return df.repartition(1).sortWithinPartitions(*cols)

@@ -21,6 +21,7 @@ from etl_school_spark.dedup.minhash import minhash_lsh_pairs
 from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_near_pairs
 from etl_school_spark.tables import load_table
+from etl_school_spark.workload._suite import sorted_single
 
 QUERIES = {}
 ORACLES = {}
@@ -60,14 +61,21 @@ ORDER BY id_a, id_b
 @_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
+    return sorted_single(ngram_jaccard_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
-# Full MinHash+LSH replica: same shingles as _NGRAM_ORACLE, same seeded
-# md5 signature (minhash.seeded_hash), same 32×4 banding, same exact
-# Jaccard verify. 128 perms × |shingles| md5 calls per doc — oracle scale
-# only, but EXACTLY the registered pipeline.
-_MINHASH_ORACLE = """
+def _minhash_oracle() -> str:
+    """Full MinHash+LSH replica: same shingles as _NGRAM_ORACLE, same
+    md5-derived base hash + affine permutations (minhash.perm_constants —
+    the (a_i, b_i) literals are embedded below), same 32×4 banding, same
+    exact Jaccard verify. Exact int64 arithmetic in both engines."""
+    from etl_school_spark.dedup.minhash import MERSENNE_31, perm_constants
+
+    sig_terms = ",\n          ".join(
+        f"list_min([({a} * hh + {b}) % {MERSENNE_31} for hh in hs])"
+        for a, b in perm_constants(128)
+    )
+    return f"""
 WITH t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
 sh AS (
   SELECT doc_id,
@@ -76,11 +84,15 @@ sh AS (
               ELSE [] END AS s
   FROM t
 ),
-signed AS (
+hashed AS (
   SELECT doc_id, s, len(s) AS set_size,
-         [list_min([substr(md5(g || ':' || CAST(p AS VARCHAR)), 1, 16) for g in s])
-          for p in generate_series(0, 127)] AS sig
+         [CAST(CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS BIGINT) % {MERSENNE_31} for g in s] AS hs
   FROM sh WHERE len(s) > 0
+),
+signed AS (
+  SELECT doc_id, s, set_size,
+         [{sig_terms}] AS sig
+  FROM hashed
 ),
 banded AS (
   SELECT doc_id, b AS band_idx, md5(array_to_string(sig[(b*4+1):(b*4+4)], ',')) AS band_hash
@@ -99,6 +111,9 @@ WHERE len(list_intersect(sa.s, sb.s))*1.0
         / (sa.set_size + sb.set_size - len(list_intersect(sa.s, sb.s))) >= 0.8
 ORDER BY id_a, id_b
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 def _simhash_oracle() -> str:
@@ -135,7 +150,7 @@ ORDER BY id_a, id_b
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.8, n=3).orderBy("id_a", "id_b")
+    return sorted_single(minhash_lsh_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
 @_q("dedup_simhash", _simhash_oracle())
@@ -145,9 +160,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4)
     # BIGINT on both engines (suite-wide integer-slot convention)
-    return (
-        pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long"))
-        .orderBy("id_a", "id_b")
+    return sorted_single(
+        pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long")),
+        "id_a", "id_b",
     )
 
 
@@ -184,7 +199,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
-    return connected_components(pairs).orderBy("node")
+    return sorted_single(connected_components(pairs), "node")
 
 
 # --------------------------------------------------------------------------
@@ -250,4 +265,4 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    return contaminated_docs(corpus, bench, n=4).orderBy("doc_id")
+    return sorted_single(contaminated_docs(corpus, bench, n=4), "doc_id")

@@ -18,6 +18,7 @@ from etl_school_spark.similarity.knn import (
     lsh_topk,
 )
 from etl_school_spark.tables import load_table
+from etl_school_spark.workload._suite import sorted_single
 
 QUERIES = {}
 ORACLES = {}
@@ -63,7 +64,7 @@ _COS = """
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_bucketed(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return sorted_single(cosine_pairs_bucketed(emb, threshold=0.4), "id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -91,7 +92,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    # dim=64 (TESTDATA contract) → scoring stays in whole-stage codegen
+    return sorted_single(brute_force_topk(emb, queries, k=5, dim=64), "query_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -151,7 +153,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     # bits=4/tables=16 measured at recall@5 ≈ 0.89 on this corpus (embeddings
     # are near-uniform — real clustered embeddings fare much better)
-    return lsh_topk(emb, queries, k=5, bits=4, tables=16).orderBy("query_id", "rank")
+    return sorted_single(lsh_topk(emb, queries, k=5, bits=4, tables=16), "query_id", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -208,4 +210,4 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).orderBy("query_id", "rank")
+    return sorted_single(ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6), "query_id", "rank")
