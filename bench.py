@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # r2: headline names track the consolidated registry — each suite runs
 # strictly MORE work than the r1 query it replaced (whole family vs one
 # member), so totals are not comparable to BENCH_r01 line-for-line
-HEADLINE = [
+RELATIONAL = [
     "pricing_summary",
     "orders_per_priority",
     "topk_customers_by_spend",
@@ -31,6 +31,25 @@ HEADLINE = [
     "star_revenue_suite",
 ]
 
+# r3: the LLM-pipeline differentiators get tracked wall-times too.
+# embedding_neardup_pairs is the known LSH worst case on this corpus
+# (threshold 0.4 over near-uniform vectors → near-all-pairs candidates,
+# see similarity/knn.py) — benched anyway so the honest cost is visible.
+PIPELINE = [
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality_scores",
+    "benchmark_contamination",
+    "embedding_neardup_pairs",
+    "ann_topk_cosine",
+    "ann_topk_lsh",
+    "sample_documents_10pct",
+]
+
+HEADLINE = RELATIONAL + PIPELINE
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,7 +60,12 @@ def main() -> None:
 
     spark = get_spark("etl-school-spark-bench")
     qs = e.queries()
-    names = [n for n in HEADLINE if n in qs]
+    # SPARK_GRAFT_BENCH_SET=relational|pipeline|all (default all) — the
+    # relational subset is what the sf1 scaling spot-check runs
+    chosen = {"relational": RELATIONAL, "pipeline": PIPELINE}.get(
+        os.environ.get("SPARK_GRAFT_BENCH_SET", "all"), HEADLINE
+    )
+    names = [n for n in chosen if n in qs]
     # allow extending the headline set via env without editing this file
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n and n in qs]
     names += [n for n in extra if n not in names]
@@ -53,9 +77,11 @@ def main() -> None:
 
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
-    # included, so planning-time regressions are visible. pass 2 = warm
-    # steady state (the headline metric, comparable across rounds).
-    # SPARK_GRAFT_BENCH_COLD=1 reports ONLY the cold lane (skips pass 2).
+    # included, so planning-time regressions are visible. passes 2..n+1 =
+    # warm steady state; the headline metric is the per-query MEDIAN of
+    # ``warm_iters`` runs (r2 advice: n=2 was within run-to-run noise for
+    # sub-second queries, so per-query deltas need n>=3).
+    # SPARK_GRAFT_BENCH_COLD=1 reports ONLY the cold lane (skips warm).
     cold: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -63,12 +89,18 @@ def main() -> None:
         cold[name] = round(time.time() - t0, 4)
 
     cold_only = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    warm_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     if not cold_only:
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(warm_iters):
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.time() - t0)
         for name in names:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 4)
+            s = sorted(samples[name])
+            timings[name] = round(s[len(s) // 2], 4)
 
     main_timings = cold if cold_only else timings
     total = round(sum(main_timings.values()), 4)
@@ -79,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": main_timings,
+                "warm_iters": 0 if cold_only else warm_iters,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -143,6 +143,36 @@ def test_contamination_flags_overlapping_docs(spark):
     assert kept == [2]
 
 
+def test_contamination_min_overlap_is_distinct_gram_semantics(spark):
+    """min_overlap is defined over DISTINCT shared grams per doc — a doc
+    repeating ONE contaminated n-gram many times counts 1, not the
+    occurrence count. This is load-bearing on word_shingles (distinct);
+    pins the semantics so a swap to non-distinct word_ngrams in
+    contaminated_docs fails here instead of silently inflating counts."""
+    from etl_school_spark.dedup.contamination import contaminated_docs, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            # 'alpha beta gamma' appears 3 times → still 1 distinct shared gram
+            (1, "alpha beta gamma junkone alpha beta gamma junktwo alpha beta gamma"),
+            # shares 2 DISTINCT grams: 'alpha beta gamma' and 'delta epsilon zeta'
+            (2, "alpha beta gamma padpad delta epsilon zeta"),
+            (3, "nothing shared with any benchmark document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bad = {r.doc_id: r.overlap_grams for r in contaminated_docs(docs, bench, n=3).collect()}
+    assert bad == {1: 1, 2: 2}
+    # min_overlap filters on the distinct count: the repeater drops out
+    strict = {r.doc_id for r in contaminated_docs(docs, bench, n=3, min_overlap=2).collect()}
+    assert strict == {2}
+    assert sorted(r.doc_id for r in decontaminate(docs, bench, n=3, min_overlap=2).collect()) == [1, 3]
+
+
 def test_contamination_plan_broadcasts_benchmark(spark):
     """The benchmark gram set must reach the join as a broadcast — the
     corpus side is never shuffled before the (rare-match) count."""

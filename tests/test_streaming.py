@@ -414,3 +414,44 @@ def test_kafka_source_option_plumbing_and_fallback(spark, workdir):
     df = read_topic_stream(spark, EVENTS, fallback_stage_dir=stage)
     assert df.isStreaming
     assert df.columns == [f.name for f in EVENTS.fields]
+
+
+def test_kafka_real_branch_builds_kafka_reader(spark, monkeypatch):
+    """With the classpath probe mocked available, read_topic_stream takes
+    the REAL kafka branch: format('kafka') configured with exactly
+    kafka_reader_options(...). A recording fake stands in for readStream —
+    the connector jar isn't shipped here, so load() cannot execute; the
+    test proves the option plumbing reaches the reader unchanged."""
+    import pytest
+    from pyspark.sql import SparkSession
+
+    from etl_school_spark.schemas import EVENTS
+    from etl_school_spark.streaming import kafka_source as ks
+
+    class Halt(Exception):
+        pass
+
+    calls: dict = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            calls["options"] = kw
+            return self
+
+        def load(self):
+            raise Halt
+
+    monkeypatch.setattr(ks, "kafka_available", lambda s: True)
+    monkeypatch.setattr(SparkSession, "readStream", property(lambda self: FakeReader()))
+    with pytest.raises(Halt):
+        ks.read_topic_stream(
+            spark, EVENTS, brokers="k1:9092,k2:9092", topic="t1",
+            starting_offsets="latest", max_offsets_per_trigger=100,
+        )
+    assert calls["format"] == "kafka"
+    assert calls["options"] == ks.kafka_reader_options("k1:9092,k2:9092", "t1", "latest", 100)
+    assert calls["options"]["failOnDataLoss"] == "true"
