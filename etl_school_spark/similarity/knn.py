@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_school_spark.functions.vectors import cosine, dot_fixed, l2_norm_fixed
+from etl_school_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 
 def cosine_pairs(
@@ -58,26 +58,29 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-match excluded).
 
     Output: query_id, neighbor_id, score (raw double — bit-stable), rank 1..k.
     Ties cannot occur in practice (continuous scores); rank order uses
-    (score desc, neighbor_id) for full determinism anyway. Pass ``dim``
-    when the embedding dimension is statically known to score inside
-    whole-stage codegen (bit-identical, see vectors.cosine_fixed).
+    (score desc, neighbor_id) for full determinism anyway. Norms are
+    precomputed once per vector; the per-pair score dot/(nq·nc) is
+    value-identical to ``cosine`` (same fold order), so oracles need no
+    special casing.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    if dim:
-        # per-vector norms once, one codegen'd dot per pair — value-identical
-        # to cosine() (same summation order), so oracles are unchanged
-        q = q.withColumn("_nq", l2_norm_fixed("qv", dim))
-        c = c.withColumn("_nc", l2_norm_fixed("cv", dim))
-        score = dot_fixed("qv", "cv", dim) / (F.col("_nq") * F.col("_nc"))
-    else:
-        score = cosine(F.col("qv"), F.col("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nc"),
+    )
+    score = dot(as_double(F.col("qv")), as_double(F.col("cv"))) / (
+        F.col("_nq") * F.col("_nc")
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -100,22 +103,33 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 7) -> list[list[l
     ]
 
 
+def _lit_d(x: float) -> str:
+    """Round-trip double literal for Spark SQL ('D' suffix; CAST form for
+    exponent notation, where the suffix grammar is finicky)."""
+    r = repr(x)
+    return f"CAST('{r}' AS DOUBLE)" if "e" in r or "E" in r else f"{r}D"
+
+
 def _code_sql(vec: str, planes: list[list[float]]) -> str:
     """SQL text of the sign-bit code of a vector column (by name) under
     one table's hyperplanes.
 
-    Unrolled element_at × literal-coefficient sums (not HOF folds) keep
-    the coding pass in whole-stage codegen; + is left-associative, so the
-    summation order is identical to ``vectors.dot`` and sign decisions are
+    Two deliberate choices, both measured:
+    - built as ONE SQL string parsed JVM-side (F.expr) — the same tree
+      through the Column API costs tens of thousands of py4j round-trips
+      (~50 s of driver time for a 64-plane pool);
+    - each plane dot is the zip_with/aggregate HOF fold, NOT an unrolled
+      element_at chain — Spark 4 evaluates array HOFs ~2.6× faster than
+      a deep unrolled Add tree (micro-benched on 2 M rows).
+    The fold order is identical to ``vectors.dot``, so sign decisions are
     bit-identical to the generic formulation (and to the DuckDB oracle's
-    list_sum). Built as ONE SQL string — the same tree through the Column
-    API costs tens of thousands of py4j round-trips (~50 s of driver time
-    for a 64-plane pool)."""
+    list_sum)."""
     bits = []
     for p in planes:
-        dot = " + ".join(
-            f"(CAST(element_at(`{vec}`, {i + 1}) AS DOUBLE) * CAST('{x!r}' AS DOUBLE))"
-            for i, x in enumerate(p)
+        arr = "array(" + ", ".join(_lit_d(x) for x in p) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     return "concat(" + ", ".join(bits) + ")"
@@ -163,17 +177,21 @@ def lsh_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm_fixed(vec_col, dim).alias("_nq"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nq"),
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(vec_col, dim).alias("_nc"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nc"),
     )
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("score_raw", dot_fixed("qv", "cv", dim) / (F.col("_nq") * F.col("_nc")))
+        .withColumn(
+            "score_raw",
+            dot(as_double(F.col("qv")), as_double(F.col("cv")))
+            / (F.col("_nq") * F.col("_nc")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (
@@ -264,18 +282,20 @@ def cosine_pairs_bucketed(
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        l2_norm_fixed(vec_col, dim).alias("_na"),
+        l2_norm(as_double(F.col(vec_col))).alias("_na"),
     )
     vb = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        l2_norm_fixed(vec_col, dim).alias("_nb"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nb"),
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cos", dot_fixed("va", "vb", dim) / (F.col("_na") * F.col("_nb"))
+            "cos",
+            dot(as_double(F.col("va")), as_double(F.col("vb")))
+            / (F.col("_na") * F.col("_nb")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos").alias("cosine_sim"))

@@ -92,8 +92,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    # dim=64 (TESTDATA contract) → scoring stays in whole-stage codegen
-    return sorted_single(brute_force_topk(emb, queries, k=5, dim=64), "query_id", "rank")
+    return sorted_single(brute_force_topk(emb, queries, k=5), "query_id", "rank")
 
 
 # --------------------------------------------------------------------------
