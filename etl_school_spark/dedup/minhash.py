@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.ngram import shingle_sets
+from etl_school_spark.operators.pairs import pairs_within_groups
 
 MERSENNE_31 = 2147483647  # 2^31 - 1, the MinHash value universe
 
@@ -122,17 +123,10 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # groupBy-bucket pair expansion, NOT a self-join: a self-join would
+    # evaluate the (expensive) signature subtree once per side — this
+    # shape computes signatures exactly once (operators/pairs.py)
+    cands = pairs_within_groups(banded, ["band_idx", "band_hash"], "doc")
 
     sa = sets.select(
         F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("set_size").alias("size_a")

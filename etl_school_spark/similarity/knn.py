@@ -230,6 +230,13 @@ def lsh_candidate_pairs(
         ]
     )
     ids = coded.select("id", F.explode(bucket_keys).alias("bucket"))
+    # deliberately a self-join, NOT operators.pairs.pairs_within_groups:
+    # on this query's dense-collision regime (~250 ids per bucket at the
+    # registered threshold) the grouped collect_list + in-group expansion
+    # measured SLOWER than the broadcast self-join (17s vs 12s at sf0.1),
+    # and the double-evaluated child here is just the one-column pool
+    # code. MinHash banding (sparse collisions, expensive signatures) is
+    # the shape where the grouped form wins — see dedup/minhash.py.
     return (
         ids.alias("a")
         .join(ids.alias("b"), "bucket")
