@@ -3,9 +3,14 @@ coarse-quantizer scale path (FAISS-style IVF-Flat, re-expressed as
 DataFrame ops).
 
 Train: a few Lloyd iterations assign every corpus vector to its nearest
-of ``n_cells`` centroids. Centroid updates use exact decimal sums so the
-result is bit-identical regardless of partition order — training is
-deterministic, hence the whole index is reproducible.
+of ``n_cells`` centroids. Centroid updates use fixed-point (scaled
+BIGINT) accumulation: each element is snapped to a 1e-6 grid and summed
+as an integer, so the sum is exact and associative — bit-identical
+regardless of partition order AND reproducible by any engine that
+multiplies/rounds/divides in IEEE double (the basis of the DuckDB oracle
+twin in workload/similarityops.py). The 1e-6 snap is far below any
+distance that matters to a coarse quantizer, and integer accumulators
+are also the cheap path at 100 TB (no decimal widening in the shuffle).
 
 Search: a query probes only its ``nprobe`` nearest cells; candidates are
 the corpus vectors in those cells (a cell-key equi-join, NOT a cross
@@ -38,6 +43,15 @@ def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
+#: fixed-point grid for centroid accumulation: round(x * SCALE) as BIGINT.
+#: Half-way cases round away from zero in Spark (HALF_UP), DuckDB
+#: (std::round) and Python (see _mean below) alike, and the .5 boundary is
+#: exactly representable for |x*SCALE| < 2^52, so the snapped integers are
+#: engine-identical — which makes the whole training data-parallel AND
+#: oracle-replayable.
+SCALE = 1_000_000
+
+
 def train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -46,7 +60,7 @@ def train_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means: seeded from the ``n_cells`` lowest
-    ids, refined with exact-decimal mean updates (order-independent)."""
+    ids, refined with exact fixed-point mean updates (order-independent)."""
     seeds = (
         corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
@@ -57,20 +71,19 @@ def train_centroids(
             _nearest_cell(F.col(vec_col), centroids).alias("cell"),
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
         )
-        # decimal(28,14) sums are exact for |x| ≤ ~10^13: associative, so the
-        # mean is identical under any partitioning → deterministic training
-        means = (
+        sums = (
             assigned.groupBy("cell", "pos")
             .agg(
-                (F.sum(F.col("x").cast("decimal(28,14)")) / F.count(F.lit(1)))
-                .cast("double")
-                .alias("m")
+                F.sum(F.round(F.col("x") * SCALE).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
-        new = {c: [0.0] * dim for c in {r.cell for r in means}}
-        for r in means:
-            new[r.cell][r.pos] = r.m
+        new: dict[int, list[float]] = {}
+        for r in sums:
+            # float(s)/float(n)/SCALE is the exact IEEE sequence the oracle
+            # replays as CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0
+            new.setdefault(r.cell, [0.0] * dim)[r.pos] = float(r.s) / float(r.n) / SCALE
         centroids = [new.get(c, centroids[c]) for c in range(n_cells)]
     return centroids
 

@@ -187,23 +187,101 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN top-k: IVF coarse-quantizer scale path. Deterministic k-means
-# training → reproducible index; recall + determinism asserted against
-# the exact baseline in tests/test_similarity.py.
-#
-# Deliberately NO oracle (the one remaining driver rows-only row): the
-# centroids come from iterative Lloyd's k-means — a fixpoint over
-# DATA-dependent state, not a closed-form expression. A SQL twin would
-# need either a recursive CTE re-implementing the training loop
-# (different engine, different float-sum orders per iteration → centroid
-# drift → different cell assignments, i.e. a flaky oracle by
-# construction) or centroid literals captured from a prior Spark run,
-# which would make the oracle circular — it would verify serialization,
-# not computation. The LSH variant above is the hash-checkable twin of
-# this query shape; IVF's own guarantees are locked by recall and
-# bit-determinism tests instead.
+# ANN top-k: IVF coarse-quantizer scale path. Oracle-checkable since r3:
+# training was reformulated over fixed-point (scaled-BIGINT) accumulation
+# (similarity/ivf.py) — every engine step is either an exact integer sum,
+# a round() whose half-away-from-zero behaviour Spark/DuckDB/Python
+# share, or a fixed-order IEEE-double operation, so the DATA-dependent
+# k-means fixpoint is replayed move-for-move by unrolling the Lloyd
+# iterations as SQL CTEs: seed selection (lowest n_cells ids) →
+# [assign → fixed-point mean → fallback-for-empty-cells] × iters →
+# final assignment, nprobe probing, exact-cosine rank. No centroid
+# literals are captured from Spark — the oracle retrains from the raw
+# parquet, so it verifies the computation, not serialization. (This
+# retires the r2 "flaky by construction" argument: that applied to
+# float-sum training, where per-engine reduction order drifts; integer
+# accumulation has no order.)
 # --------------------------------------------------------------------------
-@_q("ann_topk_ivf")
+def _ivf_oracle(
+    k: int = 5, n_cells: int = 16, nprobe: int = 6, iters: int = 2, dim: int = 64
+) -> str:
+    from etl_school_spark.similarity.ivf import SCALE
+
+    def sq(a: str, b: str) -> str:
+        # same sequential left-fold order as similarity/ivf._sq_dist
+        return f"list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM e ORDER BY vec_id LIMIT {n_cells}
+    )"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""
+    a{it} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq('e.v', 's.v')}, s.cell) AS rn
+        FROM e CROSS JOIN c{it} s
+      ) WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT cell, i,
+             CAST(SUM(CAST(round(v[i] * {SCALE}.0) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / {SCALE}.0 AS m
+      FROM a{it} CROSS JOIN generate_series(1, {dim}) t(i)
+      GROUP BY 1, 2
+    ),
+    mv{it} AS (SELECT cell, list(m ORDER BY i) AS v FROM m{it} GROUP BY cell),
+    c{it + 1} AS (
+      SELECT p.cell, COALESCE(u.v, p.v) AS v
+      FROM c{it} p LEFT JOIN mv{it} u ON p.cell = u.cell
+    )"""
+        )
+    fin = f"c{iters}"
+    parts.append(
+        f"""
+    cv AS (
+      SELECT vec_id AS neighbor_id, v AS cvv, cell FROM (
+        SELECT e.vec_id, e.v, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq('e.v', 's.v')}, s.cell) AS rn
+        FROM e CROSS JOIN {fin} s
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq('e.v', 's.v')}, s.cell) AS rn
+        FROM e CROSS JOIN {fin} s
+        WHERE e.vec_id % 25 = 0
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id, {_COS.format(a='p.qv', b='c.cvv')} AS score
+      FROM probes p JOIN cv c USING (cell)
+      WHERE p.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+@_q("ann_topk_ivf", _ivf_oracle())
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.similarity.ivf import ivf_topk
 
