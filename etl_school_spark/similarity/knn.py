@@ -201,6 +201,33 @@ def lsh_topk(
     )
 
 
+def _signed64(mask: int) -> int:
+    """Two's-complement signed value of an unsigned 64-bit mask (bit 63
+    flips the sign in a Spark BIGINT literal)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def _pool_code_sql(vec: str, planes: list[list[float]]) -> str:
+    """SQL text packing one sign bit per hyperplane into a single BIGINT.
+
+    Same sign decisions as ``_code_sql`` (identical fold order), but the
+    code is a machine word instead of a 64-char string: bucket keys become
+    (subset, pool & mask) int pairs and subset-collision checks become one
+    XOR+AND — which is what makes first-collision pair emission (below)
+    nearly free per join row."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(_lit_d(x) for x in p) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {_signed64(1 << i)}L ELSE 0L END)")
+    # bits are disjoint powers of two (bit 63 carried by the one negative
+    # literal), so the sum is exact two's-complement assembly — no overflow
+    return " + ".join(terms)
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -214,35 +241,64 @@ def lsh_candidate_pairs(
     """Candidate (id_a < id_b) pairs sharing ANY subset bucket — the
     blocking stage of ``cosine_pairs_bucketed``, exposed so tests can
     assert the candidate count directly (sub-quadratic behavior on
-    clustered corpora, tests/test_similarity.py)."""
+    clustered corpora, tests/test_similarity.py).
+
+    Emission is exactly-once WITHOUT a dedup shuffle: each join row knows
+    both sides' full 64-bit pool codes, so a pair is kept only at its
+    FIRST colliding subset — ``(pa XOR pb) AND mask_t' != 0`` for every
+    earlier subset t'. The r2 shape shuffled every collision row into a
+    dropDuplicates (24 M rows at sf0.1, 96.5 % of the pair space on this
+    near-uniform corpus); the first-collision filter runs inside the join
+    stage and forwards only distinct pairs. The bucket self-join itself
+    stays (vs operators.pairs.pairs_within_groups) — on dense collisions
+    the grouped collect_list expansion measured slower, and the join's
+    double-evaluated child is just the one-word pool code."""
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
     subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
+    masks = [_signed64(sum(1 << b for b in s)) for s in subsets]
 
     coded = emb.select(
         F.col(id_col).alias("id"),
-        F.expr(_code_sql(vec_col, planes)).alias("_pool"),
+        F.expr(_pool_code_sql(vec_col, planes)).alias("_pool"),
     )
-    bucket_keys = F.array(
+    buckets = F.array(
         *[
-            F.concat(F.lit(f"{t}:"), *[F.substring("_pool", b + 1, 1) for b in s])
-            for t, s in enumerate(subsets)
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(f"_pool & {m}L").alias("key"),
+            )
+            for t, m in enumerate(masks)
         ]
     )
-    ids = coded.select("id", F.explode(bucket_keys).alias("bucket"))
-    # deliberately a self-join, NOT operators.pairs.pairs_within_groups:
-    # on this query's dense-collision regime (~250 ids per bucket at the
-    # registered threshold) the grouped collect_list + in-group expansion
-    # measured SLOWER than the broadcast self-join (17s vs 12s at sf0.1),
-    # and the double-evaluated child here is just the one-column pool
-    # code. MinHash banding (sparse collisions, expensive signatures) is
-    # the shape where the grouped form wins — see dedup/minhash.py.
+    ids = coded.select("id", "_pool", F.explode(buckets).alias("b")).select(
+        "id", "_pool", "b.t", "b.key"
+    )
+    # first-collision check as a flat CASE chain: short-circuits at the
+    # first matching mask and does pure word ops — no per-row array
+    # allocation (the exists/slice formulation measured +2 s at sf0.1
+    # from allocating a sliced mask array per join row)
+    case_chain = (
+        "CASE "
+        + " ".join(
+            f"WHEN ((pa ^ pb) & {m}L) = 0L THEN {t}" for t, m in enumerate(masks)
+        )
+        + " ELSE -1 END"
+    )
+    first_collision = F.expr(f"({case_chain}) = t")
     return (
         ids.alias("a")
-        .join(ids.alias("b"), "bucket")
+        .join(ids.alias("b"), ["t", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a._pool").alias("pa"),
+            F.col("b._pool").alias("pb"),
+            F.col("t"),
+        )
+        .filter(first_collision)
+        .select("id_a", "id_b")
     )
 
 
@@ -261,12 +317,15 @@ def cosine_pairs_bucketed(
     exact-cosine verify — same output contract as ``cosine_pairs`` with
     no all-pairs cross join in the plan.
 
-    Shape: one ``pool_bits``-bit sign code per vector (computed once),
-    ``n_subsets`` overlapping ``bits``-bit subsets of the pool as hash
-    tables (combinatorial sharing — cheaper than independent tables),
-    candidates = id pairs sharing ANY subset bucket. Candidate rows carry
-    only (bucket, id) — vectors are attached AFTER pair dedup, so the
-    bucket-join shuffle is skinny. Exact cosine then filters candidates.
+    Shape: one ``pool_bits``-bit sign code per vector (computed once,
+    packed into a single BIGINT), ``n_subsets`` overlapping ``bits``-bit
+    subsets of the pool as hash tables (combinatorial sharing — cheaper
+    than independent tables), candidates = id pairs sharing ANY subset
+    bucket, emitted exactly once at their first colliding subset (a
+    word-op filter, no dedup shuffle — see lsh_candidate_pairs). Candidate
+    rows carry only (subset, key, id, pool-word) — vectors are attached
+    AFTER candidate generation, so the bucket-join shuffle is skinny.
+    Exact cosine then filters candidates.
 
     Candidate completeness is probabilistic per missed subset
     ((1 - p^bits)^n_subsets with p = 1 - angle/pi); parameters are sized

@@ -48,6 +48,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Restore parallelism after a scan of few-row-group files, for
+    pipelines whose PRE-shuffle work is expensive (hyperplane codes,
+    shingling, md5 signatures, bucket-join expansion).
+
+    Spark parallelizes scans by splitting files at row-group boundaries;
+    the test tables are single-row-group parquet, so every scan yields ONE
+    partition and everything before the first shuffle runs on one core
+    (measured: the near-dup bucket join spent 10 s expanding 12 M rows on
+    one thread at sf0.1). At 100 TB scans split naturally into thousands
+    of partitions and this helper returns the frame UNCHANGED — the
+    round-robin shuffle is applied only when the scan is narrower than the
+    cluster's parallelism, where it is a skinny one-time cost. Row order
+    is not semantically meaningful to any caller (all registered queries
+    end in an explicit sort), and round-robin repartition is
+    retry-deterministic (Spark sorts within partitions before dealing)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_school_spark.dedup.minhash import minhash_lsh_pairs
 from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_near_pairs
-from etl_school_spark.tables import load_table
+from etl_school_spark.tables import fan_out, load_table
 from etl_school_spark.workload._suite import sorted_single
 
 QUERIES = {}
@@ -60,7 +60,7 @@ ORDER BY id_a, id_b
 
 @_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return sorted_single(ngram_jaccard_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
@@ -149,7 +149,7 @@ ORDER BY id_a, id_b
 
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return sorted_single(minhash_lsh_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
@@ -157,7 +157,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4)
     # BIGINT on both engines (suite-wide integer-slot convention)
     return sorted_single(

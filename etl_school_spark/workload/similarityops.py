@@ -17,7 +17,7 @@ from etl_school_spark.similarity.knn import (
     cosine_pairs_bucketed,
     lsh_topk,
 )
-from etl_school_spark.tables import load_table
+from etl_school_spark.tables import fan_out, load_table
 from etl_school_spark.workload._suite import sorted_single
 
 QUERIES = {}
@@ -63,7 +63,7 @@ _COS = """
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sorted_single(cosine_pairs_bucketed(emb, threshold=0.4), "id_a", "id_b")
 
 
@@ -90,7 +90,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return sorted_single(brute_force_topk(emb, queries, k=5), "query_id", "rank")
 
@@ -148,7 +148,7 @@ def _lsh_ann_oracle(k: int = 5, bits: int = 4, tables: int = 16, dim: int = 64, 
 
 @_q("ann_topk_lsh", _lsh_ann_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     # bits=4/tables=16 measured at recall@5 ≈ 0.89 on this corpus (embeddings
     # are near-uniform — real clustered embeddings fare much better)
@@ -285,6 +285,6 @@ def _ivf_oracle(
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.similarity.ivf import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return sorted_single(ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6), "query_id", "rank")

@@ -24,7 +24,7 @@ from etl_school_spark.functions.text import (
     top_ngram_share,
     top_word_share,
 )
-from etl_school_spark.tables import load_table
+from etl_school_spark.tables import fan_out, load_table
 
 QUERIES = {}
 ORACLES = {}
@@ -61,7 +61,7 @@ _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",
@@ -117,7 +117,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tws = top_word_share("text")
     t2s = top_ngram_share("text", 2)
     d3f = dup_ngram_frac("text", 3)
@@ -163,7 +163,7 @@ def _lang_oracle() -> str:
 
 @_q("text_lang_id", _lang_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred")).orderBy("doc_id")
 
 
