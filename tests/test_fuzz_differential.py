@@ -1,0 +1,156 @@
+"""Differential fuzzing: randomly generated relational queries executed
+twice — once through this engine's DataFrame operators, once as ANSI SQL
+in DuckDB — and compared exactly (rows, schema, values).
+
+The fixed 50-query registry pins the shapes a user writes today; this
+harness samples the COMBINATORIAL space around them (predicate mixes,
+group-by subsets, aggregate bundles, orderings) so an engine-divergence
+bug in any composition — null handling, boundary comparisons, decimal
+widening, limit-after-sort — fails a seed, not a user. Seeds are fixed:
+the sample is deterministic, so a failure is reproducible by number.
+
+Exactness policy mirrors the registry (operators/aggregates.py): sums of
+doubles go through decimal(18,2) on BOTH engines; count/min/max are
+exact by nature; all integer aggregates are BIGINT-cast on both sides
+(the DuckDB HUGEINT hazard, workload/_suite.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_school_spark.operators.aggregates import dsum
+from etl_school_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# predicate pool per table: (name, spark Column factory, SQL text)
+PREDICATES = {
+    "orders": [
+        ("price_gt", lambda: F.col("o_totalprice") > 150000.0, "o_totalprice > 150000.0"),
+        ("price_le", lambda: F.col("o_totalprice") <= 60000.0, "o_totalprice <= 60000.0"),
+        ("prio_in", lambda: F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+         "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+        ("status_eq", lambda: F.col("o_orderstatus") == "F", "o_orderstatus = 'F'"),
+        ("date_ge", lambda: F.col("o_orderdate") >= "1995-01-01",
+         "o_orderdate >= TIMESTAMP '1995-01-01'"),
+        ("date_lt", lambda: F.col("o_orderdate") < "1997-06-15",
+         "o_orderdate < TIMESTAMP '1997-06-15'"),
+        ("key_mod", lambda: F.col("o_orderkey") % 7 == 3, "o_orderkey % 7 = 3"),
+        ("or_mix", lambda: (F.col("o_orderstatus") == "O") | (F.col("o_totalprice") < 30000.0),
+         "(o_orderstatus = 'O' OR o_totalprice < 30000.0)"),
+    ],
+    "lineitem": [
+        ("qty_gt", lambda: F.col("l_quantity") > 25.0, "l_quantity > 25.0"),
+        ("disc_between", lambda: F.col("l_discount").between(0.02, 0.06),
+         "l_discount BETWEEN 0.02 AND 0.06"),
+        ("flag_eq", lambda: F.col("l_returnflag") == "R", "l_returnflag = 'R'"),
+        ("ship_ge", lambda: F.col("l_shipdate") >= "1996-01-01",
+         "l_shipdate >= TIMESTAMP '1996-01-01'"),
+        ("line_le", lambda: F.col("l_linenumber") <= 3, "l_linenumber <= 3"),
+        ("tax_ne", lambda: F.col("l_tax") != 0.04, "l_tax <> 0.04"),
+    ],
+    "customer": [
+        ("bal_pos", lambda: F.col("c_acctbal") > 0.0, "c_acctbal > 0.0"),
+        ("seg_in", lambda: F.col("c_mktsegment").isin("BUILDING", "MACHINERY"),
+         "c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+        ("nation_lt", lambda: F.col("c_nationkey") < 13, "c_nationkey < 13"),
+    ],
+}
+
+# group-by candidates (low-cardinality columns)
+GROUPS = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+}
+
+# aggregate pool: (alias, spark Column factory, SQL text) — exact on both
+# engines by construction
+AGGS = {
+    "orders": [
+        ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+        ("n_cust", lambda: F.countDistinct("o_custkey").alias("n_cust"),
+         "COUNT(DISTINCT o_custkey) AS n_cust"),
+        ("sum_price", lambda: dsum("o_totalprice").alias("sum_price"),
+         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"),
+        ("min_date", lambda: F.min("o_orderdate").alias("min_date"),
+         "MIN(o_orderdate) AS min_date"),
+        ("max_key", lambda: F.max("o_orderkey").alias("max_key"),
+         "MAX(o_orderkey) AS max_key"),
+    ],
+    "lineitem": [
+        ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+        ("sum_qty", lambda: dsum("l_quantity").alias("sum_qty"),
+         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"),
+        ("sum_price", lambda: dsum("l_extendedprice").alias("sum_price"),
+         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"),
+        ("n_parts", lambda: F.countDistinct("l_partkey").alias("n_parts"),
+         "COUNT(DISTINCT l_partkey) AS n_parts"),
+        ("max_ship", lambda: F.max("l_shipdate").alias("max_ship"),
+         "MAX(l_shipdate) AS max_ship"),
+    ],
+    "customer": [
+        ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+        ("sum_bal", lambda: dsum("c_acctbal").alias("sum_bal"),
+         "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal"),
+        ("min_key", lambda: F.min("c_custkey").alias("min_key"),
+         "MIN(c_custkey) AS min_key"),
+    ],
+}
+
+
+def build_query(seed: int):
+    """One deterministic random query: (table, spark_builder, sql_text)."""
+    rng = random.Random(seed)
+    table = rng.choice(list(PREDICATES))
+    preds = rng.sample(PREDICATES[table], rng.randint(0, 3))
+    n_groups = rng.randint(0, min(2, len(GROUPS[table])))
+    groups = rng.sample(GROUPS[table], n_groups)
+    aggs = rng.sample(AGGS[table], rng.randint(1, 3))
+
+    def spark_build(spark):
+        df = load_table(spark, SF_DIR, table)
+        for _, col, _ in preds:
+            df = df.filter(col())
+        if groups:
+            out = df.groupBy(*groups).agg(*[a() for _, a, _ in aggs])
+        else:
+            out = df.agg(*[a() for _, a, _ in aggs])
+        return out.orderBy(*(groups + [alias for alias, _, _ in aggs]))
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    select = ", ".join(([*groups] if groups else []) + [s for _, _, s in aggs])
+    group = (" GROUP BY " + ", ".join(groups)) if groups else ""
+    order = " ORDER BY " + ", ".join(groups + [alias for alias, _, _ in aggs])
+    sql = f"SELECT {select} FROM {table}{where}{group}{order}"
+    return table, spark_build, sql
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import duck_connection
+
+    return duck_connection(SF_DIR)
+
+
+SEEDS = list(range(40))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_query_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_{seed}", got, want), f"divergence for seed {seed}: {sql}"
