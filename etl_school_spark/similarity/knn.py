@@ -103,41 +103,58 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 7) -> list[list[l
     ]
 
 
-def _lit_d(x: float) -> str:
-    """Round-trip double literal for Spark SQL ('D' suffix; CAST form for
-    exponent notation, where the suffix grammar is finicky)."""
-    r = repr(x)
-    return f"CAST('{r}' AS DOUBLE)" if "e" in r or "E" in r else f"{r}D"
+def _signed64(mask: int) -> int:
+    """Two's-complement signed value of an unsigned 64-bit mask (bit 63
+    flips the sign in a Spark BIGINT literal)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
 
 
-def _code_sql(vec: str, planes: list[list[float]]) -> str:
-    """SQL text of the sign-bit code of a vector column (by name) under
-    one table's hyperplanes.
+def pool_code(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit code of a vector under ``planes``, packed into ONE BIGINT
+    (plane i → bit i, two's-complement for bit 63).
 
-    Two deliberate choices, both measured:
-    - built as ONE SQL string parsed JVM-side (F.expr) — the same tree
-      through the Column API costs tens of thousands of py4j round-trips
-      (~50 s of driver time for a 64-plane pool);
-    - each plane dot is the zip_with/aggregate HOF fold, NOT an unrolled
-      element_at chain — Spark 4 evaluates array HOFs ~2.6× faster than
+    Representation choices, all measured at 64 planes × 64 dims:
+    - a machine word instead of a code STRING: bucket keys become
+      (table, shifted-masked word) int pairs, and subset-collision checks
+      become one XOR+AND — what makes first-collision pair emission
+      (lsh_candidate_pairs) nearly free per join row;
+    - each plane is a COMPACT array literal (F.lit of a 1-D numpy array =
+      one Catalyst Literal leaf), so the whole expression is ~70 nodes.
+      The same constants written into a parsed SQL string become ~4 000
+      CreateArray/Literal nodes that the analyzer and optimizer re-walk on
+      every plan use (~1 s per occurrence per iteration); the same tree
+      built from per-element F.lit calls costs ~8 s of py4j round-trips;
+    - per-plane dots are zip_with/aggregate HOF folds, NOT unrolled
+      element_at chains — Spark 4 evaluates array HOFs ~2.6× faster than
       a deep unrolled Add tree (micro-benched on 2 M rows).
     The fold order is identical to ``vectors.dot``, so sign decisions are
-    bit-identical to the generic formulation (and to the DuckDB oracle's
-    list_sum)."""
-    bits = []
-    for p in planes:
-        arr = "array(" + ", ".join(_lit_d(x) for x in p) + ")"
-        dot = (
-            f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    bit-identical to the generic formulation (and to oracle SQL replaying
+    the same plane constants via DuckDB's list_sum).
+    """
+    import numpy as np
+
+    v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+    P = F.array(*[F.lit(np.array(p, dtype=np.float64)) for p in planes])
+    W = F.array(
+        *[F.lit(_signed64(1 << i)).cast("long") for i in range(len(planes))]
+    )
+
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    return "concat(" + ", ".join(bits) + ")"
+
+    terms = F.zip_with(
+        P, W, lambda p, w: F.when(plane_dot(p) >= 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    # bits are disjoint powers of two (bit 63 carried by the one negative
+    # weight), so the sum is exact two's-complement assembly — no overflow
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def lsh_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
     bits: int = 8,
     tables: int = 8,
@@ -145,36 +162,60 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    query_filter: F.Column | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
     Same output contract as brute_force_topk; recall depends on
     bits/tables (more tables → higher recall, more candidates).
-    """
-    planes = _hyperplanes(dim, bits, tables, seed)
 
-    # SKINNY bucket rows: (id, bucket) only — exploding the codes with the
-    # vectors attached would push O(candidates) vector payloads through
-    # the dedup shuffle; vectors + norms are re-attached AFTER pair dedup
-    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
-        codes = F.array(
-            *[
-                F.expr(f"concat('{t}:', {_code_sql(vec_col, planes[t])})")
-                for t in range(tables)
-            ]
-        )
+    ``queries`` may be any frame with (id_col, vec_col); when the query
+    set is a SUBSET of the corpus, pass ``query_filter`` (a boolean
+    Column) instead — the query side is then derived by filtering the
+    corpus code frame, so the (large, literal-heavy) hyperplane
+    expression is built and analyzed once, not once per side (measured
+    ~3.5 s of driver time per extra build at 64 planes).
+
+    All ``tables × bits`` sign bits are packed into ONE BIGINT pool code
+    (plane (t, b) → bit t·bits+b); table t's bucket key is
+    ``shiftright(pool, t·bits) & (2^bits − 1)``, which equals the r2
+    per-table string code comparison bit for bit — same candidate set,
+    word-op join keys instead of strings."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    flat = [p for t in range(tables) for p in planes[t]]
+    mask = (1 << bits) - 1
+
+    coded = corpus.withColumn("_pool", pool_code(vec_col, flat))
+    table_keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(f"shiftright(_pool, {bits * t}) & {mask}L").alias("key"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+    def exploded(df: DataFrame, id_alias: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(id_alias), F.explode(codes).alias("bucket")
-        )
+            F.col(id_col).alias(id_alias), F.explode(table_keys).alias("b")
+        ).select(id_alias, "b.t", "b.key")
+
+    if query_filter is not None:
+        q_src = corpus.filter(query_filter)
+        q_coded = coded.filter(query_filter)
+    else:
+        q_src = queries
+        q_coded = queries.withColumn("_pool", pool_code(vec_col, flat))
 
     cands = (
-        bucketed(queries, "query_id")
-        .join(bucketed(corpus, "neighbor_id"), "bucket")
+        exploded(q_coded, "query_id")
+        .join(exploded(coded, "neighbor_id"), ["t", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = queries.select(
+    qv = q_src.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(as_double(F.col(vec_col))).alias("_nq"),
@@ -201,20 +242,25 @@ def lsh_topk(
     )
 
 
-def _signed64(mask: int) -> int:
-    """Two's-complement signed value of an unsigned 64-bit mask (bit 63
-    flips the sign in a Spark BIGINT literal)."""
-    return mask - (1 << 64) if mask >= (1 << 63) else mask
+def _lit_d(x: float) -> str:
+    """Round-trip double literal for Spark SQL ('D' suffix; CAST form for
+    exponent notation, where the suffix grammar is finicky)."""
+    r = repr(x)
+    return f"CAST('{r}' AS DOUBLE)" if "e" in r or "E" in r else f"{r}D"
 
 
 def _pool_code_sql(vec: str, planes: list[list[float]]) -> str:
-    """SQL text packing one sign bit per hyperplane into a single BIGINT.
+    """SQL text of the same BIGINT pool code as ``pool_code``, as one
+    unrolled parser-built expression (per-plane CASE WHEN terms summed).
 
-    Same sign decisions as ``_code_sql`` (identical fold order), but the
-    code is a machine word instead of a 64-char string: bucket keys become
-    (subset, pool & mask) int pairs and subset-collision checks become one
-    XOR+AND — which is what makes first-collision pair emission (below)
-    nearly free per join row."""
+    Two formulations of one value, and the choice is per-call-site,
+    measured fresh-JVM at sf0.1: the dense self-join in
+    ``lsh_candidate_pairs`` runs ~2.5× faster with this unrolled form
+    (9.4 s → 3.6 s per bench iteration), while the sparser
+    ``lsh_topk`` stage is ~10 % faster with the compact-literal HOF fold
+    — interpreted nested-lambda evaluation and whole-stage-codegen
+    interact differently with the two join shapes, so each keeps the
+    form that wins in its own plan."""
     terms = []
     for i, p in enumerate(planes):
         arr = "array(" + ", ".join(_lit_d(x) for x in p) + ")"

@@ -149,10 +149,14 @@ def _lsh_ann_oracle(k: int = 5, bits: int = 4, tables: int = 16, dim: int = 64, 
 @_q("ann_topk_lsh", _lsh_ann_oracle())
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
     # bits=4/tables=16 measured at recall@5 ≈ 0.89 on this corpus (embeddings
-    # are near-uniform — real clustered embeddings fare much better)
-    return sorted_single(lsh_topk(emb, queries, k=5, bits=4, tables=16), "query_id", "rank")
+    # are near-uniform — real clustered embeddings fare much better);
+    # query_filter (not a separate frame) so the hyperplane pool is built once
+    return sorted_single(
+        lsh_topk(emb, k=5, bits=4, tables=16, query_filter=F.col("vec_id") % 25 == 0),
+        "query_id",
+        "rank",
+    )
 
 
 # --------------------------------------------------------------------------

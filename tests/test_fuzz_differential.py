@@ -59,6 +59,27 @@ PREDICATES = {
          "c_mktsegment IN ('BUILDING', 'MACHINERY')"),
         ("nation_lt", lambda: F.col("c_nationkey") < 13, "c_nationkey < 13"),
     ],
+    # events exercises the TIMESTAMP(NANOS) → NTZ reconstruction path
+    # (tables.load_table), the engine's trickiest cross-engine surface
+    "events": [
+        ("ts_ge", lambda: F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-08 00:00:00'"),
+         "ts >= TIMESTAMP '2024-01-08 00:00:00'"),
+        ("ts_lt", lambda: F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-12 12:00:00'"),
+         "ts < TIMESTAMP '2024-01-12 12:00:00'"),
+        ("type_in", lambda: F.col("event_type").isin("click", "view"),
+         "event_type IN ('click', 'view')"),
+        ("val_gt", lambda: F.col("value") > 100.0, "value > 100.0"),
+        ("user_mod", lambda: F.col("user_id") % 5 == 2, "user_id % 5 = 2"),
+    ],
+    # broadcast-join shape: orders ⋈ customer on custkey
+    "orders_customer": [
+        ("price_gt", lambda: F.col("o_totalprice") > 100000.0, "o_totalprice > 100000.0"),
+        ("seg_eq", lambda: F.col("c_mktsegment") == "BUILDING", "c_mktsegment = 'BUILDING'"),
+        ("status_eq", lambda: F.col("o_orderstatus") == "O", "o_orderstatus = 'O'"),
+        ("bal_neg", lambda: F.col("c_acctbal") < 0.0, "c_acctbal < 0.0"),
+        ("date_ge", lambda: F.col("o_orderdate") >= "1996-01-01",
+         "o_orderdate >= TIMESTAMP '1996-01-01'"),
+    ],
 }
 
 # group-by candidates (low-cardinality columns)
@@ -66,6 +87,8 @@ GROUPS = {
     "orders": ["o_orderstatus", "o_orderpriority"],
     "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
     "customer": ["c_mktsegment", "c_nationkey"],
+    "events": ["event_type"],
+    "orders_customer": ["c_mktsegment", "o_orderstatus"],
 }
 
 # aggregate pool: (alias, spark Column factory, SQL text) — exact on both
@@ -100,6 +123,24 @@ AGGS = {
         ("min_key", lambda: F.min("c_custkey").alias("min_key"),
          "MIN(c_custkey) AS min_key"),
     ],
+    "events": [
+        ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+        ("n_users", lambda: F.countDistinct("user_id").alias("n_users"),
+         "COUNT(DISTINCT user_id) AS n_users"),
+        ("sum_val", lambda: dsum("value").alias("sum_val"),
+         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val"),
+        ("min_ts", lambda: F.min("ts").alias("min_ts"), "MIN(ts) AS min_ts"),
+        ("max_ts", lambda: F.max("ts").alias("max_ts"), "MAX(ts) AS max_ts"),
+    ],
+    "orders_customer": [
+        ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"), "COUNT(*) AS n_rows"),
+        ("sum_price", lambda: dsum("o_totalprice").alias("sum_price"),
+         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"),
+        ("n_cust", lambda: F.countDistinct("o_custkey").alias("n_cust"),
+         "COUNT(DISTINCT o_custkey) AS n_cust"),
+        ("min_bal", lambda: F.min("c_acctbal").alias("min_bal"),
+         "MIN(c_acctbal) AS min_bal"),
+    ],
 }
 
 
@@ -113,7 +154,15 @@ def build_query(seed: int):
     aggs = rng.sample(AGGS[table], rng.randint(1, 3))
 
     def spark_build(spark):
-        df = load_table(spark, SF_DIR, table)
+        if table == "orders_customer":
+            from pyspark.sql import functions as SF
+
+            df = load_table(spark, SF_DIR, "orders").join(
+                SF.broadcast(load_table(spark, SF_DIR, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+        else:
+            df = load_table(spark, SF_DIR, table)
         for _, col, _ in preds:
             df = df.filter(col())
         if groups:
@@ -122,11 +171,16 @@ def build_query(seed: int):
             out = df.agg(*[a() for _, a, _ in aggs])
         return out.orderBy(*(groups + [alias for alias, _, _ in aggs]))
 
+    from_sql = (
+        "orders JOIN customer ON o_custkey = c_custkey"
+        if table == "orders_customer"
+        else table
+    )
     where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
     select = ", ".join(([*groups] if groups else []) + [s for _, _, s in aggs])
     group = (" GROUP BY " + ", ".join(groups)) if groups else ""
     order = " ORDER BY " + ", ".join(groups + [alias for alias, _, _ in aggs])
-    sql = f"SELECT {select} FROM {table}{where}{group}{order}"
+    sql = f"SELECT {select} FROM {from_sql}{where}{group}{order}"
     return table, spark_build, sql
 
 
@@ -140,7 +194,7 @@ def duck():
     return duck_connection(SF_DIR)
 
 
-SEEDS = list(range(40))
+SEEDS = list(range(60))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

@@ -145,3 +145,53 @@ def test_bucketed_pairs_equal_brute_force(spark):
             for r in cosine_pairs_bucketed(emb, 0.4).collect()
         }
         assert fast == brute and len(brute) > 0, sf
+
+
+def test_gemm_topk_matches_relational_baseline(spark):
+    """The vectorized (Arrow batch + BLAS gemm) exact ANN must agree with
+    the relational brute-force baseline: same neighbor set AND rank per
+    query, scores equal to float-reassociation tolerance."""
+    from etl_school_spark.similarity.gemm import gemm_topk
+    from etl_school_spark.similarity.knn import brute_force_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    base = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in brute_force_topk(emb, queries, k=5).collect()}
+    fast = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in gemm_topk(emb, queries, k=5).collect()}
+    assert set(base) == set(fast)
+    for key, (nb, sc) in base.items():
+        nb2, sc2 = fast[key]
+        assert nb2 == nb, (key, nb, nb2)
+        assert abs(sc2 - sc) < 1e-9, (key, sc, sc2)
+
+
+def test_gemm_topk_batch_size_invariant(spark):
+    """Correct cross-batch merging: shrinking the Arrow batch size (more
+    per-batch top-k fragments) must not change the result."""
+    from etl_school_spark.similarity.gemm import gemm_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key, "10000")
+    try:
+        spark.conf.set(key, "37")
+        small = sorted(map(tuple, gemm_topk(emb, queries, k=5).collect()))
+    finally:
+        spark.conf.set(key, default)
+    normal = sorted(map(tuple, gemm_topk(emb, queries, k=5).collect()))
+    assert small == normal
+
+
+def test_gemm_topk_plan_is_arrow_not_row_python(spark):
+    """The scale contract: MapInPandas (Arrow-batched) in the plan, never
+    row-at-a-time BatchEvalPython."""
+    from etl_school_spark.similarity.gemm import gemm_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    plan = gemm_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
