@@ -34,14 +34,38 @@ def connected_components(
     a deterministic canonical label. Nodes appearing in no edge are not
     emitted (callers union singletons if needed).
     """
+    # edges feeds und TWICE (forward + swapped); persist it so an
+    # expensive upstream pair pipeline (ngram/minhash join) runs once,
+    # not once per union branch
+    edges = edges.persist()
+    edges.count()  # materialize BEFORE the 2-branch union reads it
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist()
     )
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # seed with min(node, min neighbor) — one propagation step fused into
+    # initialization, saving a full round on shallow graphs
+    labels = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_min_nb"))
+        .select("node", F.least("node", "_min_nb").alias("component"))
+        .persist()
     )
+    # Integral labels only ever DECREASE under min-propagation, so the
+    # total label sum strictly decreases until fixpoint — convergence
+    # needs one scalar aggregate per round, not a join against the
+    # previous labels. Non-integral node ids (e.g. string doc hashes)
+    # keep the join-based changed-count check, which is type-generic.
+    integral = dict(labels.dtypes)["component"] in {
+        "tinyint", "smallint", "int", "bigint",
+    }
+
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if integral else None
     changed = -1
     for _ in range(max_iterations):
         msgs = (
@@ -54,23 +78,30 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        if integral:
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    und.unpersist()
+    edges.unpersist()
     if changed != 0:
         # graph diameter exceeded the round budget: labels are still a
         # valid partition refinement but long chains may be SPLIT into
         # multiple components — silent wrong answers are worse than noise
         warnings.warn(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); components of "
+            "iterations (labels still changing); components of "
             "long duplicate chains may be split — raise max_iterations",
             RuntimeWarning,
             stacklevel=2,

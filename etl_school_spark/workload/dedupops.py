@@ -173,10 +173,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely iterative DataFrame algorithm.
 # --------------------------------------------------------------------------
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {_NGRAM_ORACLE.replace("ORDER BY id_a, id_b", "")}
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
