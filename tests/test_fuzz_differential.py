@@ -144,6 +144,144 @@ AGGS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Family 2: row-level scalar expressions (string / date / conditional /
+# hash) — per-row outputs ordered by the table key, compared exactly.
+# Pools avoid engine-divergent edges by construction: no float rounding
+# (HALF_UP vs HALF_EVEN), no locale-dependent collation, no tz casts.
+# ---------------------------------------------------------------------------
+SCALAR_KEYS = {"customer": "c_custkey", "orders": "o_orderkey"}
+
+SCALAR_EXPRS = {
+    "customer": [
+        ("up_name", lambda: F.upper("c_name"), "upper(c_name) AS up_name"),
+        ("sub_name", lambda: F.substring("c_name", 3, 5), "substr(c_name, 3, 5) AS sub_name"),
+        ("name_len", lambda: F.length("c_name").cast("long"),
+         "CAST(length(c_name) AS BIGINT) AS name_len"),
+        ("seg_name", lambda: F.concat_ws("_", "c_mktsegment", "c_name"),
+         "c_mktsegment || '_' || c_name AS seg_name"),
+        ("bal_sign", lambda: F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos"),
+         "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign"),
+        ("bal_floor", lambda: F.floor("c_acctbal").cast("long"),
+         "CAST(floor(c_acctbal) AS BIGINT) AS bal_floor"),
+        ("seg_or_x", lambda: F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("X")),
+         "coalesce(nullif(c_mktsegment, 'BUILDING'), 'X') AS seg_or_x"),
+        ("name_md5", lambda: F.md5("c_name"), "md5(c_name) AS name_md5"),
+        ("nat_mod", lambda: (F.col("c_nationkey") % 7).cast("long"),
+         "CAST(c_nationkey % 7 AS BIGINT) AS nat_mod"),
+        ("name_rev", lambda: F.reverse("c_name"), "reverse(c_name) AS name_rev"),
+    ],
+    "orders": [
+        ("od_month", lambda: F.date_trunc("month", "o_orderdate"),
+         "date_trunc('month', o_orderdate) AS od_month"),
+        ("od_year", lambda: F.year("o_orderdate").cast("long"),
+         "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS od_year"),
+        ("od_dow_str", lambda: F.date_format("o_orderdate", "yyyy-MM-dd"),
+         "strftime(o_orderdate, '%Y-%m-%d') AS od_dow_str"),
+        ("prio_code", lambda: F.substring("o_orderpriority", 1, 1),
+         "substr(o_orderpriority, 1, 1) AS prio_code"),
+        ("prio_pad", lambda: F.lpad("o_orderpriority", 12, "#"),
+         "lpad(o_orderpriority, 12, '#') AS prio_pad"),
+        ("price_band",
+         lambda: F.when(F.col("o_totalprice") > 200000, "hi")
+                  .when(F.col("o_totalprice") > 100000, "mid").otherwise("lo"),
+         "CASE WHEN o_totalprice > 200000 THEN 'hi' "
+         "WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS price_band"),
+        ("key_hex", lambda: F.lower(F.hex(F.col("o_orderkey"))),
+         "lower(to_hex(o_orderkey)) AS key_hex"),
+        ("ceil_cents", lambda: F.ceil(F.col("o_totalprice")).cast("long"),
+         "CAST(ceil(o_totalprice) AS BIGINT) AS ceil_cents"),
+        ("status_rep", lambda: F.regexp_replace("o_orderstatus", "O", "OPEN"),
+         "regexp_replace(o_orderstatus, 'O', 'OPEN') AS status_rep"),
+    ],
+}
+
+
+def build_scalar_query(seed: int):
+    rng = random.Random(seed)
+    table = rng.choice(list(SCALAR_EXPRS))
+    key = SCALAR_KEYS[table]
+    exprs = rng.sample(SCALAR_EXPRS[table], rng.randint(2, 4))
+    preds = rng.sample(PREDICATES[table], rng.randint(0, 2))
+
+    def spark_build(spark):
+        df = load_table(spark, SF_DIR, table)
+        for _, col, _ in preds:
+            df = df.filter(col())
+        return df.select(
+            F.col(key), *[c().alias(a) for a, c, _ in exprs]
+        ).orderBy(key)
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    select = ", ".join([key] + [s for _, _, s in exprs])
+    sql = f"SELECT {select} FROM {table}{where} ORDER BY {key}"
+    return table, spark_build, sql
+
+
+# ---------------------------------------------------------------------------
+# Family 3: window functions — ranking / offset / running frames over a
+# deterministic (partition, unique-key order) spec. Running sums go
+# through decimal on both engines; integer window outputs BIGINT-cast.
+# ---------------------------------------------------------------------------
+from pyspark.sql.window import Window  # noqa: E402
+
+# table → (partition col, unique order key, running-sum value col)
+WINDOW_SPECS = {
+    "orders": ("o_orderstatus", "o_orderkey", "o_totalprice"),
+    "customer": ("c_mktsegment", "c_custkey", "c_acctbal"),
+    "events": ("event_type", "event_id", "value"),
+}
+
+
+def _window_exprs(part: str, key: str, val: str):
+    return [
+        ("rn", lambda w, wr: F.row_number().over(w).cast("long"),
+         f"CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn"),
+        ("lag_key", lambda w, wr: F.lag(key).over(w).cast("long"),
+         f"CAST(LAG({key}) OVER w AS BIGINT) AS lag_key"),
+        ("lead_key", lambda w, wr: F.lead(key).over(w).cast("long"),
+         f"CAST(LEAD({key}) OVER w AS BIGINT) AS lead_key"),
+        ("nt4", lambda w, wr: F.ntile(4).over(w).cast("long"),
+         f"CAST(NTILE(4) OVER w AS BIGINT) AS nt4"),
+        ("run_sum",
+         lambda w, wr: F.sum(F.col(val).cast("decimal(18,2)")).over(wr).cast("double"),
+         f"CAST(SUM(CAST({val} AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS run_sum"),
+        ("run_n", lambda w, wr: F.count(F.lit(1)).over(wr).cast("long"),
+         f"CAST(COUNT(*) OVER wr AS BIGINT) AS run_n"),
+        ("part_min", lambda w, wr: F.min(key).over(w).cast("long"),
+         f"CAST(MIN({key}) OVER w AS BIGINT) AS part_min"),
+    ]
+
+
+def build_window_query(seed: int):
+    rng = random.Random(seed)
+    table = rng.choice(list(WINDOW_SPECS))
+    part, key, val = WINDOW_SPECS[table]
+    exprs = rng.sample(_window_exprs(part, key, val), rng.randint(2, 4))
+    preds = rng.sample(PREDICATES[table], rng.randint(0, 2))
+
+    def spark_build(spark):
+        df = load_table(spark, SF_DIR, table)
+        for _, col, _ in preds:
+            df = df.filter(col())
+        w = Window.partitionBy(part).orderBy(key)
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.select(
+            F.col(part), F.col(key), *[c(w, wr).alias(a) for a, c, _ in exprs]
+        ).orderBy(part, key)
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    select = ", ".join([part, key] + [s for _, _, s in exprs])
+    sql = (
+        f"SELECT {select} FROM {table}{where} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {key}), "
+        f"wr AS (PARTITION BY {part} ORDER BY {key} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"ORDER BY {part}, {key}"
+    )
+    return table, spark_build, sql
+
+
 def build_query(seed: int):
     """One deterministic random query: (table, spark_builder, sql_text)."""
     rng = random.Random(seed)
@@ -208,3 +346,33 @@ def test_random_query_matches_duckdb(spark, duck, seed):
     got = spark_build(spark).toPandas()
     want = duck.execute(sql).fetchdf()
     assert not compare(f"fuzz_{seed}", got, want), f"divergence for seed {seed}: {sql}"
+
+
+@pytest.mark.parametrize("seed", list(range(1000, 1025)))
+def test_random_scalar_query_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_scalar_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_scalar_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(2000, 2025)))
+def test_random_window_query_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_window_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_window_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
