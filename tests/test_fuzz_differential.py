@@ -282,6 +282,63 @@ def build_window_query(seed: int):
     return table, spark_build, sql
 
 
+# ---------------------------------------------------------------------------
+# Family 4: join shapes — LEFT / SEMI / ANTI / INNER with a filtered
+# build side. Null propagation through outer joins and the EXISTS /
+# NOT-EXISTS duality are classic cross-engine divergence spots.
+# ---------------------------------------------------------------------------
+def build_join_query(seed: int):
+    rng = random.Random(seed)
+    jtype = rng.choice(["left", "semi", "anti", "inner"])
+    r_preds = rng.sample(PREDICATES["customer"], rng.randint(0, 2))
+    l_preds = rng.sample(PREDICATES["orders"], rng.randint(0, 1))
+
+    def spark_build(spark):
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer")
+        for _, col, _ in r_preds:
+            cust = cust.filter(col())
+        for _, col, _ in l_preds:
+            orders = orders.filter(col())
+        on = orders["o_custkey"] == cust["c_custkey"]
+        if jtype in ("semi", "anti"):
+            out = orders.join(cust, on, f"left_{jtype}").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+        elif jtype == "left":
+            out = orders.join(cust, on, "left").select(
+                "o_orderkey", "c_custkey", "c_mktsegment"
+            )
+        else:
+            out = orders.join(cust, on, "inner").select(
+                "o_orderkey", "c_custkey", "c_mktsegment"
+            )
+        return out.orderBy("o_orderkey")
+
+    r_where = " AND ".join(s for _, _, s in r_preds)
+    l_where = (" WHERE " + " AND ".join(s for _, _, s in l_preds)) if l_preds else ""
+    filtered_cust = f"(SELECT * FROM customer{(' WHERE ' + r_where) if r_where else ''})"
+    if jtype in ("semi", "anti"):
+        neg = "NOT " if jtype == "anti" else ""
+        exists = (
+            f"{neg}EXISTS (SELECT 1 FROM {filtered_cust} c "
+            "WHERE o_custkey = c.c_custkey)"
+        )
+        where = f"{l_where} AND {exists}" if l_where else f" WHERE {exists}"
+        sql = (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM orders{where} ORDER BY o_orderkey"
+        )
+    else:
+        kw = "LEFT JOIN" if jtype == "left" else "JOIN"
+        sql = (
+            "SELECT o_orderkey, c_custkey, c_mktsegment "
+            f"FROM (SELECT * FROM orders{l_where}) o {kw} {filtered_cust} c "
+            "ON o.o_custkey = c.c_custkey ORDER BY o_orderkey"
+        )
+    return jtype, spark_build, sql
+
+
 def build_query(seed: int):
     """One deterministic random query: (table, spark_builder, sql_text)."""
     rng = random.Random(seed)
@@ -359,6 +416,21 @@ def test_random_scalar_query_matches_duckdb(spark, duck, seed):
     got = spark_build(spark).toPandas()
     want = duck.execute(sql).fetchdf()
     assert not compare(f"fuzz_scalar_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(3000, 3025)))
+def test_random_join_shape_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_join_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_join_{seed}", got, want), (
         f"divergence for seed {seed}: {sql}"
     )
 
