@@ -339,6 +339,58 @@ def build_join_query(seed: int):
     return jtype, spark_build, sql
 
 
+# ---------------------------------------------------------------------------
+# Family 5: set operations — UNION / UNION ALL / INTERSECT / EXCEPT
+# between two differently-filtered projections of one table. Exercises
+# set-semantics dedup, null equality in set ops, and unionByName.
+# ---------------------------------------------------------------------------
+_SETOP_COLS = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+}
+
+
+def build_setop_query(seed: int):
+    rng = random.Random(seed)
+    table = rng.choice(list(_SETOP_COLS))
+    cols = _SETOP_COLS[table]
+    op = rng.choice(["union", "union_all", "intersect", "except"])
+    p1 = rng.sample(PREDICATES[table], rng.randint(0, 2))
+    p2 = rng.sample(PREDICATES[table], rng.randint(0, 2))
+
+    def side(spark, preds):
+        df = load_table(spark, SF_DIR, table)
+        for _, col, _ in preds:
+            df = df.filter(col())
+        return df.select(*cols)
+
+    def spark_build(spark):
+        a, b = side(spark, p1), side(spark, p2)
+        if op == "union":
+            out = a.unionByName(b).distinct()
+        elif op == "union_all":
+            out = a.unionByName(b)
+        elif op == "intersect":
+            out = a.intersect(b)
+        else:
+            out = a.subtract(b)  # subtract = SQL EXCEPT (set semantics)
+        return out.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).orderBy(*cols)
+
+    def sql_side(preds):
+        where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+        return f"SELECT {', '.join(cols)} FROM {table}{where}"
+
+    kw = {"union": "UNION", "union_all": "UNION ALL",
+          "intersect": "INTERSECT", "except": "EXCEPT"}[op]
+    sql = (
+        f"SELECT {', '.join(cols)}, COUNT(*) AS n FROM "
+        f"({sql_side(p1)} {kw} {sql_side(p2)}) "
+        f"GROUP BY {', '.join(cols)} ORDER BY {', '.join(cols)}"
+    )
+    return op, spark_build, sql
+
+
 def build_query(seed: int):
     """One deterministic random query: (table, spark_builder, sql_text)."""
     rng = random.Random(seed)
@@ -416,6 +468,21 @@ def test_random_scalar_query_matches_duckdb(spark, duck, seed):
     got = spark_build(spark).toPandas()
     want = duck.execute(sql).fetchdf()
     assert not compare(f"fuzz_scalar_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(4000, 4020)))
+def test_random_setop_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_setop_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_setop_{seed}", got, want), (
         f"divergence for seed {seed}: {sql}"
     )
 

@@ -260,3 +260,45 @@ def test_repetition_metrics_handcrafted(spark):
     assert out[1].tw == 0.2 and out[1].t2 == 0.25 and out[1].d3 == 0.0
     assert out[2].tw == 0.5 and out[2].t2 == 0.6 and out[2].d3 == 0.5  # xyx,yxy,xyx,yxy
     assert out[3].t2 is None and out[3].d3 is None
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a Python union-find on random graphs — validates
+# min-label propagation (seeded init + monotone-sum convergence check,
+# dedup/cluster.py) on shapes fixed unit cases can't cover: multi-cluster
+# mixes, rings, stars, chains crossing partition boundaries.
+# ---------------------------------------------------------------------------
+_edges = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # roots stay minimal under min-wins union, so find(n) IS the
+    # component's canonical (minimum) label
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_connected_components_match_union_find(spark, edges):
+    from etl_school_spark.dedup.cluster import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df, max_iterations=50).collect()}
+    want = _py_components(edges)
+    assert got == want
