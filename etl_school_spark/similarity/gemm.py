@@ -94,3 +94,64 @@ def gemm_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_pairs_dense(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 2048,
+) -> DataFrame:
+    """All pairs (i < j) with cosine ≥ threshold, vectorized for the
+    DENSE regime.
+
+    ``knn.cosine_pairs_bucketed`` is the scale path when near-dups are
+    sparse (LSH blocking prunes the pair space). But when the threshold
+    is low or the corpus is near-uniform, the candidate set degenerates
+    toward all pairs (the documented LSH worst case, knn.py) — and then
+    the right physical form is a block matrix product, not per-pair
+    expression evaluation: corpus partitions stream through
+    ``mapInPandas`` as Arrow batches, each scored against a broadcast
+    normalized block X̂ with one BLAS gemm S = B̂ · X̂ᵀ, emitting only the
+    (i < j, S ≥ t) survivors.
+
+    The broadcast block is bounded by ``block`` rows; callers with a
+    corpus larger than one block iterate blocks via a keyed union
+    driver-side (n/block skinny scans), preserving the streaming shape.
+    Scores differ from the HOF-fold baseline only in float summation
+    order; pair SETS are identical away from exact-threshold boundary
+    ties (asserted in tests/test_similarity.py).
+    """
+    rows = emb.select(id_col, vec_col).limit(block + 1).collect()
+    if len(rows) > block:
+        raise ValueError(
+            f"cosine_pairs_dense broadcast block capped at {block} rows; "
+            "use knn.cosine_pairs_bucketed for larger corpora or raise "
+            "`block` if executor memory allows"
+        )
+    x_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    t = float(threshold)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            S = Bn @ Xn.T  # |batch| × |block|
+            bi, xj = np.nonzero((S >= t) & (ids[:, None] < x_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[bi],
+                    "id_b": x_ids[xj],
+                    "cosine_sim": S[bi, xj],
+                }
+            )
+
+    return emb.mapInPandas(
+        score_batches, schema="id_a long, id_b long, cosine_sim double"
+    )

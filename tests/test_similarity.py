@@ -195,3 +195,32 @@ def test_gemm_topk_plan_is_arrow_not_row_python(spark):
     plan = gemm_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cosine_pairs_dense_matches_exact_baseline(spark):
+    """Dense-regime block-gemm near-dup pairs: same pair SET as the exact
+    HOF-fold baseline, scores equal to reassociation tolerance."""
+    from etl_school_spark.similarity.gemm import cosine_pairs_dense
+    from etl_school_spark.similarity.knn import cosine_pairs
+
+    emb = _emb(spark)
+    base = {(r.id_a, r.id_b): r.cosine_sim for r in cosine_pairs(emb, 0.4).collect()}
+    fast = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_pairs_dense(emb, 0.4).collect()
+    }
+    assert set(base) == set(fast) and len(base) > 0
+    for key, sc in base.items():
+        assert abs(fast[key] - sc) < 1e-9, (key, sc, fast[key])
+
+
+def test_cosine_pairs_dense_refuses_oversized_block(spark):
+    """The broadcast block is a documented memory contract, not a silent
+    driver-side materialization of an unbounded corpus."""
+    import pytest as _pytest
+
+    from etl_school_spark.similarity.gemm import cosine_pairs_dense
+
+    emb = _emb(spark)
+    with _pytest.raises(ValueError, match="capped"):
+        cosine_pairs_dense(emb, 0.4, block=10).collect()
