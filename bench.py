@@ -39,6 +39,7 @@ PIPELINE = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "text_token_stats",
     "text_quality_scores",
     "benchmark_contamination",
