@@ -302,3 +302,51 @@ def test_connected_components_match_union_find(spark, edges):
     got = {r.node: r.component for r in connected_components(df, max_iterations=50).collect()}
     want = _py_components(edges)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a Python bisect reference on random timelines — exercises
+# the union-tag + last(ignorenulls) carry implementation on tie
+# timestamps, keys with no right rows, and duplicate left timestamps.
+# ---------------------------------------------------------------------------
+_timeline = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-5, 5)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_timeline, _timeline)
+def test_asof_join_matches_bisect_reference(spark, lrows, rrows):
+    from etl_school_spark.operators.temporal import asof_join
+
+    # dedupe right rows on (key, ts): an as-of tie among same-ts right
+    # rows is undefined order — the contract assumes unique right ts/key
+    seen = {}
+    for k, t, v in rrows:
+        seen[(k, t)] = v
+    rrows = [(k, t, v) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(lrows)], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(rrows, "k long, ts long, val long")
+    got = {
+        r.lid: r.val
+        for r in asof_join(left, right, key="k", ts="ts", value_cols=["val"]).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in rrows:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort()
+    want = {}
+    for i, (k, t, _) in enumerate(lrows):
+        best = None
+        for rt, rv in by_key.get(k, []):
+            if rt <= t:
+                best = rv
+        want[i] = best
+    assert got == want
