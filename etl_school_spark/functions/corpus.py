@@ -1,0 +1,115 @@
+"""Rule-based corpus filtering for LLM training pipelines — the classic
+C4 / Gopher heuristic battery composed from this engine's text
+expressions, entirely JVM-side (no UDFs, embarrassingly parallel, no
+shuffle: the 100 TB shape is scan → flag → filter → write).
+
+Public heuristics re-expressed (C4: Raffel et al. 2020 §2.2; Gopher:
+Rae et al. 2021 §A1.1; both are published rule lists, re-implemented
+from the papers' descriptions):
+
+- document length bounds (token count within [min_tokens, max_tokens])
+- mean word length within [3, 10]
+- stopword share ≥ threshold (natural-language-ness signal)
+- alphabetic-character share ≥ threshold (symbol/boilerplate screen)
+- repetition screens: top word / top n-gram share and duplicate n-gram
+  fraction below thresholds
+- terminal-punctuation line share ≥ threshold (C4's "lines ending in a
+  terminal punctuation mark", lifted to a per-document ratio)
+
+``corpus_flags`` ANNOTATES (one boolean per rule + the conjunction) so a
+pipeline can audit WHY documents drop; ``filter_corpus`` keeps the
+survivors. Thresholds are keyword arguments — the defaults follow the
+papers where the papers give numbers.
+
+Reference analog: none (the reference has no corpus-filtering surface);
+this belongs to the engine's training-data-pipeline extension alongside
+dedup/ and similarity/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_school_spark.functions.text import (
+    dup_ngram_frac,
+    stopword_share,
+    token_count,
+    tokens,
+    top_ngram_share,
+    top_word_share,
+)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length in characters, 4-decimal rounded (NULL-safe:
+    empty docs yield NULL, which fails the range rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return F.round(total / F.nullif(n, F.lit(0)), 4)
+
+
+def alpha_share(col: Column | str) -> Column:
+    """Share of non-whitespace characters that are ASCII letters."""
+    c = F.col(col) if isinstance(col, str) else col
+    dense = F.regexp_replace(c, r"\s+", "")
+    n_alpha = F.length(F.regexp_replace(dense, r"[^A-Za-z]", ""))
+    return F.round(n_alpha / F.nullif(F.length(dense), F.lit(0)), 4)
+
+
+def terminal_punct_line_share(col: Column | str) -> Column:
+    """Share of non-empty lines ending in . ! ? or closing quote — the
+    C4 line rule as a per-document ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda ln: F.trim(ln) != "")
+    ok = F.filter(lines, lambda ln: F.trim(ln).rlike(r"""[.!?]["')\]]?$"""))
+    return F.round(F.size(ok) / F.nullif(F.size(lines), F.lit(0)), 4)
+
+
+def corpus_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_share: float = 0.06,
+    min_alpha_share: float = 0.70,
+    max_top_word_share: float = 0.20,
+    max_top_bigram_share: float = 0.18,
+    max_dup_trigram_frac: float = 0.30,
+    min_terminal_punct_share: float = 0.0,
+) -> DataFrame:
+    """Annotate each document with one boolean per heuristic and the
+    conjunction ``keep``. NULL metric (empty doc) fails its rule."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    mwl = mean_word_length(t)
+    rules = {
+        "ok_len": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "ok_word_len": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "ok_stopwords": stopword_share(t) >= min_stopword_share,
+        "ok_alpha": alpha_share(t) >= min_alpha_share,
+        "ok_rep_word": top_word_share(t) <= max_top_word_share,
+        "ok_rep_bigram": top_ngram_share(t, 2) <= max_top_bigram_share,
+        "ok_rep_dup": dup_ngram_frac(t, 3) <= max_dup_trigram_frac,
+        "ok_term_punct": terminal_punct_line_share(t) >= min_terminal_punct_share,
+    }
+    out = docs
+    keep = F.lit(True)
+    for name, pred in rules.items():
+        flag = F.coalesce(pred, F.lit(False))  # NULL metric → rule fails
+        out = out.withColumn(name, flag)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def filter_corpus(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """The C4/Gopher battery as a filter: survivors only, original
+    columns."""
+    flagged = corpus_flags(docs, text_col, **thresholds)
+    return flagged.filter(F.col("keep")).select(*docs.columns)

@@ -6,8 +6,9 @@ bytes stay columnar in Parquet, metadata stays queryable without decoding.
 
 Decode kernels run as Arrow-batched ``mapInPandas`` — one Python worker
 per partition, whole record batches per call, never per-row Python.
-``decode_image_real`` decodes PNG geometry for REAL (stdlib header
-parse, no external codec needed); for other formats the external codec
+``decode_image_real`` decodes PNG, GIF, and JPEG geometry for REAL
+(stdlib header/marker parses, no external codec needed); for other
+formats the external codec
 (Pillow / libsndfile / ffmpeg) is NOT installed in this environment, so
 those bytes fall back to deterministic fake features derived from the
 byte stream (``_fake_decode``), keeping the integration point clearly
@@ -61,14 +62,61 @@ def decode_png_header(data: bytes) -> tuple[int, int, int]:
     return width, height, _PNG_CHANNELS[color_type]
 
 
+def decode_gif_header(data: bytes) -> tuple[int, int, int]:
+    """Real GIF decode of (width, height, channels) from the logical
+    screen descriptor (public format: GIF87a/89a spec §17-18): 6-byte
+    signature, then width and height as little-endian uint16. GIF pixels
+    are palette indices rendered as RGB → 3 channels."""
+    import struct
+
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF byte stream")
+    width, height = struct.unpack("<HH", data[6:10])
+    return width, height, 3
+
+
+def decode_jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """Real JPEG decode of (width, height, channels) by walking the
+    marker segments to the first SOFn frame header (public format:
+    ITU-T T.81 §B.2.2): each marker is 0xFF + code + 2-byte big-endian
+    length; SOF0-15 (except DHT/JPG/DAC) carry precision(1) height(2)
+    width(2) n_components(1)."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG byte stream")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker alignment")
+        code = data[i + 1]
+        if code in (0xD8, 0x01) or 0xD0 <= code <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        # SOFn frame headers, excluding DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= code <= 0xCF and code not in (0xC4, 0xC8, 0xCC):
+            _prec, height, width, n_comp = struct.unpack(
+                ">BHHB", data[i + 4 : i + 10]
+            )
+            return width, height, n_comp
+        i += 2 + seg_len
+    raise ValueError("malformed JPEG: no SOF frame header found")
+
+
 def decode_image_real(data: bytes) -> tuple[int, int, int]:
-    """The real-codec integration point. PNG is decoded for real (header
-    parse, stdlib struct — no external codec needed for geometry); other
-    formats need Pillow etc.: install it and monkeypatch / wrap this."""
+    """The real-codec integration point. PNG, GIF, and JPEG geometry are
+    decoded for real (stdlib header/marker parses of the public format
+    specs — no external codec needed); full pixel decode of other
+    formats needs Pillow etc.: install it and monkeypatch / wrap this."""
     if data[:8] == _PNG_SIGNATURE:
         return decode_png_header(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_header(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_header(data)
     raise NotImplementedError(
-        "no real codec for non-PNG bytes in this environment; "
+        "no real codec for this byte stream in this environment; "
         "override etl_school_spark.multimodal.media.decode_image_real"
     )
 

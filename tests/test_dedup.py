@@ -184,3 +184,52 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contaminated_docs(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher corpus-filter battery (functions/corpus.py)
+# ---------------------------------------------------------------------------
+def _corpus_df(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog near the quiet river. "
+        "It was a bright morning and the air felt clean after the rain. "
+        "People walked to the market while children played in the park. "
+        "A gentle wind moved through the trees and the day went on calmly. "
+        "Nothing unusual happened but everyone seemed content with that."
+    )
+    short = "too short to keep."
+    repeated = ("buy cheap widgets now " * 40).strip()
+    symbols = "#### $$$$ @@@@ 1234 5678 " * 20
+    return spark.createDataFrame(
+        [(1, good), (2, short), (3, repeated), (4, symbols)],
+        "doc_id long, text string",
+    )
+
+
+def test_corpus_filter_keeps_prose_drops_junk(spark):
+    from etl_school_spark.functions.corpus import corpus_flags, filter_corpus
+
+    docs = _corpus_df(spark)
+    flags = {r.doc_id: r for r in corpus_flags(docs, min_terminal_punct_share=0.5).collect()}
+    assert flags[1].keep, flags[1]
+    assert not flags[2].ok_len          # too few tokens
+    assert not flags[3].ok_rep_bigram   # one bigram dominates
+    assert not flags[4].ok_alpha        # symbol soup
+    kept = {r.doc_id for r in filter_corpus(docs, min_terminal_punct_share=0.5).collect()}
+    assert kept == {1}
+
+
+def test_corpus_flags_null_and_empty_fail_not_crash(spark):
+    from etl_school_spark.functions.corpus import corpus_flags
+
+    docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in corpus_flags(docs).collect()}
+    assert not rows[1].keep and not rows[2].keep
+
+
+def test_corpus_filter_plan_is_pure_jvm(spark):
+    from etl_school_spark.functions.corpus import filter_corpus
+
+    docs = _corpus_df(spark)
+    plan = filter_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

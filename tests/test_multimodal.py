@@ -68,9 +68,42 @@ def test_audio_features_jvm_only(spark):
     assert "mapInPandas" not in out._jdf.queryExecution().executedPlan().toString()
 
 
-def test_real_decoder_is_clearly_stubbed_for_non_png():
+def test_real_decoder_is_clearly_stubbed_for_unknown_formats():
     with pytest.raises(NotImplementedError):
+        decode_image_real(b"plain text bytes, no known image signature")
+    # a JPEG signature with garbage after it is a MALFORMED jpeg (real
+    # parse attempted), not an unimplemented format
+    with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+
+def _make_gif(width: int, height: int) -> bytes:
+    import struct
+
+    # logical screen descriptor + trailer — geometry-complete per spec
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def _make_jpeg(width: int, height: int, n_comp: int = 3) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof_payload = struct.pack(">BHHB", 8, height, width, n_comp) + bytes(3 * n_comp)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_gif_and_jpeg_decode_are_real():
+    from etl_school_spark.multimodal.media import decode_gif_header, decode_jpeg_header
+
+    assert decode_gif_header(_make_gif(800, 600)) == (800, 600, 3)
+    assert decode_image_real(_make_gif(13, 7)) == (13, 7, 3)
+    assert decode_jpeg_header(_make_jpeg(640, 480)) == (640, 480, 3)
+    assert decode_image_real(_make_jpeg(32, 16, n_comp=1)) == (32, 16, 1)
+    with pytest.raises(ValueError):
+        decode_gif_header(b"GIF89")
+    with pytest.raises(ValueError):
+        decode_jpeg_header(_make_jpeg(1, 1)[:6])
 
 
 def _make_png(width: int, height: int, color_type: int = 2, channels: int = 3) -> bytes:
