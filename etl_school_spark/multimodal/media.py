@@ -161,7 +161,8 @@ def attach_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
 
 
 _IMG_SCHEMA = (
-    "media_id long, byte_len long, width int, height int, channels int, aspect double"
+    "media_id long, byte_len long, width int, height int, channels int, "
+    "aspect double, decode_error string"
 )
 
 
@@ -171,21 +172,34 @@ def image_features(media: DataFrame, decoder=None) -> DataFrame:
 
     ``decoder``: optional ``bytes -> (width, height, channels)`` real
     codec, shipped to workers inside the kernel closure (the supported
-    injection point for Pillow etc.; see ``_decode_dims``)."""
+    injection point for Pillow etc.; see ``_decode_dims``).
+
+    A MALFORMED blob (real-format signature, broken body: ValueError
+    from a decoder) must not kill a 100 TB job — it yields a quarantine
+    row: NULL dims + the error text in ``decode_error``. Callers route
+    ``decode_error IS NOT NULL`` to a quarantine sink and continue."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_dims(b, decoder) for b in pdf["content"]]
+            dims, errs = [], []
+            for b in pdf["content"]:
+                try:
+                    dims.append(_decode_dims(b, decoder))
+                    errs.append(None)
+                except ValueError as ex:
+                    dims.append((None, None, None))
+                    errs.append(str(ex))
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": [len(b) for b in pdf["content"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "channels": pd.array([d[2] for d in dims], dtype="Int32"),
                 }
             )
-            out["aspect"] = (out["width"] / out["height"]).round(4)
+            out["aspect"] = (out["width"].astype("Float64") / out["height"].astype("Float64")).round(4)
+            out["decode_error"] = errs
             yield out
 
     return media.select("media_id", "content").mapInPandas(kernel, _IMG_SCHEMA)

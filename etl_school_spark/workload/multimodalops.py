@@ -43,7 +43,8 @@ def _q(name: str, oracle: str | None = None):
            (byte_len % {_MAX_W} + 16)::int AS width,
            ((byte_len * 31) % {_MAX_H} + 16)::int AS height,
            3::int AS channels,
-           round((byte_len % {_MAX_W} + 16) * 1.0 / ((byte_len * 31) % {_MAX_H} + 16), 4) AS aspect
+           round((byte_len % {_MAX_W} + 16) * 1.0 / ((byte_len * 31) % {_MAX_H} + 16), 4) AS aspect,
+           CAST(NULL AS VARCHAR) AS decode_error
     FROM m
     ORDER BY media_id
     """,

@@ -197,3 +197,18 @@ def test_real_decoder_seam_round_trips_bytes(spark):
         for r in media.select("media_id", "content").collect()
     }
     assert got == expect and len(got) == 20
+
+
+def test_malformed_blob_quarantines_not_crashes(spark):
+    """A real-format signature with a broken body yields a quarantine row
+    (NULL dims + decode_error), never a failed job — the 100 TB contract."""
+    rows = [
+        (1, _make_png(32, 32)),
+        (2, b"\x89PNG\r\n\x1a\n" + b"broken-body......................."),
+        (3, _make_jpeg(1, 1)[:6]),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, content: binary")
+    got = {r.media_id: r for r in image_features(media).collect()}
+    assert got[1].decode_error is None and got[1].width == 32
+    assert got[2].decode_error is not None and got[2].width is None
+    assert got[3].decode_error is not None and got[3].width is None
