@@ -455,3 +455,38 @@ def test_kafka_real_branch_builds_kafka_reader(spark, monkeypatch):
     assert calls["format"] == "kafka"
     assert calls["options"] == ks.kafka_reader_options("k1:9092,k2:9092", "t1", "latest", 100)
     assert calls["options"]["failOnDataLoss"] == "true"
+
+
+def test_corpus_filter_runs_on_a_stream(spark, workdir):
+    """The C4/Gopher battery is stateless per-row expressions, so the
+    SAME filter_corpus call works unchanged on a streaming DataFrame —
+    the shape an incremental training-data ingest pipeline uses."""
+    import json as _json
+    import os as _os
+
+    from etl_school_spark.functions.corpus import filter_corpus
+
+    stage = _os.path.join(workdir, "corpus_stage")
+    _os.makedirs(stage, exist_ok=True)
+    good = (
+        "The quick brown fox jumps over the lazy dog near the quiet river. "
+        "It was a bright morning and the air felt clean after the rain. "
+        "People walked to the market while children played in the park. "
+        "A gentle wind moved through the trees and the day went on calmly. "
+        "Nothing unusual happened but everyone seemed content with that."
+    )
+    docs = [(1, good), (2, "too short."), (3, ("spam spam " * 60).strip())]
+    with open(_os.path.join(stage, "docs.json"), "w") as fh:
+        for i, t in docs:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    raw = spark.readStream.schema("doc_id long, text string").json(stage)
+    kept = filter_corpus(raw, min_terminal_punct_share=0.5)
+    q = (
+        kept.writeStream.outputMode("append").format("memory")
+        .queryName("corpus_stream").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select doc_id from corpus_stream").collect()
+    spark.catalog.dropTempView("corpus_stream")
+    assert {r.doc_id for r in rows} == {1}
