@@ -155,3 +155,50 @@ def test_sharded_sessionization_boundary_cases(spark):
     for k, *_ in plain:
         by_key[k] = by_key.get(k, 0) + 1
     assert by_key == {"a": 1, "b": 2, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (functions/approx.py): error contracts vs exact
+# ---------------------------------------------------------------------------
+def test_hll_count_within_rsd_and_deterministic(spark):
+    from etl_school_spark.functions.approx import hll_count_distinct
+    from etl_school_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).first()[0]
+    approx1 = orders.select(hll_count_distinct("o_custkey", 0.05)).first()[0]
+    approx2 = orders.repartition(7).select(hll_count_distinct("o_custkey", 0.05)).first()[0]
+    assert abs(approx1 - exact) <= 0.15 * exact  # 3 sigma of rsd=5%
+    assert approx1 == approx2  # sketch is deterministic, partition-independent
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    from etl_school_spark.functions.approx import approx_quantiles
+    from etl_school_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    n = orders.count()
+    got = orders.select(
+        approx_quantiles("o_totalprice", [0.25, 0.5, 0.75], accuracy=1000).alias("q")
+    ).first()[0]
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    for p, g in zip([0.25, 0.5, 0.75], got):
+        # rank error <= n/accuracy (plus 1 for discrete ranks)
+        rank = sum(1 for v in vals if v <= g)
+        assert abs(rank - p * n) <= n / 1000 + 1, (p, g, rank)
+
+
+def test_cardinality_profile_one_pass_shape(spark):
+    from etl_school_spark.functions.approx import cardinality_profile
+    from etl_school_spark.tables import load_table
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer")
+    prof = cardinality_profile(cust, ["c_mktsegment", "c_nationkey", "c_custkey"])
+    rows = {r.column: r.approx_distinct for r in prof.collect()}
+    assert rows["c_mktsegment"] == 5
+    assert 20 <= rows["c_nationkey"] <= 30
+    exact = cust.count()
+    assert abs(rows["c_custkey"] - exact) <= 0.15 * exact
+    # one scan: a single Aggregate over the relation, no join/union of scans
+    plan = prof._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") == 1
