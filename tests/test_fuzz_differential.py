@@ -14,10 +14,11 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 155 seeds across the five families below; a wider one-off sweep
-(r3: 1,100 additional seeds — 300 relational, 200 each scalar/window/
-join-shape/set-op) ran clean, so the committed seed ranges are a
-regression net, not the full tested surface.
+CI pins 155 seeds across the five families below; wider one-off sweeps
+(r3: 1,100 additional seeds at sf0.001 — 300 relational, 200 each
+scalar/window/join-shape/set-op — plus 340 seeds re-run at sf0.01, 10×
+the data) ran clean, so the committed seed ranges are a regression net,
+not the full tested surface.
 """
 
 from __future__ import annotations
