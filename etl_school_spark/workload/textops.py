@@ -82,19 +82,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row sorted-run fold (max_frequency) — zero shuffles, embarrassingly
 # parallel at 100 TB; the oracle uses an equivalent O(L^2) list_filter count
 # (fine at oracle scale, semantics identical).
+#
+# r3: the query now ALSO runs the C4/Gopher corpus-filter battery
+# (functions/corpus.py — length bounds, mean-word-length range, stopword /
+# alphabetic shares, repetition screens, terminal-punctuation line share)
+# and emits one boolean per rule plus the conjunction ``keep``, so the
+# driver hash-checks the filter decisions a training pipeline would
+# actually act on, not just the underlying metrics. NULL metric (empty
+# doc) fails its rule on both engines.
 # --------------------------------------------------------------------------
+_TERM_PUNCT_RE = """[.!?]["'')\\]]?$"""  # SQL-escaped: '' is a literal quote
+
+
 @_q(
     "text_quality_scores",
     f"""
-    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') w FROM documents),
+    WITH t AS (SELECT doc_id, lang, text, string_split(trim(text), ' ') w FROM documents),
     g AS (
-      SELECT doc_id, lang, w,
+      SELECT doc_id, lang, text, w,
              list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
              list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
       FROM t
     ),
     c AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, text, w,
              len(w)*1.0 AS n_tok,
              len(list_distinct(w))*1.0 / nullif(len(w)*1.0, 0) AS ttr,
              round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS sw,
@@ -104,6 +115,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      t -> len(list_filter(g2, x -> x = t))))*1.0 / nullif(len(g2), 0), 4) AS top_2gram_share,
              round(1.0 - len(list_distinct(g3))*1.0 / nullif(len(g3), 0), 4) AS dup_3gram_frac
       FROM g
+    ),
+    m AS (
+      SELECT *,
+             round(list_aggregate(list_transform(w, x -> len(x)), 'sum')*1.0
+                   / nullif(len(w), 0), 4) AS mean_word_len,
+             round(len(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
+                   / nullif(len(regexp_replace(text, '\\s+', '', 'g')), 0), 4) AS alpha_share,
+             round(len(list_filter(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''),
+                                   x -> regexp_matches(trim(x), '{_TERM_PUNCT_RE}')))*1.0
+                   / nullif(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')), 0), 4)
+               AS term_punct_share
+      FROM c
+    ),
+    f AS (
+      SELECT *,
+             coalesce(len(w) >= 50 AND len(w) <= 100000, false) AS ok_len,
+             coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS ok_word_len,
+             coalesce(sw >= 0.06, false) AS ok_stopwords,
+             coalesce(alpha_share >= 0.70, false) AS ok_alpha,
+             coalesce(top_word_share <= 0.20, false) AS ok_rep_word,
+             coalesce(top_2gram_share <= 0.18, false) AS ok_rep_bigram,
+             coalesce(dup_3gram_frac <= 0.30, false) AS ok_rep_dup,
+             coalesce(term_punct_share >= 0.0, false) AS ok_term_punct
+      FROM m
     )
     SELECT doc_id, lang,
            round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality,
@@ -111,18 +146,31 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            top_2gram_share,
            dup_3gram_frac,
            (top_word_share <= 0.2 AND top_2gram_share <= 0.2 AND dup_3gram_frac <= 0.2)
-             AS repetition_ok
-    FROM c
+             AS repetition_ok,
+           mean_word_len, alpha_share, term_punct_share,
+           ok_len, ok_word_len, ok_stopwords, ok_alpha,
+           ok_rep_word, ok_rep_bigram, ok_rep_dup, ok_term_punct,
+           (ok_len AND ok_word_len AND ok_stopwords AND ok_alpha AND ok_rep_word
+            AND ok_rep_bigram AND ok_rep_dup AND ok_term_punct) AS keep
+    FROM f
     ORDER BY doc_id
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.functions.corpus import (
+        alpha_share,
+        corpus_flags,
+        mean_word_length,
+        terminal_punct_line_share,
+    )
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    flagged = corpus_flags(docs)  # appends ok_* + keep (defaults = oracle literals)
     tws = top_word_share("text")
     t2s = top_ngram_share("text", 2)
     d3f = dup_ngram_frac("text", 3)
     return (
-        docs.select(
+        flagged.select(
             "doc_id",
             "lang",
             quality_score("text").alias("quality"),
@@ -130,6 +178,18 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             t2s.alias("top_2gram_share"),
             d3f.alias("dup_3gram_frac"),
             ((tws <= 0.2) & (t2s <= 0.2) & (d3f <= 0.2)).alias("repetition_ok"),
+            mean_word_length("text").alias("mean_word_len"),
+            alpha_share("text").alias("alpha_share"),
+            terminal_punct_line_share("text").alias("term_punct_share"),
+            "ok_len",
+            "ok_word_len",
+            "ok_stopwords",
+            "ok_alpha",
+            "ok_rep_word",
+            "ok_rep_bigram",
+            "ok_rep_dup",
+            "ok_term_punct",
+            "keep",
         )
         .orderBy("doc_id")
     )
