@@ -83,27 +83,54 @@ def corpus_flags(
     max_top_bigram_share: float = 0.18,
     max_dup_trigram_frac: float = 0.30,
     min_terminal_punct_share: float = 0.0,
+    emit_metrics: bool = False,
 ) -> DataFrame:
     """Annotate each document with one boolean per heuristic and the
-    conjunction ``keep``. NULL metric (empty doc) fails its rule."""
+    conjunction ``keep``. NULL metric (empty doc) fails its rule.
+
+    ``emit_metrics`` additionally outputs the underlying metric columns
+    (``n_tokens``, ``mean_word_len``, ``stop_share``, ``alpha_share``,
+    ``top_word_share``, ``top_2gram_share``, ``dup_3gram_frac``,
+    ``term_punct_share``). Each metric is built as ONE Column object
+    shared between its flag and its output slot — identical expression
+    trees (lambda IDs included), so whole-stage codegen's subexpression
+    elimination evaluates the expensive per-row folds once; a caller
+    re-deriving the same metric with a fresh call would get a fresh
+    lambda ID and pay for it twice."""
     t = F.col(text_col)
-    n_tok = token_count(t)
-    mwl = mean_word_length(t)
-    rules = {
-        "ok_len": (n_tok >= min_tokens) & (n_tok <= max_tokens),
-        "ok_word_len": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
-        "ok_stopwords": stopword_share(t) >= min_stopword_share,
-        "ok_alpha": alpha_share(t) >= min_alpha_share,
-        "ok_rep_word": top_word_share(t) <= max_top_word_share,
-        "ok_rep_bigram": top_ngram_share(t, 2) <= max_top_bigram_share,
-        "ok_rep_dup": dup_ngram_frac(t, 3) <= max_dup_trigram_frac,
-        "ok_term_punct": terminal_punct_line_share(t) >= min_terminal_punct_share,
+    metrics = {
+        "n_tokens": token_count(t),
+        "mean_word_len": mean_word_length(t),
+        "stop_share": stopword_share(t),
+        "alpha_share": alpha_share(t),
+        "top_word_share": top_word_share(t),
+        "top_2gram_share": top_ngram_share(t, 2),
+        "dup_3gram_frac": dup_ngram_frac(t, 3),
+        "term_punct_share": terminal_punct_line_share(t),
     }
-    out = docs
+    m = metrics
+    rules = {
+        "ok_len": (m["n_tokens"] >= min_tokens) & (m["n_tokens"] <= max_tokens),
+        "ok_word_len": (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len),
+        "ok_stopwords": m["stop_share"] >= min_stopword_share,
+        "ok_alpha": m["alpha_share"] >= min_alpha_share,
+        "ok_rep_word": m["top_word_share"] <= max_top_word_share,
+        "ok_rep_bigram": m["top_2gram_share"] <= max_top_bigram_share,
+        "ok_rep_dup": m["dup_3gram_frac"] <= max_dup_trigram_frac,
+        "ok_term_punct": m["term_punct_share"] >= min_terminal_punct_share,
+    }
+    sel = list(docs.columns)
+    if emit_metrics:
+        sel += [c.alias(name) for name, c in metrics.items()]
+    flag_names = list(rules)
+    sel += [
+        F.coalesce(pred, F.lit(False)).alias(name)  # NULL metric → rule fails
+        for name, pred in rules.items()
+    ]
+    out = docs.select(*sel)
     keep = F.lit(True)
-    for name, pred in rules.items():
-        flag = F.coalesce(pred, F.lit(False))  # NULL metric → rule fails
-        out = out.withColumn(name, flag)
+    for name in flag_names:
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
 
