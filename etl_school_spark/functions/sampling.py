@@ -73,3 +73,69 @@ def quota_sample(df: DataFrame, key: str, class_col: str, fractions: dict[str, f
         cond = (F.col(class_col) == cls) & keep_condition(key, frac)
         expr = cond if expr is None else (expr | cond)
     return df.filter(expr)
+
+
+def shard_id(key: Column | str, n_shards: int) -> Column:
+    """Deterministic shard assignment: md5-derived 60-bit int mod
+    ``n_shards``. A pure function of the row key, so a re-run, a different
+    partitioning, or a different engine produces the same shard layout
+    (the same property as ``hash_bucket``, widened to an integer)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % F.lit(n_shards)
+
+
+def reshard(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Deterministic global shuffle/interleave into ``n_shards`` balanced
+    output shards — the write-layout op for training corpora.
+
+    Adds ``shard`` (md5-keyed shard id) and physically repartitions by it,
+    sorting each shard by hash order (``hash_bucket``, key) so the intra-
+    shard document order is also a pure function of the keys: any engine
+    re-running the pipeline writes byte-identical shards. One shuffle
+    total; at 100 TB this is the single pass that turns a crawl-ordered
+    corpus into training-ready interleaved shards (crawl order is heavily
+    clustered by domain/time; hash order is the cheap uniform interleave).
+    """
+    out = df.withColumn("shard", shard_id(key, n_shards))
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        hash_bucket(key), key
+    )
+
+
+def pack_concat_windows(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    layout: within each shard, documents are deterministically ordered
+    (hash order), conceptually concatenated, and sliced into fixed
+    ``capacity``-token context windows.
+
+    Emits per-document ``shard``, ``first_window`` and ``last_window``
+    (the window span the doc's tokens land in) from an EXCLUSIVE running
+    token sum — one window function per shard, no iteration, no UDF.
+    Zero-token docs are pinned to one window (``greatest(tokens, 1)``)
+    so spans never invert. Integer division throughout: the running sum
+    exceeds 2^53 long before a 100 TB corpus runs out, so float floor()
+    would mis-bin where exact ``div`` cannot.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_bucket(key), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("long")
+    out = df.withColumn("shard", shard_id(key, n_shards))
+    out = out.withColumn("_cum_before", F.sum(tok).over(w) - tok)
+    out = out.withColumn("_last_tok", F.col("_cum_before") + F.greatest(tok, F.lit(1)) - F.lit(1))
+    return (
+        out.withColumn("first_window", F.expr(f"_cum_before div {capacity}"))
+        .withColumn("last_window", F.expr(f"_last_tok div {capacity}"))
+        .drop("_cum_before", "_last_tok")
+    )

@@ -56,40 +56,115 @@ _QUOTA_SQL = " OR ".join(
 )
 
 
-# Train/test split counts and class-rebalancing counts as one suite query
-# (UNION ALL over a `bucket` discriminator) so both sampling surfaces share
-# a single driver-correctness slot.
+# Train/test split counts, class-rebalancing counts, deterministic
+# resharding balance, and concat-and-chunk sequence packing as one suite
+# query (UNION ALL over a `bucket` discriminator) so all four sampling /
+# layout surfaces share a single driver-correctness slot. Column `m` is a
+# second per-branch measure (chars, tokens, or straddling docs) — always
+# non-NULL so the cross-engine compare never meets a NULL-vs-NaN edge.
+_N_SHARDS = 8
+_PACK_CAP = 256  # tokens per training context window
+
+# md5-derived 60-bit int mod shards — the DuckDB twin of sampling.shard_id
+_SHARD_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)"
+    f" AS BIGINT) % {_N_SHARDS}"
+)
+
+
 @_q(
     "sampling_counts_suite",
     f"""
+    WITH shards AS (
+      SELECT doc_id, lang,
+             {_SHARD_SQL} AS shard,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hb
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY hb, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+      FROM shards
+    ),
+    spans AS (
+      SELECT shard,
+             cum_before // {_PACK_CAP} AS first_window,
+             (cum_before + greatest(n_tok, 1) - 1) // {_PACK_CAP} AS last_window
+      FROM packed
+    )
     SELECT 'split:' || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T90}'
                             THEN 'train' ELSE 'test' END AS bucket,
-           lang, COUNT(*) AS n
+           lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS m
     FROM documents
     GROUP BY bucket, lang
     UNION ALL
-    SELECT 'rebalance' AS bucket, lang, COUNT(*) AS n
+    SELECT 'rebalance' AS bucket, lang,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS m
     FROM documents
     WHERE {_QUOTA_SQL}
     GROUP BY lang
+    UNION ALL
+    SELECT 'shard:' || CAST(shard AS VARCHAR) AS bucket, '-' AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_tok) AS BIGINT) AS m
+    FROM shards
+    GROUP BY shard
+    UNION ALL
+    SELECT 'pack:' || CAST(shard AS VARCHAR) AS bucket, '-' AS lang,
+           CAST(MAX(last_window) + 1 AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN last_window > first_window THEN 1 ELSE 0 END) AS BIGINT) AS m
+    FROM spans
+    GROUP BY shard
     ORDER BY bucket, lang
     """,
 )
 def sampling_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_school_spark.functions.sampling import quota_sample
+    from etl_school_spark.functions.sampling import (
+        pack_concat_windows,
+        quota_sample,
+        shard_id,
+    )
+    from etl_school_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
     split = (
         train_test_split(docs, "doc_id", 0.90)
         .groupBy(F.concat(F.lit("split:"), F.col("split")).alias("bucket"), "lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("m"))
     )
     reb = (
         quota_sample(docs, "doc_id", "lang", _QUOTAS)
         .groupBy(F.lit("rebalance").alias("bucket"), "lang")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("m"))
     )
-    return split.unionByName(reb).orderBy("bucket", "lang")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    shard = (
+        toks.withColumn("shard", shard_id("doc_id", _N_SHARDS))
+        .groupBy(F.concat(F.lit("shard:"), F.col("shard").cast("string")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("m"))
+        .withColumn("lang", F.lit("-"))
+    )
+    pack = (
+        pack_concat_windows(toks, "doc_id", "n_tok", _PACK_CAP, _N_SHARDS)
+        .groupBy(F.concat(F.lit("pack:"), F.col("shard").cast("string")).alias("bucket"))
+        .agg(
+            (F.max("last_window") + F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("last_window") > F.col("first_window"), 1).otherwise(0)
+            ).alias("m"),
+        )
+        .withColumn("lang", F.lit("-"))
+    )
+    return (
+        split.unionByName(reb)
+        .unionByName(shard.select("bucket", "lang", "n", "m"))
+        .unionByName(pack.select("bucket", "lang", "n", "m"))
+        .orderBy("bucket", "lang")
+    )
 
 
 # --------------------------------------------------------------------------

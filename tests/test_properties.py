@@ -350,3 +350,71 @@ def test_asof_join_matches_bisect_reference(spark, lrows, rrows):
                 best = rv
         want[i] = best
     assert got == want
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_concat_windows_matches_python_reference(spark, rows):
+    """pack_concat_windows == a per-shard Python concat-and-chunk
+    simulation: order docs by (md5-prefix, key), run an exclusive token
+    cumsum, and slice into fixed windows. Also re-checks partition
+    invariance (window spans are a pure function of the key set)."""
+    from etl_school_spark.functions.sampling import pack_concat_windows
+
+    CAP, SHARDS = 7, 3
+    df = spark.createDataFrame(rows, "id long, tok long")
+    out = {
+        r.id: (r.shard, r.first_window, r.last_window)
+        for r in pack_concat_windows(df, "id", "tok", CAP, SHARDS).collect()
+    }
+    out2 = {
+        r.id: (r.shard, r.first_window, r.last_window)
+        for r in pack_concat_windows(df.repartition(5), "id", "tok", CAP, SHARDS).collect()
+    }
+    assert out == out2  # layout is partitioning-independent
+
+    def h(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, tok in rows:
+        by_shard.setdefault(int(h(i)[:15], 16) % SHARDS, []).append((i, tok))
+    for shard, members in by_shard.items():
+        members.sort(key=lambda it: (h(it[0])[:4], it[0]))
+        cum = 0
+        for i, tok in members:
+            first = cum // CAP
+            last = (cum + max(tok, 1) - 1) // CAP
+            assert out[i] == (shard, first, last), (i, tok, out[i], (shard, first, last))
+            cum += tok
+    # spans never invert, and windows within a shard are contiguous
+    for i, (_, first, last) in out.items():
+        assert first <= last
+
+
+@_S
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=8, max_size=60, unique=True))
+def test_reshard_is_deterministic_and_complete(spark, ids):
+    """reshard: every row lands in exactly one shard, shard assignment is
+    retry/partitioning stable, and the physical layout carries exactly
+    n_shards partitions."""
+    from etl_school_spark.functions.sampling import reshard
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out = reshard(df, "id", 4)
+    rows = out.collect()
+    assert sorted(r.id for r in rows) == sorted(ids)
+    assert {r.shard for r in rows} <= set(range(4))
+    assert out.rdd.getNumPartitions() == 4
+    again = {r.id: r.shard for r in reshard(df.repartition(9), "id", 4).collect()}
+    assert again == {r.id: r.shard for r in rows}
