@@ -14,7 +14,8 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 155 seeds across the five families below; wider one-off sweeps
+CI pins 180 seeds across the six families below (r3 adds multi-level
+aggregation: ROLLUP / CUBE / GROUPING SETS); wider one-off sweeps
 (r3: 1,100 additional seeds at sf0.001 — 300 relational, 200 each
 scalar/window/join-shape/set-op — plus 340 seeds re-run at sf0.01, 10×
 the data) ran clean, so the committed seed ranges are a regression net,
@@ -257,6 +258,58 @@ def _window_exprs(part: str, key: str, val: str):
         ("part_min", lambda w, wr: F.min(key).over(w).cast("long"),
          f"CAST(MIN({key}) OVER w AS BIGINT) AS part_min"),
     ]
+
+
+def build_multilevel_query(seed: int):
+    """Family 6: multi-level aggregation — ROLLUP / CUBE / GROUPING SETS
+    over 2-3 group columns with the standard aggregate bundles. Exercises
+    the Expand-based grouping-set lowering (subtotal rows with NULL group
+    keys, HUGEINT-safe aggregates replicated per grouping set) that the
+    registered star_revenue_suite uses with fixed columns, across random
+    column subsets and predicate mixes."""
+    rng = random.Random(seed)
+    table = rng.choice(["orders", "lineitem", "customer"])
+    preds = rng.sample(PREDICATES[table], rng.randint(0, 2))
+    n_groups = rng.randint(2, len(GROUPS[table]))
+    groups = rng.sample(GROUPS[table], n_groups)
+    aggs = rng.sample(AGGS[table], rng.randint(1, 3))
+    mode = rng.choice(["rollup", "cube", "grouping_sets"])
+    if mode == "grouping_sets":
+        # random non-empty collection of subsets (always include full set
+        # and the grand total, plus 0-2 random strict subsets)
+        subsets = [list(groups), []]
+        for _ in range(rng.randint(0, 2)):
+            s = rng.sample(groups, rng.randint(1, len(groups) - 1))
+            # keep subset column order aligned with `groups` (canonical)
+            sub = [g for g in groups if g in s]
+            if sub not in subsets:
+                subsets.append(sub)
+    else:
+        subsets = None
+
+    def spark_build(spark):
+        df = load_table(spark, SF_DIR, table)
+        for _, col, _ in preds:
+            df = df.filter(col())
+        if mode == "rollup":
+            g = df.rollup(*groups)
+        elif mode == "cube":
+            g = df.cube(*groups)
+        else:
+            g = df.groupingSets(subsets, *groups)
+        return g.agg(*[a() for _, a, _ in aggs])
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    select = ", ".join(groups + [s for _, _, s in aggs])
+    if mode == "rollup":
+        by = f"ROLLUP({', '.join(groups)})"
+    elif mode == "cube":
+        by = f"CUBE({', '.join(groups)})"
+    else:
+        sets = ", ".join("(" + ", ".join(s) + ")" for s in subsets)
+        by = f"GROUPING SETS ({sets})"
+    sql = f"SELECT {select} FROM {table}{where} GROUP BY {by}"
+    return table, spark_build, sql
 
 
 def build_window_query(seed: int):
@@ -519,5 +572,20 @@ def test_random_window_query_matches_duckdb(spark, duck, seed):
     got = spark_build(spark).toPandas()
     want = duck.execute(sql).fetchdf()
     assert not compare(f"fuzz_window_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(5000, 5025)))
+def test_random_multilevel_agg_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_multilevel_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_mlg_{seed}", got, want), (
         f"divergence for seed {seed}: {sql}"
     )
