@@ -75,3 +75,56 @@ def pii_classification(spark: SparkSession) -> DataFrame:
         "object_name string, column_name string, pii_type string, sensitivity_level string, "
         "masking_required boolean, masking_rule string, rationale string",
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus PII scrubbing (training-data pipeline extension; reference
+# analog: none). The C4-style pre-training redaction pass: emails, URLs,
+# IPv4s and phone-like digit runs are replaced with typed placeholder
+# tokens BEFORE tokenization/dedup, so secrets cannot survive into a
+# trained model or a dedup fingerprint. Pure JVM regexp expressions —
+# embarrassingly parallel, no shuffle, and streaming-safe (the same
+# projection runs unchanged on readStream).
+#
+# Pattern dialect: the RE2-compatible subset of Java regex (no
+# lookarounds, no backrefs), so the identical patterns run on Spark,
+# DuckDB, and Go/Rust RE2 engines — redaction must behave identically
+# wherever the corpus is re-processed.
+# --------------------------------------------------------------------------
+PII_PATTERNS = {
+    # order matters: URLs first (emails/IPs inside URLs vanish with the
+    # URL), then emails, then bare IPs, then phone-like digit runs
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}\b",
+}
+
+
+def pii_counts(col, patterns: dict[str, str] | None = None):
+    """One count column per PII category (matches BEFORE redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pats = patterns or PII_PATTERNS
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(rx), 0))
+        for name, rx in pats.items()
+    }
+
+
+def scrub_pii(col, patterns: dict[str, str] | None = None):
+    """Redacted text: each category replaced by its typed placeholder
+    (``<URL>``, ``<EMAIL>``, ...) in the fixed category order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, rx in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, rx, f"<{name.upper()}>")
+    return c
+
+
+def scrub_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus scrubbing pass: per-category counts (audit trail) +
+    redacted text replacing the original column."""
+    counts = pii_counts(text_col)
+    out = df
+    for name, expr in counts.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(text_col, scrub_pii(text_col))

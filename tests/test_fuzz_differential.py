@@ -14,12 +14,15 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 180 seeds across the six families below (r3 adds multi-level
+CI pins 181 seeds across the six families below (r3 adds multi-level
 aggregation: ROLLUP / CUBE / GROUPING SETS); wider one-off sweeps
 (r3: 1,100 additional seeds at sf0.001 — 300 relational, 200 each
 scalar/window/join-shape/set-op — plus 340 seeds re-run at sf0.01, 10×
-the data) ran clean, so the committed seed ranges are a regression net,
-not the full tested surface.
+the data, plus 175 family-6 seeds) ran clean, so the committed seed
+ranges are a regression net, not the full tested surface. The family-6
+sweep EARNED its keep immediately: it surfaced the Spark-vs-ANSI
+empty-input grouping-set divergence documented at
+build_multilevel_query / test_multilevel_empty_input_divergence.
 """
 
 from __future__ import annotations
@@ -266,7 +269,16 @@ def build_multilevel_query(seed: int):
     the Expand-based grouping-set lowering (subtotal rows with NULL group
     keys, HUGEINT-safe aggregates replicated per grouping set) that the
     registered star_revenue_suite uses with fixed columns, across random
-    column subsets and predicate mixes."""
+    column subsets and predicate mixes.
+
+    Known engine divergence, found by this family's r3 wide sweep (seeds
+    5042/5094): on EMPTY input ANSI/DuckDB emit the grand-total grouping
+    set as one row (NULL keys, COUNT=0) while Spark's Expand lowering
+    emits zero rows. The oracle is aligned to Spark's semantics with
+    ``HAVING COUNT(*) > 0`` — exactly a no-op on non-empty input (every
+    real grouping-set row aggregates >= 1 input row), and on empty input
+    it drops only the standard's vacuous grand-total row. Pinned by
+    test_multilevel_empty_input_divergence."""
     rng = random.Random(seed)
     table = rng.choice(["orders", "lineitem", "customer"])
     preds = rng.sample(PREDICATES[table], rng.randint(0, 2))
@@ -308,7 +320,7 @@ def build_multilevel_query(seed: int):
     else:
         sets = ", ".join("(" + ", ".join(s) + ")" for s in subsets)
         by = f"GROUPING SETS ({sets})"
-    sql = f"SELECT {select} FROM {table}{where} GROUP BY {by}"
+    sql = f"SELECT {select} FROM {table}{where} GROUP BY {by} HAVING COUNT(*) > 0"
     return table, spark_build, sql
 
 
@@ -589,3 +601,25 @@ def test_random_multilevel_agg_matches_duckdb(spark, duck, seed):
     assert not compare(f"fuzz_mlg_{seed}", got, want), (
         f"divergence for seed {seed}: {sql}"
     )
+
+
+def test_multilevel_empty_input_divergence(spark, duck):
+    """Documents the Spark-vs-ANSI grouping-set edge the r3 sweep found:
+    a ROLLUP over zero input rows yields NO rows from Spark's Expand
+    lowering but ONE grand-total row (NULL keys, COUNT 0) from DuckDB.
+    If a Spark upgrade changes either side, this test fails and the
+    family-6 HAVING alignment must be revisited."""
+    got = (
+        load_table(spark, SF_DIR, "orders")
+        .filter("o_totalprice > 150000.0 AND o_totalprice <= 60000.0")
+        .rollup("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    assert got == []  # Spark: empty
+    want = duck.execute(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows FROM orders "
+        "WHERE o_totalprice > 150000.0 AND o_totalprice <= 60000.0 "
+        "GROUP BY ROLLUP(o_orderpriority)"
+    ).fetchall()
+    assert len(want) == 1 and want[0][1] == 0  # ANSI: grand-total row

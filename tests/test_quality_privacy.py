@@ -163,3 +163,62 @@ def test_observed_write_single_pass_metrics(spark, tmp_path):
         F.avg(F.when(F.col("amount").between(0, 50000), 1.0).otherwise(0.0))
     ).collect()[0][0]
     assert abs(got["amount_ok"] - posthoc) < 1e-12
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Corpus scrubbing: typed placeholders replace every PII span, the
+    audit counts match the spans, and clean prose is untouched."""
+    from etl_school_spark.privacy import scrub_corpus
+
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk for details"),
+        (2, "docs at https://spark.apache.org/docs/latest?q=1 and http://a.io/x"),
+        (3, "server 192.168.0.1 replied; call +1 (555) 123-4567 now"),
+        (4, "no secrets here, just prose with numbers 12 and 345"),
+        (5, "mixed: bob@corp.io visits https://corp.io/u?e=bob@corp.io daily"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_corpus(df).collect()}
+
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].text
+    assert "alice" not in out[1].text and "@" not in out[1].text
+    assert out[2].n_url == 2 and out[2].text.count("<URL>") == 2
+    assert out[3].n_ipv4 == 1 and out[3].n_phone == 1
+    assert "<IPV4>" in out[3].text and "<PHONE>" in out[3].text
+    assert "555" not in out[3].text and "192.168" not in out[3].text
+    # clean prose passes through byte-identical
+    assert out[4].text == rows[3][1]
+    assert out[4].n_email == out[4].n_url == out[4].n_ipv4 == out[4].n_phone == 0
+    # URL-embedded email disappears WITH the url (order: url before email);
+    # the bare email is still redacted separately
+    assert out[5].n_url == 1 and "<URL>" in out[5].text
+    assert "bob@corp.io" not in out[5].text and "<EMAIL>" in out[5].text
+
+
+def test_scrub_pii_is_pure_jvm_and_streaming_safe(spark, tmp_path):
+    """The scrubbing projection contains no Python evaluation and runs
+    unchanged on a readStream source (the 100 TB posture: scan -> redact
+    -> write, no shuffle, no state)."""
+    from etl_school_spark.privacy import scrub_corpus
+
+    df = spark.createDataFrame([(1, "a@b.co x")], "doc_id long, text string")
+    plan = scrub_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+    src = tmp_path / "in"
+    src.mkdir()
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        scrub_corpus(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir)).collect()
+    assert len(got) == 1 and "<EMAIL>" in got[0].text
