@@ -42,3 +42,72 @@ def cosine(a: Column, b: Column) -> Column:
 # as ONE SQL string and parse it JVM-side with F.expr — the same tree via
 # the Column API costs tens of thousands of py4j round-trips (~50 s of
 # driver time per query at 64 planes × 64 dims).
+
+
+def int8_scale(v: Column) -> Column:
+    """Symmetric int8 quantization scale: max-abs element / 127.
+
+    The storage path for a 100 TB embedding store — int8 cuts the vector
+    bytes 4× vs float32 (16× vs float64), and symmetric max-abs scaling
+    keeps dequantization a single multiply. NULL for the all-zero vector
+    (nothing to scale; quantized columns go NULL rather than Inf)."""
+    s = F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v))) / F.lit(127.0)
+    return F.nullif(s, F.lit(0.0))
+
+
+def quantize_int8(v: Column, scale: Column) -> Column:
+    """Quantized codes round(x/scale) clamped to [-127, 127], as ints.
+
+    round() is half-away-from-zero on Spark, DuckDB and Python alike, so
+    codes are engine-portable (the same property the IVF fixed-point
+    training relies on, similarity/ivf.py)."""
+    return F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.round(x / scale), F.lit(-127.0)), F.lit(127.0)
+        ).cast("int"),
+    )
+
+
+def quant_profile(v: Column) -> Column:
+    """struct(q_scale, q_mse, q_max_err): the int8 round-trip audit a
+    pipeline stores next to a quantized corpus so retrieval-quality
+    regressions are measurable without re-reading float vectors.
+
+    The scale and the error array are let-bound (functions.text.let_bound)
+    — Spark does no common-subexpression elimination inside higher-order-
+    function lambdas, so referencing the scale expression per element
+    would re-scan the vector (array_min/array_max) once PER ELEMENT,
+    turning an O(dim) profile into O(dim²). Fold order matches
+    l2_norm/dot (sequential), so the identical values are reproducible in
+    ANSI SQL list folds."""
+    from etl_school_spark.functions.text import let_bound
+
+    def with_v(vv: Column) -> Column:
+        s_expr = F.nullif(
+            F.greatest(F.abs(F.array_min(vv)), F.abs(F.array_max(vv))) / F.lit(127.0),
+            F.lit(0.0),
+        )
+
+        def with_s(s: Column) -> Column:
+            err = F.transform(
+                vv,
+                lambda x: x
+                - F.least(F.greatest(F.round(x / s), F.lit(-127.0)), F.lit(127.0)) * s,
+            )
+
+            def with_e(e: Column) -> Column:
+                mse = F.aggregate(
+                    F.transform(e, lambda t: t * t), F.lit(0.0), lambda a, x: a + x
+                ) / F.size(e)
+                return F.struct(
+                    s.alias("q_scale"),
+                    mse.alias("q_mse"),
+                    F.array_max(F.transform(e, lambda t: F.abs(t))).alias("q_max_err"),
+                )
+
+            return let_bound(err, with_e)
+
+        return let_bound(s_expr, with_s)
+
+    return let_bound(v, with_v)

@@ -167,26 +167,53 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_stats",
     """
-    SELECT vec_id,
-           len(embedding) AS dim,
-           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS l2_norm,
-           CAST(list_min(embedding) AS DOUBLE) AS min_el,
-           CAST(list_max(embedding) AS DOUBLE) AS max_el
-    FROM embeddings
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             len(v) AS dim,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS l2_norm,
+             list_min(v) AS min_el,
+             list_max(v) AS max_el,
+             nullif(greatest(abs(list_min(v)), abs(list_max(v))) / 127.0, 0.0) AS q_scale
+      FROM base
+    ),
+    err AS (
+      SELECT *,
+             list_transform(v, x ->
+               x - least(greatest(round(x / q_scale), -127.0), 127.0) * q_scale) AS e
+      FROM scaled
+    )
+    SELECT vec_id, dim, l2_norm, min_el, max_el, q_scale,
+           list_sum(list_transform(e, x -> x*x)) / dim AS q_mse,
+           list_max(list_transform(e, x -> abs(x))) AS q_max_err
+    FROM err
     ORDER BY vec_id
     """,
 )
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_school_spark.functions.vectors import as_double, l2_norm
+    """Per-vector profile + the int8 storage path (r3): symmetric max-abs
+    quantization scale and the round-trip reconstruction error a pipeline
+    stores alongside a quantized 100 TB vector corpus. Pure expressions;
+    the DuckDB oracle replays the identical arithmetic (shared
+    round-half-away-from-zero and sequential fold order)."""
+    from etl_school_spark.functions.vectors import as_double, l2_norm, quant_profile
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
+    p = quant_profile(v)  # ONE Column object → projection-level CSE applies
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         l2_norm(v).alias("l2_norm"),
         F.array_min(v).alias("min_el"),
         F.array_max(v).alias("max_el"),
+        p.getField("q_scale").alias("q_scale"),
+        p.getField("q_mse").alias("q_mse"),
+        p.getField("q_max_err").alias("q_max_err"),
     ).orderBy("vec_id")
 
 

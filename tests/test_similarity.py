@@ -224,3 +224,48 @@ def test_cosine_pairs_dense_refuses_oversized_block(spark):
     emb = _emb(spark)
     with _pytest.raises(ValueError, match="capped"):
         cosine_pairs_dense(emb, 0.4, block=10).collect()
+
+
+def test_int8_quantization_roundtrip_bounds(spark):
+    """Symmetric int8 quantization: codes stay in [-127, 127], max
+    reconstruction error is bounded by scale/2 (round-to-nearest), the
+    all-zero vector yields NULL scale/derived columns, and the profile
+    matches a numpy reference."""
+    import numpy as np
+
+    from etl_school_spark.functions.vectors import (
+        as_double,
+        int8_scale,
+        quant_profile,
+        quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(0, 1, 16).astype("float32").tolist() for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = as_double(F.col("embedding"))
+    s = int8_scale(v)
+    out = df.select(
+        "vec_id",
+        s.alias("scale"),
+        quantize_int8(v, s).alias("codes"),
+        quant_profile(v).alias("p"),
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+
+    zero = by_id[99]
+    assert zero.scale is None and zero.p.q_mse is None  # nothing to scale
+
+    for i, vec in enumerate(vecs):
+        r = by_id[i]
+        arr = np.array(vec, dtype=np.float64)
+        ref_scale = np.abs(arr).max() / 127.0
+        assert abs(r.scale - ref_scale) < 1e-12
+        assert all(-127 <= c <= 127 for c in r.codes)
+        recon = np.array(r.codes, dtype=np.float64) * r.scale
+        err = np.abs(arr - recon)
+        assert err.max() <= r.scale / 2 + 1e-12
+        assert abs(r.p.q_max_err - err.max()) < 1e-12
+        assert abs(r.p.q_mse - (err ** 2).mean()) < 1e-12
