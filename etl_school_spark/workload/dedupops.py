@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_school_spark.dedup.minhash import minhash_lsh_pairs
 from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_near_pairs
+from etl_school_spark.functions.text import STOPWORDS
 from etl_school_spark.tables import fan_out, load_table
 from etl_school_spark.workload._suite import sorted_single
 
@@ -171,7 +172,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (iterative min-label propagation). Oracle: transitive closure by
 # recursive CTE, component = min reachable id — exact equivalence of a
 # genuinely iterative DataFrame algorithm.
+#
+# r3: the query also makes the KEEP decision — per component, the
+# canonical document is the highest-QUALITY member (quality_score, id
+# tiebreak) and every other member is marked for drop. This is the step
+# a dedup pipeline actually acts on; min-id alone silently prefers the
+# earliest crawl copy regardless of quality.
 # --------------------------------------------------------------------------
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
   {_NGRAM_ORACLE.replace("ORDER BY id_a, id_b", "")}
@@ -185,21 +194,59 @@ reach(s, t) AS (
   SELECT a, b FROM und
   UNION
   SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+),
+labels AS (
+  SELECT s AS node, least(s, min(t)) AS component
+  FROM reach
+  GROUP BY s
+),
+qt AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+qc AS (
+  SELECT doc_id,
+         len(w)*1.0 AS n_tok,
+         len(list_distinct(w))*1.0 / nullif(len(w)*1.0, 0) AS ttr,
+         round(len(list_filter(w, x -> x IN ({_SW_LIST})))*1.0 / nullif(len(w), 0), 4) AS sw
+  FROM qt
+),
+q AS (
+  SELECT doc_id,
+         round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality
+  FROM qc
 )
-SELECT s AS node, least(s, min(t)) AS component
-FROM reach
-GROUP BY s
+SELECT l.node, l.component, q.quality,
+       first_value(l.node) OVER (PARTITION BY l.component
+                                 ORDER BY q.quality DESC, l.node) AS canonical,
+       l.node = first_value(l.node) OVER (PARTITION BY l.component
+                                          ORDER BY q.quality DESC, l.node) AS keep
+FROM labels l JOIN q ON l.node = q.doc_id
 ORDER BY node
 """
 
 
 @_q("dedup_clusters", _CLUSTER_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.functions.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
-    return sorted_single(connected_components(pairs), "node")
+    labels = connected_components(pairs)
+    # canonical selection: highest-quality member per component (id
+    # tiebreak). The join moves only (id, quality) for CLUSTERED docs —
+    # at scale that is the near-dup subset, not the corpus.
+    q = docs.select(F.col("doc_id").alias("node"), quality_score("text").alias("quality"))
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), "node")
+    out = (
+        labels.join(q, "node")
+        .withColumn("canonical", F.first("node").over(w))
+        .withColumn("keep", F.col("node") == F.col("canonical"))
+    )
+    return sorted_single(
+        out.select("node", "component", "quality", "canonical", "keep"), "node"
+    )
 
 
 # --------------------------------------------------------------------------
