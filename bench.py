@@ -47,6 +47,11 @@ PIPELINE = [
     "ann_topk_cosine",
     "ann_topk_lsh",
     "sample_documents_10pct",
+    # r3 additions: the shard/pack layout suite and the quantization-
+    # profiled embedding stats — new driver-visible work gets wall-time
+    # tracking from the round it lands
+    "sampling_counts_suite",
+    "embedding_stats",
 ]
 
 HEADLINE = RELATIONAL + PIPELINE

@@ -122,6 +122,14 @@ def pack_concat_windows(
     so spans never invert. Integer division throughout: the running sum
     exceeds 2^53 long before a 100 TB corpus runs out, so float floor()
     would mis-bin where exact ``div`` cannot.
+
+    ``n_shards`` is ALSO the parallelism unit — each shard's running sum
+    is one window partition, i.e. one task. The test registry uses 8 for
+    a 5 000-doc table; at corpus scale size it like output files,
+    ~O(corpus_bytes / 1 GiB) shards (a 100 TB corpus → ~100 k shards),
+    which keeps every cumsum task small AND gives the training job its
+    file-level shuffle granularity. Shard count changes the layout, not
+    correctness — membership stays a pure per-key function.
     """
     from pyspark.sql.window import Window
 
