@@ -14,11 +14,12 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 181 seeds across the six families below (r3 adds multi-level
-aggregation: ROLLUP / CUBE / GROUPING SETS); wider one-off sweeps
-(r3: 1,100 additional seeds at sf0.001 — 300 relational, 200 each
-scalar/window/join-shape/set-op — plus 340 seeds re-run at sf0.01, 10×
-the data, plus 175 family-6 seeds) ran clean, so the committed seed
+CI pins 201 seeds across the seven families below (r3 adds multi-level
+aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
+DuckDB's native ASOF JOIN); wider one-off sweeps (r3: 1,100 additional
+seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
+set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
+family-6 and 130 family-7 seeds) ran clean, so the committed seed
 ranges are a regression net, not the full tested surface. The family-6
 sweep EARNED its keep immediately: it surfaced the Spark-vs-ANSI
 empty-input grouping-set divergence documented at
@@ -324,6 +325,52 @@ def build_multilevel_query(seed: int):
     return table, spark_build, sql
 
 
+def build_asof_query(seed: int):
+    """Family 7: as-of joins — the engine's union-window backward join
+    (operators/temporal.asof_join) vs DuckDB's NATIVE ASOF JOIN, across
+    random right-side sparsities, left predicates, and left/inner
+    variants. An independent implementation on each side, so a semantics
+    bug in either formulation (tie handling, inner filtering, NULL
+    carry) diverges. The right side is aggregated per (key, ts) first:
+    both engines leave duplicate-timestamp winners unspecified, so the
+    fuzz surface is restricted to well-defined inputs."""
+    rng = random.Random(seed)
+    m = rng.choice([10, 20, 40])
+    r = rng.randrange(m)
+    how = rng.choice(["left", "inner"])
+    preds = rng.sample(PREDICATES["events"], rng.randint(0, 2))
+
+    def spark_build(spark):
+        from etl_school_spark.operators.temporal import asof_join
+
+        ev = load_table(spark, SF_DIR, "events")
+        left = ev
+        for _, col, _ in preds:
+            left = left.filter(col())
+        left = left.select("event_id", "user_id", "ts")
+        right = (
+            ev.filter(F.col("event_id") % m == r)
+            .groupBy("user_id", "ts")
+            .agg(F.max(F.col("event_id") % 5).cast("long").alias("tier"))
+        )
+        return asof_join(
+            left, right, key="user_id", ts="ts", value_cols=["tier"], how=how
+        ).select("event_id", "user_id", "tier")
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    kw = "ASOF LEFT JOIN" if how == "left" else "ASOF JOIN"
+    sql = f"""
+    SELECT e.event_id, e.user_id, t.tier
+    FROM (SELECT event_id, user_id, ts FROM events{where}) e
+    {kw} (
+      SELECT user_id, ts, CAST(MAX(event_id % 5) AS BIGINT) AS tier
+      FROM events WHERE event_id % {m} = {r}
+      GROUP BY user_id, ts
+    ) t ON e.user_id = t.user_id AND e.ts >= t.ts
+    """
+    return "events", spark_build, sql
+
+
 def build_window_query(seed: int):
     rng = random.Random(seed)
     table = rng.choice(list(WINDOW_SPECS))
@@ -623,3 +670,18 @@ def test_multilevel_empty_input_divergence(spark, duck):
         "GROUP BY ROLLUP(o_orderpriority)"
     ).fetchall()
     assert len(want) == 1 and want[0][1] == 0  # ANSI: grand-total row
+
+
+@pytest.mark.parametrize("seed", list(range(6000, 6020)))
+def test_random_asof_join_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_asof_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_asof_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
