@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.exact import drop_exact_duplicates
 from etl_school_spark.functions.corpus import filter_corpus
-from etl_school_spark.functions.sampling import pack_concat_windows
+from etl_school_spark.functions.sampling import hash_bucket, pack_concat_windows
 from etl_school_spark.functions.text import quality_score, token_count
 from etl_school_spark.privacy import scrub_corpus
 
@@ -93,9 +93,10 @@ def build_corpus(
     out = out.withColumn("n_tokens", token_count(text_col).cast("long"))
     out = pack_concat_windows(out, id_col, "n_tokens", pack_capacity, n_shards)
     # pack_concat_windows assigns `shard`; reshard would recompute the
-    # same value (same key, same hash) — repartition directly instead.
+    # same value (same key, same hash) — repartition directly instead,
+    # with the same hash-order intra-shard sort reshard uses.
     return out.repartition(n_shards, "shard").sortWithinPartitions(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), id_col
+        hash_bucket(id_col), id_col
     )
 
 

@@ -19,8 +19,9 @@ aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
 DuckDB's native ASOF JOIN); wider one-off sweeps (r3: 1,100 additional
 seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
 set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
-family-6 and 130 family-7 seeds) ran clean, so the committed seed
-ranges are a regression net, not the full tested surface. The family-6
+family-6 and 130 family-7 seeds, plus 50 seeds of each new family
+re-run at sf0.01) ran clean, so the committed seed ranges are a
+regression net, not the full tested surface. The family-6
 sweep EARNED its keep immediately: it surfaced the Spark-vs-ANSI
 empty-input grouping-set divergence documented at
 build_multilevel_query / test_multilevel_empty_input_divergence.
