@@ -8,8 +8,18 @@ agree exactly on at least one chunk — so joining on (chunk_idx,
 chunk_value) finds ALL such pairs (no false negatives), and an exact
 hamming verify removes false positives.
 
+r3 rewrite, same output: the signature is ONE BIGINT word
+(functions.text.simhash64_packed), chunk keys are masked words, pairs
+are emitted exactly once at their FIRST agreeing chunk (an XOR+AND
+word filter — no dropDuplicates shuffle), and the hamming verify is
+``bit_count(a XOR b)``. The previous formulation shuffled two
+64-element signature arrays per candidate row into a pair-dedup
+exchange; on the sf1 tiled corpus (dense chunk blocks: every doc has 9
+byte-identical copies) that allocation pattern killed the local
+session with GC thrash. The word form carries 16 bytes per side.
+
 One shuffle on chunk buckets; signatures are one linear expression-only
-scan (functions.text.simhash64).
+scan.
 """
 
 from __future__ import annotations
@@ -17,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_school_spark.functions.text import hamming, simhash64
+from etl_school_spark.functions.text import _signed64, simhash64_packed
 
 
 def simhash_near_pairs(
@@ -30,47 +40,48 @@ def simhash_near_pairs(
     """All pairs (i < j) with SimHash hamming distance ≤ max_hamming.
 
     Exact under the pigeonhole guarantee (requires max_hamming < chunks).
-    Returns: id_a, id_b, hamming_dist.
+    Returns: id_a, id_b, hamming_dist (long).
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
     chunk_size = 64 // chunks
+    masks = [
+        _signed64(((1 << chunk_size) - 1) << (c * chunk_size)) for c in range(chunks)
+    ]
 
-    signed = docs.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
-    chunked = signed.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda ci: F.struct(
-                    ci.alias("chunk_idx"),
-                    F.concat_ws("", F.transform(F.slice(F.col("sig"), ci * chunk_size + 1, chunk_size), lambda v: v.cast("string"))).alias(
-                        "chunk_val"
-                    ),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc", "sig", "c.chunk_idx", "c.chunk_val")
-
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
+    signed = docs.select(
+        F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
+    )
+    buckets = F.array(
+        *[
+            F.struct(F.lit(c).alias("t"), F.expr(f"_sig & {m}L").alias("key"))
+            for c, m in enumerate(masks)
+        ]
+    )
+    ids = signed.select("doc", "_sig", F.explode(buckets).alias("b")).select(
+        "doc", "_sig", "b.t", "b.key"
+    )
+    # exactly-once emission WITHOUT a dedup shuffle (the knn.py
+    # first-collision pattern): a pair is kept only at the first chunk
+    # on which the two signatures agree — pure word ops per join row
+    case_chain = (
+        "CASE "
+        + " ".join(f"WHEN ((sa ^ sb) & {m}L) = 0L THEN {c}" for c, m in enumerate(masks))
+        + " ELSE -1 END"
+    )
+    return (
+        ids.alias("a")
+        .join(ids.alias("b"), ["t", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a._sig").alias("sa"),
+            F.col("b._sig").alias("sb"),
+            F.col("t"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cands.withColumn("hamming_dist", hamming(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.expr(f"({case_chain}) = t"))
+        .withColumn("hamming_dist", F.bit_count(F.expr("sa ^ sb")).cast("long"))
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
     )

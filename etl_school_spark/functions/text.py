@@ -210,18 +210,16 @@ def fingerprint(col: Column | str) -> Column:
 HEX_BIT_SETS = ["89abcdef", "4567cdef", "2367abef", "13579bdf"]
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over the distinct token set as an array<int> of ±bit
-    sums turned into 0/1 bits (bit k = 1 iff the sum of per-token bit-k
-    contributions is positive). Token bits are the first 64 bits of
-    md5(token), read as hex digits — bit k is bit (k%4) of hex digit
-    (k//4), extracted by set membership so the whole signature is
-    engine-portable (the identical extraction is expressible in ANSI SQL,
-    which is what makes the SimHash query driver-oracle-checkable).
+def _signed64(mask: int) -> int:
+    """Two's-complement signed value of an unsigned 64-bit mask (bit 63
+    flips the sign in a Spark BIGINT literal)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
 
-    Returned as array<int> of length 64 (bit vector) — callers pack bands
-    or compute hamming distance with zip_with, all expression-side.
-    """
+
+def _simhash_bit_sums(col: Column | str) -> Column:
+    """The 64 ±contribution sums underlying SimHash (array<long>): for
+    each bit k, the number of distinct tokens whose md5 sets bit k minus
+    the number that clear it."""
     w = F.array_distinct(tokens(col))
     # md5 once per token, then fold the ±1 contributions over the hashes
     hashes = F.transform(w, lambda t: F.substring(F.md5(t), 1, 16))
@@ -239,8 +237,42 @@ def simhash64(col: Column | str) -> Column:
         )
         return F.zip_with(acc, bits, lambda a, b: a + b)
 
-    sums = F.aggregate(hashes, zero64, contrib)
+    return F.aggregate(hashes, zero64, contrib)
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over the distinct token set as an array<int> of ±bit
+    sums turned into 0/1 bits (bit k = 1 iff the sum of per-token bit-k
+    contributions is positive). Token bits are the first 64 bits of
+    md5(token), read as hex digits — bit k is bit (k%4) of hex digit
+    (k//4), extracted by set membership so the whole signature is
+    engine-portable (the identical extraction is expressible in ANSI SQL,
+    which is what makes the SimHash query driver-oracle-checkable).
+
+    Returned as array<int> of length 64 (bit vector) — callers pack bands
+    or compute hamming distance with zip_with, all expression-side.
+    """
+    sums = _simhash_bit_sums(col)
     return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash64_packed(col: Column | str) -> Column:
+    """The same 64 SimHash bits packed into ONE BIGNT word: bit k of the
+    word = element k of ``simhash64`` (two's complement carries bit 63).
+
+    The word form is what the pair join wants at scale — bucket keys are
+    masked words, pair dedup is an XOR+AND filter, and hamming distance
+    is ``bit_count(a XOR b)`` — no 64-element arrays ride the shuffle
+    (the r3 sf1 run killed the session on exactly that: dense chunk
+    blocks × ~500-byte signature arrays on both join sides)."""
+    sums = _simhash_bit_sums(col)
+    weights = F.array(*[F.lit(_signed64(1 << k)).cast("long") for k in range(64)])
+    terms = F.zip_with(
+        sums, weights, lambda s, wt: F.when(s > 0, wt).otherwise(F.lit(0).cast("long"))
+    )
+    # bits are disjoint powers of two (bit 63 carried by the one negative
+    # weight), so the sum is exact two's-complement assembly — no overflow
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def hamming(a: Column, b: Column) -> Column:

@@ -233,3 +233,45 @@ def test_corpus_filter_plan_is_pure_jvm(spark):
     docs = _corpus_df(spark)
     plan = filter_corpus(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_packed_matches_array_bits(spark):
+    """simhash64_packed is bit-for-bit the packed form of simhash64, and
+    bit_count(xor) equals the array hamming distance — the equivalence
+    that lets the pair join carry one word instead of a 64-int array."""
+    from etl_school_spark.functions.text import hamming, simhash64, simhash64_packed
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with other words entirely"),
+        (4, ""),
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = df.select(
+        "i",
+        simhash64("t").alias("bits"),
+        simhash64_packed("t").alias("word"),
+    ).collect()
+    by_i = {r.i: r for r in got}
+    for r in got:
+        packed = sum(1 << k for k, b in enumerate(r.bits) if b == 1)
+        if packed >= 1 << 63:
+            packed -= 1 << 64
+        assert r.word == packed, (r.i, r.word, packed)
+    # cross-doc hamming parity: array zip vs popcount(xor)
+    import itertools
+
+    pair = df.alias("a").crossJoin(df.alias("b")).filter("a.i < b.i")
+    from pyspark.sql import functions as F
+
+    hd = pair.select(
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+        hamming(simhash64(F.col("a.t")), simhash64(F.col("b.t"))).alias("h_arr"),
+        F.bit_count(
+            simhash64_packed(F.col("a.t")).bitwiseXOR(simhash64_packed(F.col("b.t")))
+        ).alias("h_word"),
+    ).collect()
+    assert all(r.h_arr == r.h_word for r in hd)
