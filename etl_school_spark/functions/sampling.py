@@ -147,3 +147,54 @@ def pack_concat_windows(
         .withColumn("last_window", F.expr(f"_last_tok div {capacity}"))
         .drop("_cum_before", "_last_tok")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    class_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Epoch-weighted mixture sampling — the data-mixing op behind
+    published pretraining recipes (e.g. 2.5 epochs of wiki, 1 epoch of
+    web, 0.4 of a noisy crawl): weight w of a class yields floor(w) FULL
+    copies of every row plus a deterministic frac(w) sample as the final
+    partial epoch. Classes absent from ``weights`` (or weighted 0) are
+    dropped.
+
+    Adds an ``epoch`` column (0-based copy index). The partial-epoch
+    membership hash is seeded with the epoch (md5 of "key:epoch"), so
+    partial epochs of different weights draw independent subsets, and —
+    as with every sampler here — membership is a pure row-key function:
+    any engine, partitioning, or retry builds the identical mixture.
+
+    Scale shape: one broadcast join against the |classes|-row weight
+    table + an explode of at most ceil(max(w)) epochs — linear scan,
+    no shuffle.
+    """
+    spark = df.sparkSession
+    rows = []
+    for cls, w in weights.items():
+        k_full = int(w)  # floor for non-negative weights
+        frac = w - k_full
+        rows.append((cls, k_full, threshold_hex(frac) if frac > 0 else None))
+    wtab = spark.createDataFrame(
+        rows, f"{class_col} string, _k_full int, _thresh string"
+    )
+    n_ep = F.col("_k_full") + F.when(F.col("_thresh").isNotNull(), 1).otherwise(0)
+    ep_hash = hash_bucket(
+        F.concat(F.col(key).cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    )
+    return (
+        df.join(F.broadcast(wtab), class_col)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(n_ep > 0, F.sequence(F.lit(0), n_ep - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .filter((F.col("epoch") < F.col("_k_full")) | (ep_hash < F.col("_thresh")))
+        .drop("_k_full", "_thresh")
+    )

@@ -65,6 +65,25 @@ _QUOTA_SQL = " OR ".join(
 _N_SHARDS = 8
 _PACK_CAP = 256  # tokens per training context window
 
+# mixture recipe: 2.5 epochs of the first source band, 1 epoch of the
+# second, a 0.4-epoch sample of the third, drop the fourth
+_MIX_WEIGHTS = {
+    f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.4 if i < 15 else 0.0)
+    for i in range(20)
+}
+
+
+def _mix_values_sql() -> str:
+    """The weight table as a VALUES list — k_full + fractional threshold
+    derived from the SAME dict the Spark side uses."""
+    rows = []
+    for cls, w in _MIX_WEIGHTS.items():
+        k_full = int(w)
+        frac = w - k_full
+        t = threshold_hex(frac) if frac > 0 else None
+        rows.append(f"('{cls}', {k_full}, {'NULL' if t is None else repr(t)})")
+    return ", ".join(rows)
+
 # md5-derived 60-bit int mod shards — the DuckDB twin of sampling.shard_id
 _SHARD_SQL = (
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)"
@@ -94,6 +113,13 @@ _SHARD_SQL = (
              cum_before // {_PACK_CAP} AS first_window,
              (cum_before + greatest(n_tok, 1) - 1) // {_PACK_CAP} AS last_window
       FROM packed
+    ),
+    wts(source, k_full, thresh) AS (VALUES {_mix_values_sql()}),
+    mix AS MATERIALIZED (
+      SELECT d.source, d.doc_id, w.k_full, w.thresh,
+             unnest(generate_series(0,
+               w.k_full + CASE WHEN w.thresh IS NULL THEN -1 ELSE 0 END)) AS epoch
+      FROM documents d JOIN wts w ON d.source = w.source
     )
     SELECT 'split:' || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_T90}'
                             THEN 'train' ELSE 'test' END AS bucket,
@@ -117,11 +143,20 @@ _SHARD_SQL = (
            CAST(SUM(CASE WHEN last_window > first_window THEN 1 ELSE 0 END) AS BIGINT) AS m
     FROM spans
     GROUP BY shard
+    UNION ALL
+    SELECT 'mixture:' || source AS bucket, '-' AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS m
+    FROM mix
+    WHERE epoch < k_full
+       OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4) < thresh
+    GROUP BY source
     ORDER BY bucket, lang
     """,
 )
 def sampling_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.functions.sampling import (
+        mixture_sample,
         pack_concat_windows,
         quota_sample,
         shard_id,
@@ -159,10 +194,20 @@ def sampling_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("lang", F.lit("-"))
     )
+    mix = (
+        mixture_sample(docs, "doc_id", "source", _MIX_WEIGHTS)
+        .groupBy(F.concat(F.lit("mixture:"), F.col("source")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("m"),
+        )
+        .withColumn("lang", F.lit("-"))
+    )
     return (
         split.unionByName(reb)
         .unionByName(shard.select("bucket", "lang", "n", "m"))
         .unionByName(pack.select("bucket", "lang", "n", "m"))
+        .unionByName(mix.select("bucket", "lang", "n", "m"))
         .orderBy("bucket", "lang")
     )
 

@@ -418,3 +418,46 @@ def test_reshard_is_deterministic_and_complete(spark, ids):
     assert out.rdd.getNumPartitions() == 4
     again = {r.id: r.shard for r in reshard(df.repartition(9), "id", 4).collect()}
     assert again == {r.id: r.shard for r in rows}
+
+
+@_S
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=4,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_mixture_sample_matches_python_reference(spark, rows):
+    """mixture_sample == per-row Python simulation of the epoch rule:
+    floor(w) full copies + md5("key:epoch")-gated fractional epoch;
+    weight-0 and unlisted classes dropped; partitioning-invariant."""
+    from etl_school_spark.functions.sampling import mixture_sample, threshold_hex
+
+    W = {"a": 2.5, "b": 1.0, "c": 0.4, "d": 0.0}
+    df = spark.createDataFrame(rows, "id long, cls string")
+    got = sorted(
+        (r.id, r.epoch) for r in mixture_sample(df, "id", "cls", W).collect()
+    )
+    again = sorted(
+        (r.id, r.epoch)
+        for r in mixture_sample(df.repartition(7), "id", "cls", W).collect()
+    )
+    assert got == again
+
+    expect = []
+    for i, cls in rows:
+        w = W.get(cls, 0.0)
+        k = int(w)
+        frac = w - k
+        for ep in range(k):
+            expect.append((i, ep))
+        if frac > 0:
+            hb = hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:4]
+            if hb < threshold_hex(frac):
+                expect.append((i, k))
+    assert got == sorted(expect)
