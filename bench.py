@@ -47,11 +47,13 @@ PIPELINE = [
     "ann_topk_cosine",
     "ann_topk_lsh",
     "sample_documents_10pct",
-    # r3 additions: the shard/pack layout suite and the quantization-
-    # profiled embedding stats — new driver-visible work gets wall-time
-    # tracking from the round it lands
+    # r3 additions: the shard/pack/mixture layout suite, the
+    # quantization-profiled embedding stats, and the word-packed simhash
+    # (rewritten after the sf1 session-kill) — new driver-visible work
+    # gets wall-time tracking from the round it lands
     "sampling_counts_suite",
     "embedding_stats",
+    "dedup_simhash",
 ]
 
 HEADLINE = RELATIONAL + PIPELINE
