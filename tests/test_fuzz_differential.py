@@ -20,8 +20,10 @@ DuckDB's native ASOF JOIN); wider one-off sweeps (r3: 1,100 additional
 seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
 set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
 family-6 and 130 family-7 seeds, plus 50 seeds of each new family
-re-run at sf0.01) ran clean, so the committed seed ranges are a
-regression net, not the full tested surface. The family-6
+re-run at sf0.01, plus a final 700-seed fresh-range sweep of 100 seeds
+per family after the round's last operator change) ran clean, so the
+committed seed ranges are a regression net, not the full tested
+surface. The family-6
 sweep EARNED its keep immediately: it surfaced the Spark-vs-ANSI
 empty-input grouping-set divergence documented at
 build_multilevel_query / test_multilevel_empty_input_divergence.
