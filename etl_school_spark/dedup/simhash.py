@@ -41,6 +41,13 @@ def simhash_near_pairs(
 
     Exact under the pigeonhole guarantee (requires max_hamming < chunks).
     Returns: id_a, id_b, hamming_dist (long).
+
+    Precondition: ``id_col`` values are unique (the standard contract for
+    a corpus keyed by doc id — the same assumption exact.py's
+    fingerprint groupBy makes). Duplicate ids would emit one pair row
+    per input-row combination: the first-collision filter is exactly-once
+    per ROW pair, and the shuffle-free design deliberately has no
+    pair-level dropDuplicates to collapse id-level duplicates.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")

@@ -120,7 +120,12 @@ def corpus_flags(
         "ok_rep_dup": m["dup_3gram_frac"] <= max_dup_trigram_frac,
         "ok_term_punct": m["term_punct_share"] >= min_terminal_punct_share,
     }
-    sel = list(docs.columns)
+    # replace-on-collision like the withColumn form this select replaced:
+    # re-annotating a frame that already carries flag/metric columns (e.g.
+    # corpus_flags of an audited corpus) must overwrite, not append an
+    # ambiguous duplicate
+    appended = set(rules) | {"keep"} | (set(metrics) if emit_metrics else set())
+    sel = [c for c in docs.columns if c not in appended]
     if emit_metrics:
         sel += [c.alias(name) for name, c in metrics.items()]
     flag_names = list(rules)

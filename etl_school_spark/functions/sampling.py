@@ -139,7 +139,14 @@ def pack_concat_windows(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tok = F.col(token_col).cast("long")
-    out = df.withColumn("shard", shard_id(key, n_shards))
+    # a pre-assigned `shard` column (e.g. from reshard()) is reused, so a
+    # frame already hash-partitioned on it satisfies the window's
+    # clustering and plans NO second exchange — recomputing the same
+    # expression via withColumn would hide the equivalence from Catalyst
+    # and re-shuffle the full rows (text included)
+    out = df if "shard" in df.columns else df.withColumn(
+        "shard", shard_id(key, n_shards)
+    )
     out = out.withColumn("_cum_before", F.sum(tok).over(w) - tok)
     out = out.withColumn("_last_tok", F.col("_cum_before") + F.greatest(tok, F.lit(1)) - F.lit(1))
     return (

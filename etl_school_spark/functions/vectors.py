@@ -84,16 +84,13 @@ def quant_profile(v: Column) -> Column:
     from etl_school_spark.functions.text import let_bound
 
     def with_v(vv: Column) -> Column:
-        s_expr = F.nullif(
-            F.greatest(F.abs(F.array_min(vv)), F.abs(F.array_max(vv))) / F.lit(127.0),
-            F.lit(0.0),
-        )
+        s_expr = int8_scale(vv)
 
         def with_s(s: Column) -> Column:
-            err = F.transform(
-                vv,
-                lambda x: x
-                - F.least(F.greatest(F.round(x / s), F.lit(-127.0)), F.lit(127.0)) * s,
+            # reconstruction error from the SAME quantizer users apply —
+            # if int8_scale/quantize_int8 change, the profile follows
+            err = F.zip_with(
+                vv, quantize_int8(vv, s), lambda x, q: x - q.cast("double") * s
             )
 
             def with_e(e: Column) -> Column:

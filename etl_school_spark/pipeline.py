@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.exact import drop_exact_duplicates
 from etl_school_spark.functions.corpus import filter_corpus
-from etl_school_spark.functions.sampling import hash_bucket, pack_concat_windows
+from etl_school_spark.functions.sampling import pack_concat_windows, reshard
 from etl_school_spark.functions.text import quality_score, token_count
 from etl_school_spark.privacy import scrub_corpus
 
@@ -91,13 +91,13 @@ def build_corpus(
     if near_dedup:
         out = drop_near_duplicates(out, id_col, text_col)
     out = out.withColumn("n_tokens", token_count(text_col).cast("long"))
-    out = pack_concat_windows(out, id_col, "n_tokens", pack_capacity, n_shards)
-    # pack_concat_windows assigns `shard`; reshard would recompute the
-    # same value (same key, same hash) — repartition directly instead,
-    # with the same hash-order intra-shard sort reshard uses.
-    return out.repartition(n_shards, "shard").sortWithinPartitions(
-        hash_bucket(id_col), id_col
-    )
+    # reshard FIRST: the one full-text shuffle. pack_concat_windows then
+    # reuses the `shard` column AND the hash partitioning — its window
+    # needs only an in-partition sort, no second exchange (asserted by
+    # the pipeline plan test), and the window's (hash, key) output order
+    # is exactly the shard order the writer wants.
+    out = reshard(out, id_col, n_shards)
+    return pack_concat_windows(out, id_col, "n_tokens", pack_capacity, n_shards)
 
 
 def write_corpus_shards(corpus: DataFrame, path: str) -> None:

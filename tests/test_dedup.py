@@ -275,3 +275,20 @@ def test_simhash_packed_matches_array_bits(spark):
         ).alias("h_word"),
     ).collect()
     assert all(r.h_arr == r.h_word for r in hd)
+
+
+def test_corpus_flags_reannotation_overwrites(spark):
+    """corpus_flags of an already-annotated frame overwrites the flag
+    (and metric) columns instead of appending ambiguous duplicates —
+    the audit-then-filter pattern filter_corpus(corpus_flags(df))."""
+    from etl_school_spark.functions.corpus import corpus_flags, filter_corpus
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 10)],
+        "doc_id long, text string",
+    )
+    once = corpus_flags(df, emit_metrics=True)
+    twice = corpus_flags(once, emit_metrics=True)
+    assert twice.columns == once.columns  # replaced, not appended
+    assert twice.collect() == once.collect()
+    assert filter_corpus(once).count() == filter_corpus(df).count()

@@ -54,6 +54,18 @@ def test_build_corpus_end_to_end(spark, tmp_path):
         r.shard for r in rows
     }
 
+    # ONE full-text shuffle: pack's window reuses reshard's partitioning
+    # (pack_concat_windows keeps the existing `shard` column), so exactly
+    # one exchange hash-partitions on shard — a second one would double
+    # the dominant shuffle at corpus scale
+    plan = (
+        build_corpus(docs, n_shards=4, pack_capacity=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning(shard") == 1, plan
+
 
 def test_drop_near_duplicates_keeps_best_quality(spark):
     """Planted near-dup pair: the higher-quality copy survives."""
