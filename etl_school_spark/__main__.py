@@ -10,6 +10,7 @@ Engine usage:
   python -m etl_school_spark consume   --broker /tmp/broker --topic cc --group g1 --sink /tmp/cc
   python -m etl_school_spark dq        --table-dir /tmp/cc
   python -m etl_school_spark validate  --table-dir /tmp/warehouse/orders --group-by car_model
+  python -m etl_school_spark corpus-build --out /tmp/shards --shards 8 --near-dedup
 """
 
 from __future__ import annotations
@@ -180,6 +181,44 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_corpus_build(args) -> int:
+    """The capstone training-corpus build (pipeline.build_corpus):
+    filter → scrub → dedup → reshard → pack → partitioned shard write."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.pipeline import build_corpus, write_corpus_shards
+    from etl_school_spark.tables import load_table
+
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    built = build_corpus(
+        docs,
+        n_shards=args.shards,
+        pack_capacity=args.capacity,
+        near_dedup=args.near_dedup,
+    )
+    write_corpus_shards(built, args.out)
+    back = spark.read.parquet(args.out)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("last_window") + 1).alias("max_windows_per_shard"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "input_docs": docs.count(),
+                "kept_docs": stats.docs,
+                "tokens": stats.tokens,
+                "shards": args.shards,
+                "pack_capacity": args.capacity,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_school_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -242,6 +281,17 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--query", required=True)
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.set_defaults(fn=cmd_explain)
+
+    cb = sub.add_parser(
+        "corpus-build",
+        help="filter → scrub → dedup → reshard → pack → write training shards",
+    )
+    cb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--shards", type=int, default=8)
+    cb.add_argument("--capacity", type=int, default=2048)
+    cb.add_argument("--near-dedup", action="store_true")
+    cb.set_defaults(fn=cmd_corpus_build)
 
     args = p.parse_args(argv)
     return args.fn(args)

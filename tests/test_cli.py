@@ -54,3 +54,14 @@ def test_cli_group_rollup_compact_explain(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out
     assert main(["explain", "--query", "nope"]) == 1
+
+
+def test_cli_corpus_build(spark, tmp_path, capsys):
+    out = str(tmp_path / "shards")
+    r = _run(capsys, ["corpus-build", "--sf-dir", "/root/testdata/sf0.01",
+                      "--out", out, "--shards", "4", "--capacity", "256"])
+    assert 0 < r["kept_docs"] < r["input_docs"]
+    assert r["tokens"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == r["kept_docs"]
+    assert {row.shard for row in back.select("shard").distinct().collect()} <= set(range(4))
