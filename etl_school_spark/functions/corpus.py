@@ -145,3 +145,36 @@ def filter_corpus(docs: DataFrame, text_col: str = "text", **thresholds) -> Data
     columns."""
     flagged = corpus_flags(docs, text_col, **thresholds)
     return flagged.filter(F.col("keep")).select(*docs.columns)
+
+
+def paragraphs(col: Column | str) -> Column:
+    """Non-empty trimmed paragraphs (newline-separated blocks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\n+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def drop_duplicate_paragraphs(col: Column | str) -> Column:
+    """Intra-document dedup (the C4-style within-doc cleanup): keep only
+    the FIRST occurrence of each paragraph, preserving order, and rejoin
+    with single newlines. Boilerplate that repeats inside one document
+    (nav bars, cookie banners, chorus lines) is the dominant in-doc noise
+    a crawl corpus carries; this removes it without touching cross-doc
+    dedup. Pure expressions — order-preserving first-occurrence selection
+    via array_position, O(P²) per row in paragraph count (P is small)."""
+    def dedup(ps: Column) -> Column:
+        # guard: sequence(1, 0) would DESCEND for empty docs, and ANSI
+        # element_at throws on out-of-range indexes
+        idx = F.when(F.size(ps) > 0, F.sequence(F.lit(1), F.size(ps))).otherwise(
+            F.array().cast("array<int>")
+        )
+        keep = F.filter(
+            idx, lambda i: F.array_position(ps, F.element_at(ps, i)) == i
+        )
+        return F.array_join(F.transform(keep, lambda i: F.element_at(ps, i)), "\n")
+
+    from etl_school_spark.functions.text import let_bound
+
+    return let_bound(paragraphs(col), dedup)

@@ -46,19 +46,27 @@ _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
 @_q(
     "text_token_stats",
     f"""
-    WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') w, text FROM documents)
+    WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') w, text,
+                      list_filter(list_transform(string_split_regex(text, '\\n+'),
+                                                 p -> trim(p)), p -> p <> '') AS paras
+               FROM documents)
     SELECT doc_id,
            n_chars,
            len(w) AS n_tokens,
            len(list_distinct(w)) AS n_types,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_regex_tokens,
-           round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS stop_share
+           round(len(list_filter(w, x -> x IN ({_SW})))*1.0 / nullif(len(w), 0), 4) AS stop_share,
+           len(paras) AS n_paras,
+           len(paras) - len(list_distinct(paras)) AS n_dup_paras
     FROM t
     ORDER BY doc_id
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.functions.corpus import paragraphs
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    paras = paragraphs("text")
     return (
         docs.select(
             "doc_id",
@@ -67,6 +75,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             distinct_token_count("text").alias("n_types"),
             regex_token_count("text").cast("long").alias("n_regex_tokens"),
             stopword_share("text").alias("stop_share"),
+            F.size(paras).alias("n_paras"),
+            (F.size(paras) - F.size(F.array_distinct(paras))).alias("n_dup_paras"),
         )
         .orderBy("doc_id")
     )

@@ -292,3 +292,28 @@ def test_corpus_flags_reannotation_overwrites(spark):
     assert twice.columns == once.columns  # replaced, not appended
     assert twice.collect() == once.collect()
     assert filter_corpus(once).count() == filter_corpus(df).count()
+
+
+def test_drop_duplicate_paragraphs_matches_python(spark):
+    """Order-preserving first-occurrence paragraph dedup vs a Python
+    reference, including empty/whitespace-only and no-dup documents."""
+    from etl_school_spark.functions.corpus import drop_duplicate_paragraphs
+
+    texts = [
+        "intro\nrepeat me\nbody text\nrepeat me\noutro",
+        "cookie banner\ncookie banner\ncookie banner",
+        "single paragraph only",
+        "",
+        "   \n  \n ",
+        "a\n\n\nb\na\nb\nc",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r.i: r.out for r in df.select("i", drop_duplicate_paragraphs("t").alias("out")).collect()}
+
+    for i, t in enumerate(texts):
+        seen, keep = set(), []
+        for p in (p.strip() for p in __import__("re").split(r"\n+", t)):
+            if p and p not in seen:
+                seen.add(p)
+                keep.append(p)
+        assert got[i] == "\n".join(keep), (i, got[i])
