@@ -67,7 +67,7 @@ def connected_components(
 
     prev_sum = _label_sum(labels) if integral else None
     changed = -1
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         msgs = (
             und.join(labels, und.a == labels.node)
             .select(F.col("b").alias("node"), F.col("component"))
@@ -77,7 +77,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.persist()
+        # persist caches DATA but keeps the LOGICAL plan, which nests one
+        # join+union level per round — unbounded lineage that makes
+        # planning (and even the per-action plan-string generation) grow
+        # with round count until it OOMs the driver on high-diameter
+        # graphs (observed: heap exhaustion inside generateTreeString on
+        # a hypothesis-generated long-chain graph). Truncate with a
+        # localCheckpoint every third round: lineage depth stays ≤ 3 for
+        # ANY round count — the required shape for iterative DataFrame
+        # algorithms — while fast-converging graphs (near-dup cliques,
+        # diameter ≤ 3) keep the cheaper columnar cache. A long-lived
+        # production job would point sc.setCheckpointDir at reliable
+        # storage and use checkpoint() instead of the executor-local form.
+        if it % 3 == 2:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
         if integral:
             new_sum = _label_sum(new_labels)
             changed = 0 if new_sum == prev_sum else 1

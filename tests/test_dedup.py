@@ -317,3 +317,19 @@ def test_drop_duplicate_paragraphs_matches_python(spark):
                 seen.add(p)
                 keep.append(p)
         assert got[i] == "\n".join(keep), (i, got[i])
+
+
+def test_connected_components_long_chain_bounded_lineage(spark):
+    """High-diameter regression (r3): a 60-node path needs ~60 label-
+    propagation rounds; before the periodic localCheckpoint the logical
+    plan nested one join+union level PER ROUND and driver plan handling
+    blew up on exactly this shape (hypothesis-found long-chain OOM).
+    Asserts completion and exact labels — every node's component is the
+    chain's minimum."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    n = 60
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df, max_iterations=100).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
