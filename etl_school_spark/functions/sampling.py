@@ -90,12 +90,18 @@ def reshard(df: DataFrame, key: str, n_shards: int) -> DataFrame:
     output shards — the write-layout op for training corpora.
 
     Adds ``shard`` (md5-keyed shard id) and physically repartitions by it,
-    sorting each shard by hash order (``hash_bucket``, key) so the intra-
-    shard document order is also a pure function of the keys: any engine
-    re-running the pipeline writes byte-identical shards. One shuffle
-    total; at 100 TB this is the single pass that turns a crawl-ordered
-    corpus into training-ready interleaved shards (crawl order is heavily
-    clustered by domain/time; hash order is the cheap uniform interleave).
+    sorting each shard by hash order (``hash_bucket``, key). Shard
+    MEMBERSHIP and intra-shard ORDER are pure functions of the keys: any
+    engine re-running the pipeline produces identical shard CONTENT.
+    Note the physical mapping is ``hash(shard) % n_shards`` (Spark hash-
+    partitions the shard id), so a task may hold zero or several shard
+    values and part-file names/UUIDs differ across runs —
+    ``partitionBy("shard")`` at write time (pipeline.write_corpus_shards)
+    is what restores one directory per shard and makes the per-shard
+    files byte-comparable. One shuffle total; at 100 TB this is the
+    single pass that turns a crawl-ordered corpus into training-ready
+    interleaved shards (crawl order is heavily clustered by domain/time;
+    hash order is the cheap uniform interleave).
     """
     out = df.withColumn("shard", shard_id(key, n_shards))
     return out.repartition(n_shards, "shard").sortWithinPartitions(

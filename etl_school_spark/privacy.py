@@ -102,13 +102,19 @@ PII_PATTERNS = {
 
 
 def pii_counts(col, patterns: dict[str, str] | None = None):
-    """One count column per PII category (matches BEFORE redaction)."""
+    """One count column per PII category, counted on the PROGRESSIVELY
+    redacted text: category i is counted after every earlier category has
+    been replaced, mirroring ``scrub_pii``'s sequential order. Counts
+    therefore equal the placeholders actually emitted — an email inside a
+    URL increments only ``n_url`` (it is gone by the time the email pass
+    runs), so the audit trail sums to the placeholder total exactly."""
     c = F.col(col) if isinstance(col, str) else col
     pats = patterns or PII_PATTERNS
-    return {
-        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(rx), 0))
-        for name, rx in pats.items()
-    }
+    out = {}
+    for name, rx in pats.items():
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(c, F.lit(rx), 0))
+        c = F.regexp_replace(c, rx, f"<{name.upper()}>")
+    return out
 
 
 def scrub_pii(col, patterns: dict[str, str] | None = None):

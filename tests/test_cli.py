@@ -62,6 +62,9 @@ def test_cli_corpus_build(spark, tmp_path, capsys):
                       "--out", out, "--shards", "4", "--capacity", "256"])
     assert 0 < r["kept_docs"] < r["input_docs"]
     assert r["tokens"] > 0
+    # genuinely per-shard: the largest shard's window count, bounded below
+    # by the ideal even split of total tokens across shards
+    assert r["max_windows_per_shard"] >= r["tokens"] // (4 * 256) // 4
     back = spark.read.parquet(out)
     assert back.count() == r["kept_docs"]
     assert {row.shard for row in back.select("shard").distinct().collect()} <= set(range(4))

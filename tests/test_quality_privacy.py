@@ -193,6 +193,13 @@ def test_scrub_pii_redacts_and_counts(spark):
     # the bare email is still redacted separately
     assert out[5].n_url == 1 and "<URL>" in out[5].text
     assert "bob@corp.io" not in out[5].text and "<EMAIL>" in out[5].text
+    # counts are taken on the progressively-redacted text, so the
+    # URL-embedded email copy counts as <URL> only — each n_* equals the
+    # number of placeholders of that category actually emitted
+    assert out[5].n_email == 1 and out[5].text.count("<EMAIL>") == 1
+    for r in out.values():
+        for cat in ("url", "email", "ipv4", "phone"):
+            assert r[f"n_{cat}"] == r.text.count(f"<{cat.upper()}>")
 
 
 def test_scrub_pii_is_pure_jvm_and_streaming_safe(spark, tmp_path):
