@@ -180,10 +180,23 @@ def lsh_topk(
     (plane (t, b) → bit t·bits+b); table t's bucket key is
     ``shiftright(pool, t·bits) & (2^bits − 1)``, which equals the r2
     per-table string code comparison bit for bit — same candidate set,
-    word-op join keys instead of strings."""
+    word-op join keys instead of strings.
+
+    Candidates are emitted exactly once WITHOUT a dedup shuffle (the
+    lsh_candidate_pairs pattern, r4): each join row carries both sides'
+    pool words, so a (query, neighbor) pair is kept only at its FIRST
+    colliding table — ``(pq XOR pn) AND table_mask_t' != 0`` for every
+    earlier table t'. The r3 shape shuffled every collision row into a
+    dropDuplicates; the first-collision filter is a flat word-op CASE
+    chain that runs inside the join stage and forwards distinct pairs."""
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = [p for t in range(tables) for p in planes[t]]
     mask = (1 << bits) - 1
+    # table t occupies pool bits [t·bits, (t+1)·bits): collision in t
+    # ⇔ (pq ^ pn) & table_mask_t == 0
+    table_masks = [
+        _signed64((mask << (bits * t)) & ((1 << 64) - 1)) for t in range(tables)
+    ]
 
     coded = corpus.withColumn("_pool", pool_code(vec_col, flat))
     table_keys = F.array(
@@ -196,10 +209,12 @@ def lsh_topk(
         ]
     )
 
-    def exploded(df: DataFrame, id_alias: str) -> DataFrame:
+    def exploded(df: DataFrame, id_alias: str, pool_alias: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(id_alias), F.explode(table_keys).alias("b")
-        ).select(id_alias, "b.t", "b.key")
+            F.col(id_col).alias(id_alias),
+            F.col("_pool").alias(pool_alias),
+            F.explode(table_keys).alias("b"),
+        ).select(id_alias, pool_alias, "b.t", "b.key")
 
     if query_filter is not None:
         q_src = corpus.filter(query_filter)
@@ -208,12 +223,23 @@ def lsh_topk(
         q_src = queries
         q_coded = queries.withColumn("_pool", pool_code(vec_col, flat))
 
+    # short-circuiting CASE chain: index of the first table where the two
+    # pool words agree on all `bits` positions — pure word ops, no per-row
+    # array allocation (see lsh_candidate_pairs for the measured rationale)
+    first_table = (
+        "CASE "
+        + " ".join(
+            f"WHEN ((pq ^ pn) & {m}L) = 0L THEN {t}"
+            for t, m in enumerate(table_masks)
+        )
+        + " ELSE -1 END"
+    )
     cands = (
-        exploded(q_coded, "query_id")
-        .join(exploded(coded, "neighbor_id"), ["t", "key"])
+        exploded(q_coded, "query_id", "pq")
+        .join(exploded(coded, "neighbor_id", "pn"), ["t", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.expr(f"({first_table}) = t"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     qv = q_src.select(
         F.col(id_col).alias("query_id"),

@@ -45,6 +45,26 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.7, f"LSH recall degraded: {recall:.2f}"
 
 
+def test_lsh_topk_no_dedup_shuffle(spark):
+    """r4: candidate pairs are emitted exactly once at their FIRST
+    colliding table (word-op filter inside the join stage), so the plan
+    must contain no Deduplicate — the r3 shape shuffled every collision
+    row into a dropDuplicates. Result equality with the old shape is
+    separately pinned by the driver oracle (distinct candidates either
+    way)."""
+    from etl_school_spark.similarity.knn import lsh_topk
+
+    emb = _emb(spark)
+    df = lsh_topk(emb, k=5, bits=4, tables=16, query_filter=F.col("vec_id") % 25 == 0)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in analyzed
+    # and the rewrite must not have changed results vs an explicit dedup
+    # of the same candidate space: ranks are unique per query
+    rows = df.collect()
+    assert len(rows) == len({(r.query_id, r.rank) for r in rows})
+    assert len(rows) == len({(r.query_id, r.neighbor_id) for r in rows})
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 
