@@ -1,0 +1,83 @@
+"""Regime dispatch for embedding near-dup pair generation.
+
+The two physical forms of "all pairs with cosine ≥ t" have disjoint
+sweet spots:
+
+- ``knn.cosine_pairs_bucketed`` (LSH blocking + exact verify) — the
+  100 TB path when qualifying pairs are SPARSE: candidates ∝ colliding
+  buckets, the pair space is never touched.
+- ``gemm.cosine_pairs_dense`` (block gemm + exact rescore) — the right
+  plan when blocking DEGENERATES (low threshold, near-uniform vectors):
+  if ~every pair collides anyway, per-candidate join rows lose to BLAS
+  batch arithmetic by orders of magnitude.
+
+Neither form knows at author time which regime a given corpus is in, so
+the dispatcher MEASURES it: ``knn.lsh_candidate_density`` runs the real
+candidate generator on a bounded uniform sample and reports the fraction
+of pairs the blocking would pass through. Both branches emit
+bit-identical (pair, score) rows — same sequential-fold doubles — so
+dispatch changes the PLAN, never the answer, and either branch satisfies
+the same exact-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_school_spark.similarity.gemm import cosine_pairs_dense
+from etl_school_spark.similarity.knn import (
+    cosine_pairs_bucketed,
+    lsh_candidate_density,
+)
+
+
+def cosine_pairs_auto(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_bits: int = 64,
+    n_subsets: int = 96,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    dense_block: int = 2048,
+    max_dense_blocks: int = 64,
+    dense_cutoff: float = 0.25,
+) -> DataFrame:
+    """Near-dup pairs (i < j, cosine ≥ threshold) via whichever physical
+    form the measured candidate density favors.
+
+    Dispatch rule: sample ~1k rows, run the real LSH candidate generator
+    on the sample, and measure the fraction of sample pairs that survive
+    blocking. Density ≥ dense_cutoff means blocking is no longer pruning
+    — the bucketed plan would grind through ≥ a quarter of the pair
+    space as join rows plus the exact verify — so run the block-gemm
+    form instead (provided the corpus fits its dense-regime bound of
+    dense_block · max_dense_blocks rows; a corpus past that bound with
+    degenerate blocking needs different LSH parameters — more bits per
+    subset — not a bigger gemm). Low density means blocking works:
+    bucketed, the 100 TB path.
+
+    The probe is bounded in every regime (codes + bucket join over ≤ ~1k
+    rows); the chosen branch then computes its own codes (the probe's
+    sample front end is not reusable for the full corpus anyway). LSH
+    parameters apply to BOTH the probe and the bucketed branch, so the
+    measured density prices exactly the plan that would run.
+    """
+    n, density = lsh_candidate_density(
+        emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
+    )
+    dense_fits = n <= dense_block * max_dense_blocks
+    if dense_fits and density >= dense_cutoff:
+        return cosine_pairs_dense(
+            emb,
+            threshold,
+            id_col,
+            vec_col,
+            block=dense_block,
+            max_blocks=max_dense_blocks,
+        )
+    return cosine_pairs_bucketed(
+        emb, threshold, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
+    )

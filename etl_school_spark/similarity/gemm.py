@@ -1,4 +1,5 @@
-"""Dense exact top-k cosine via Arrow-batched block matrix multiply.
+"""Dense exact top-k cosine and near-dup pairs via Arrow-batched block
+matrix multiply.
 
 ``brute_force_topk`` (knn.py) states the exact baseline relationally —
 broadcast the query set, HOF-fold cosine per (query, corpus) pair. That
@@ -15,22 +16,28 @@ Shape at scale:
 - the query block is collected once (bounded, |Q| « corpus — the same
   smallness contract ``F.broadcast`` asserts in brute_force_topk) and
   ships to executors inside the serialized closure;
-- each batch emits only its local per-query top-k, so the post-gemm
-  shuffle is O(batches × |Q| × k) skinny rows; a final window merge
-  produces the global top-k.
+- each batch emits only its local per-query top-k neighborhood, so the
+  post-gemm shuffle is O(batches × |Q| × k) skinny rows; a final window
+  merge produces the global top-k.
 
 This is the one place Python-side compute beats Catalyst for this
 engine: vectorized BLAS over Arrow batches, never row-at-a-time Python
 (the plan shows MapInPandas, no BatchEvalPython).
 
-Scores differ from brute_force_topk only in float summation order
-(gemm accumulates in whatever order BLAS picks); neighbor sets are
-identical away from exact score ties — asserted against the relational
-baseline in tests/test_similarity.py.
+Emitted scores are BIT-IDENTICAL to the relational baseline (r4): the
+gemm result is used only to SELECT candidates (with a 1e-9 safety margin
+that dwarfs the ~1e-14 float-reassociation gap), and the emitted score is
+recomputed for the selected pairs in the engine's exact sequential fold
+order — column-by-column accumulation over the raw double vectors, the
+vectorized twin of ``functions.vectors.dot``/``l2_norm``. That makes
+these operators registrable against the same DuckDB oracles as the
+HOF-fold forms: same pairs, same doubles, same hash.
 """
 
 from __future__ import annotations
 
+import math
+from functools import reduce
 from typing import Iterator
 
 import numpy as np
@@ -38,6 +45,37 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# gemm-vs-sequential-fold reassociation error for unit-norm dim≤4096
+# doubles is ~1e-13; candidate selection keeps everything within this
+# margin of the cut so the exact rescoring can never lose a true result
+_SELECT_MARGIN = 1e-9
+
+
+def _seq_fold_sum(P: np.ndarray) -> np.ndarray:
+    """Row-wise sum of a (m × dim) matrix in strict LEFT-TO-RIGHT column
+    order: acc ← acc + P[:,k] for k = 0..dim-1, each step one IEEE-754
+    binary64 add. Bit-identical to Catalyst's
+    ``aggregate(xs, 0.0D, (acc, x) -> acc + x)`` per row — the property
+    that lets gemm-selected results share the HOF-fold oracle."""
+    acc = np.zeros(P.shape[0], dtype=np.float64)
+    for k in range(P.shape[1]):
+        acc = acc + P[:, k]
+    return acc
+
+
+def _seq_norms(X: np.ndarray) -> np.ndarray:
+    """sqrt of the sequential fold of squares — vectors.l2_norm, exactly."""
+    return np.sqrt(_seq_fold_sum(X * X))
+
+
+def _exact_scores(
+    A: np.ndarray, B: np.ndarray, a_norms: np.ndarray, b_norms: np.ndarray
+) -> np.ndarray:
+    """Exact cosine for row-aligned pairs: dot/(na·nb) with the dot a
+    sequential fold of elementwise products — vectors.cosine, exactly
+    (multiply the norms first, then one divide)."""
+    return _seq_fold_sum(A * B) / (a_norms * b_norms)
 
 
 def gemm_topk(
@@ -51,11 +89,15 @@ def gemm_topk(
 
     Same output contract as knn.brute_force_topk:
     (query_id, neighbor_id, score, rank), self-match excluded, rank by
-    (score desc, neighbor_id).
+    (score desc, neighbor_id) — and since r4 the same BITS: gemm only
+    shortlists (local top-(k+1) per batch plus a safety margin), the
+    emitted score is the exact sequential-fold value, so this operator
+    answers the identical oracle as the relational baseline.
     """
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = _seq_norms(Q)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     # +1 so a self-match inside a batch cannot evict a real neighbor
     # before the SQL-side self-filter runs
@@ -67,21 +109,23 @@ def gemm_topk(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            c_norms = _seq_norms(C)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = Qn @ Cn.T  # |Q| × |batch|
+            S = Qn @ Cn.T  # |Q| × |batch|, approximate (BLAS fold order)
             m = min(local_k, S.shape[1])
-            # per-query top-m inside the batch (argpartition = O(n));
-            # ties at the cut are impossible to resolve locally, so break
-            # them the same way the final rank does: by neighbor id
-            part = np.argpartition(-S, m - 1, axis=1)[:, :m]
-            out_q, out_n, out_s = [], [], []
-            for qi in range(S.shape[0]):
-                cols = part[qi]
-                out_q.extend([q_ids[qi]] * len(cols))
-                out_n.extend(ids[cols])
-                out_s.extend(S[qi, cols])
+            # keep everything within the margin of the per-query m-th
+            # largest approx score: a superset of the exact local top-m
+            kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
+            sel_q, sel_c = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
+            score = _exact_scores(
+                Q[sel_q], C[sel_c], q_norms[sel_q], c_norms[sel_c]
+            )
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+                {
+                    "query_id": q_ids[sel_q],
+                    "neighbor_id": ids[sel_c],
+                    "score": score,
+                }
             )
 
     local = corpus.mapInPandas(
@@ -102,6 +146,7 @@ def cosine_pairs_dense(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 2048,
+    max_blocks: int = 64,
 ) -> DataFrame:
     """All pairs (i < j) with cosine ≥ threshold, vectorized for the
     DENSE regime.
@@ -113,45 +158,83 @@ def cosine_pairs_dense(
     the right physical form is a block matrix product, not per-pair
     expression evaluation: corpus partitions stream through
     ``mapInPandas`` as Arrow batches, each scored against a broadcast
-    normalized block X̂ with one BLAS gemm S = B̂ · X̂ᵀ, emitting only the
-    (i < j, S ≥ t) survivors.
+    normalized block X̂ with one BLAS gemm S = B̂ · X̂ᵀ. Survivors are
+    rescored with the exact sequential fold (see module docstring), so
+    emitted (pair, score) rows are bit-identical to the HOF-fold
+    baseline and share its oracle.
 
-    The broadcast block is bounded by ``block`` rows; callers with a
-    corpus larger than one block iterate blocks via a keyed union
-    driver-side (n/block skinny scans), preserving the streaming shape.
-    Scores differ from the HOF-fold baseline only in float summation
-    order; pair SETS are identical away from exact-threshold boundary
-    ties (asserted in tests/test_similarity.py).
+    Corpora larger than one ``block`` iterate blocks (r4): ids are
+    collected once (8 bytes/row — the bounded driver-side metadata this
+    regime's contract allows; vectors are never collected in bulk),
+    id-range-partitioned into ⌈n/block⌉ blocks, and each block joins the
+    streaming corpus in its own MapInPandas pass — a pair (i < j) is
+    emitted exactly once, by the pass owning j's block. ``max_blocks``
+    bounds the total scan count (n_blocks corpus scans); past it the
+    corpus is out of the dense regime by definition — use
+    cosine_pairs_bucketed.
     """
-    rows = emb.select(id_col, vec_col).limit(block + 1).collect()
-    if len(rows) > block:
-        raise ValueError(
-            f"cosine_pairs_dense broadcast block capped at {block} rows; "
-            "use knn.cosine_pairs_bucketed for larger corpora or raise "
-            "`block` if executor memory allows"
+    ids_all = sorted(r[0] for r in emb.select(id_col).collect())
+    n = len(ids_all)
+    if n < 2:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
         )
-    x_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n_blocks = math.ceil(n / block)
+    if n_blocks > max_blocks:
+        raise ValueError(
+            f"cosine_pairs_dense capped at {max_blocks} blocks of {block} "
+            f"rows ({n} vectors → {n_blocks} blocks); this corpus is out "
+            "of the dense regime — use knn.cosine_pairs_bucketed, or "
+            "raise block/max_blocks if executor memory allows"
+        )
     t = float(threshold)
 
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-            S = Bn @ Xn.T  # |batch| × |block|
-            bi, xj = np.nonzero((S >= t) & (ids[:, None] < x_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[bi],
-                    "id_b": x_ids[xj],
-                    "cosine_sim": S[bi, xj],
-                }
-            )
+    def _make_scorer(x_ids, X, Xn, x_norms):
+        def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                b_norms = _seq_norms(B)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = Bn @ Xn.T  # |batch| × |block|, approximate
+                bi, xj = np.nonzero(
+                    (S >= t - _SELECT_MARGIN) & (ids[:, None] < x_ids[None, :])
+                )
+                if len(bi) == 0:
+                    continue
+                score = _exact_scores(B[bi], X[xj], b_norms[bi], x_norms[xj])
+                keep = score >= t
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[bi][keep],
+                        "id_b": x_ids[xj][keep],
+                        "cosine_sim": score[keep],
+                    }
+                )
 
-    return emb.mapInPandas(
-        score_batches, schema="id_a long, id_b long, cosine_sim double"
-    )
+        return score_batches
+
+    parts = []
+    idc = F.col(id_col)
+    for b in range(n_blocks):
+        blk = ids_all[b * block : (b + 1) * block]
+        # contiguous id range → the per-block collect is a pushed-down
+        # range scan, not a full-table collect
+        rows = (
+            emb.filter((idc >= blk[0]) & (idc <= blk[-1]))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        x_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        x_norms = _seq_norms(X)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        parts.append(
+            emb.mapInPandas(
+                _make_scorer(x_ids, X, Xn, x_norms),
+                schema="id_a long, id_b long, cosine_sim double",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -300,6 +300,72 @@ def _pool_code_sql(vec: str, planes: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
+def _pool_subsets(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pool_bits: int,
+    n_subsets: int,
+    bits: int,
+    dim: int,
+    seed: int,
+) -> tuple[DataFrame, list[int]]:
+    """(coded frame with (id, _pool), per-subset masks) — the shared
+    front end of candidate generation (lsh_candidate_pairs) and
+    collision-density estimation (lsh_collision_stats): one seeded
+    hyperplane pool, one BIGINT sign code per vector, ``n_subsets``
+    ``bits``-bit overlapping subsets of the pool as hash tables."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
+    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
+    masks = [_signed64(sum(1 << b for b in s)) for s in subsets]
+    coded = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(_pool_code_sql(vec_col, planes)).alias("_pool"),
+    )
+    return coded, masks
+
+
+def lsh_candidate_density(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_bits: int = 64,
+    n_subsets: int = 96,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    sample_rows: int = 1024,
+) -> tuple[int, float]:
+    """(n, sampled distinct-candidate density): the fraction of pairs the
+    LSH blocking would pass through as candidates, measured on a bounded
+    uniform sample — the auto-dispatch signal (dispatch.cosine_pairs_auto).
+
+    Whether a pair collides in ≥1 subset is a property of the PAIR, so a
+    uniform row sample estimates the pair-collision rate without bias —
+    unlike the raw bucket collision MASS, which counts one row per
+    colliding subset and therefore over-weights true near-dup pairs
+    (they collide in ~every subset), mis-reading a healthy clustered
+    corpus as degenerate. The probe runs the real candidate generator on
+    ≤ ~sample_rows rows (hash-gated membership, deterministic), so its
+    cost is bounded in EVERY regime — including the degenerate one where
+    probing the full corpus would cost what the dispatch is trying to
+    avoid."""
+    n = emb.count()
+    stride = max(1, n // sample_rows)
+    idc = F.col(id_col)
+    sample = emb if stride == 1 else emb.filter(
+        F.pmod(F.xxhash64(idc), F.lit(stride)) == 0
+    )
+    n_s = sample.count()
+    if n_s < 2:
+        return n, 0.0
+    cand = lsh_candidate_pairs(
+        sample, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
+    ).count()
+    return n, cand / (n_s * (n_s - 1) / 2)
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -325,14 +391,8 @@ def lsh_candidate_pairs(
     stays (vs operators.pairs.pairs_within_groups) — on dense collisions
     the grouped collect_list expansion measured slower, and the join's
     double-evaluated child is just the one-word pool code."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
-    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
-    masks = [_signed64(sum(1 << b for b in s)) for s in subsets]
-
-    coded = emb.select(
-        F.col(id_col).alias("id"),
-        F.expr(_pool_code_sql(vec_col, planes)).alias("_pool"),
+    coded, masks = _pool_subsets(
+        emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
     )
     buckets = F.array(
         *[

@@ -12,11 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_school_spark.similarity.knn import (
-    brute_force_topk,
-    cosine_pairs_bucketed,
-    lsh_topk,
-)
+from etl_school_spark.similarity.dispatch import cosine_pairs_auto
+from etl_school_spark.similarity.gemm import gemm_topk
+from etl_school_spark.similarity.knn import lsh_topk
 from etl_school_spark.tables import fan_out, load_table
 from etl_school_spark.workload._suite import sorted_single
 
@@ -42,12 +40,14 @@ _COS = """
 
 
 # --------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact-cosine
-# verify (no all-pairs cross join in the plan; the brute-force crossJoin
-# stays in tests/test_similarity.py as the recall yardstick). The oracle
-# is still the exact all-pairs SQL — the bucketed pipeline must and does
-# find every qualifying pair (parameters sized for measured recall 1.0,
-# see knn.cosine_pairs_bucketed).
+# Embedding-cosine near-dup pairs, REGIME-DISPATCHED (r4): a measured
+# collision-density probe picks LSH-bucketed candidates + exact verify
+# (sparse regime) vs block-gemm + exact rescore (dense regime —
+# which this near-uniform corpus at threshold 0.4 is in, the documented
+# LSH worst case). Both branches emit bit-identical sequential-fold
+# doubles, so the one exact all-pairs oracle verifies whichever plan
+# ran; the brute-force crossJoin survives only in tests as the recall
+# yardstick. See similarity/dispatch.py.
 # --------------------------------------------------------------------------
 @_q(
     "embedding_neardup_pairs",
@@ -64,11 +64,17 @@ _COS = """
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return sorted_single(cosine_pairs_bucketed(emb, threshold=0.4), "id_a", "id_b")
+    return sorted_single(cosine_pairs_auto(emb, threshold=0.4), "id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
-# ANN top-k: brute-force exact baseline (broadcast queries × corpus)
+# ANN top-k, exact: since r4 the registered plan is the dense block-gemm
+# form (gemm.gemm_topk) — a BLAS matrix product per Arrow batch with the
+# broadcast query block, emitted scores recomputed in the exact
+# sequential fold so they are bit-identical to the relational
+# broadcast-crossJoin baseline (knn.brute_force_topk, which remains the
+# library baseline and the pytest yardstick). Same oracle, same hash,
+# orders-of-magnitude better arithmetic throughput at fixed |Q|.
 # --------------------------------------------------------------------------
 @_q(
     "ann_topk_cosine",
@@ -92,7 +98,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return sorted_single(brute_force_topk(emb, queries, k=5), "query_id", "rank")
+    return sorted_single(gemm_topk(emb, queries, k=5), "query_id", "rank")
 
 
 # --------------------------------------------------------------------------

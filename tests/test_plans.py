@@ -19,8 +19,12 @@ SF = "/root/testdata/sf0.001"
 # registered query has an inspectable plan and none is exempt
 _MATERIALIZED: set[str] = set()
 
-# Arrow-batched Python is the intended engine for these kernels
-_ARROW_OK = {"mm_image_features"}
+# Arrow-batched Python is the intended engine for these kernels:
+# the image feature kernel, and (r4) the dense-regime similarity plans —
+# ann_topk_cosine runs the block-gemm exact ANN, embedding_neardup_pairs
+# auto-dispatches to block gemm on this corpus (LSH blocking degenerates
+# at threshold 0.4 on near-uniform vectors; see similarity/dispatch.py)
+_ARROW_OK = {"mm_image_features", "ann_topk_cosine", "embedding_neardup_pairs"}
 
 
 def _all_queries():
@@ -93,9 +97,10 @@ def test_no_cartesian_products_except_intended(plans):
     # embedding_neardup_pairs is deliberately NOT allowed: its r2 rewrite
     # is the LSH-bucketed equi-join pipeline, and a reappearing cross
     # join there is exactly the regression this gate exists to catch
+    # r4: ann_topk_cosine no longer appears here — its broadcast
+    # crossJoin baseline was replaced by the block-gemm MapInPandas plan
     allowed = {
         "stats_alert_suite",  # outliers_3sigma branch: 1-row stats broadcast
-        "ann_topk_cosine",
         "scalar_mask_suite",  # scalar_function_suite branch
         "timeseries_suite",  # dense-series axis: tiny intended cross product
         "tfidf_top_terms",  # 1-row n_docs scalar broadcast
