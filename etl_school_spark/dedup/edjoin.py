@@ -1,0 +1,169 @@
+"""Adaptive blocked edit-distance join — entity matching whose candidate
+set stays bounded as the corpus densifies.
+
+The r3 scale audit (SCALING.md) pinned the lesson this module encodes: a
+FIXED blocking key degrades as duplicates accumulate — block sizes, and
+with them the per-block quadratic candidate count, grow with corpus
+density. The fix is adaptive: block sizes are MEASURED, and only blocks
+past ``block_cap`` (the tail of the size distribution) pay a second,
+finer blocking stage; small blocks keep the plain self-join.
+
+The refinement is the Ed-Join prefix-filter (Xiao, Wang, Lin — "Ed-Join:
+an efficient algorithm for similarity joins with edit distance
+constraints", PVLDB 2008), and it is EXACT, not heuristic:
+
+- within a block all strings share the ``prefix_len``-char prefix, and a
+  shared prefix never changes edit distance, so only the SUFFIXES matter;
+- one edit operation destroys at most ``q`` of a padded suffix's
+  occurrence-tagged q-grams, so strings within distance ``max_dist``
+  differ in at most q·d multiset grams;
+- therefore any matching pair must share at least one gram among the
+  q·d+1 smallest grams (under any fixed total order — lexicographic
+  here) of each side: the SIGNATURE. Joining on (block, signature gram)
+  loses no true pair, while diverse oversized blocks fragment into
+  signature buckets instead of exploding quadratically.
+
+A pair sharing several signature grams is emitted exactly once, at its
+lexicographically smallest shared gram — an array_min(array_intersect)
+check inside the join stage, no dedup shuffle (the knn.py
+first-collision pattern, in string-array form).
+
+The verify stage is threshold-aware and prefix-stripped: a shared prefix
+never changes edit distance (ed(p·s, p·t) = ed(s, t) — an optimal
+alignment can always match the common prefix), so the DP runs on the
+SUFFIXES only; byte-equal suffixes short-circuit to distance 0 (the
+dominant case in dup-dense corpora) and the rest run Spark's banded
+``levenshtein(a, b, threshold)`` — O(d·suffix_len) cells instead of
+O(name_len²). On the sf1 scale fixture (150 k names, 100-member blocks,
+1-char suffixes) this turns the verify from the dominant cost into
+noise.
+
+Reference parity: the reference has no entity-resolution operator; this
+generalizes its exact-match lookup shapes (SURVEY §2 J-family) to the
+fuzzy regime a 100 TB dedup pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# padding sentinels for suffix q-grams: control chars (chr(1)/chr(2)) no
+# real name uses; padding guarantees >= 1 gram even for empty suffixes
+# (two names equal up to the blocking prefix MUST still collide)
+_PAD_L = "chr(1)"
+_PAD_R = "chr(2)"
+
+
+def _signature_sql(suffix_expr: str, q: int, max_dist: int) -> str:
+    """SQL for the Ed-Join prefix signature of ``suffix_expr``: the
+    q·max_dist+1 lexicographically smallest occurrence-tagged q-grams of
+    the padded suffix. Occurrence tags ('gram#k' for the k-th occurrence)
+    make the gram multiset a set, which the one-edit-destroys-at-most-q
+    bound needs; the O(len²) inner filter is fine at name length."""
+    k = q * max_dist + 1
+    p = f"concat({_PAD_L}, {suffix_expr}, {_PAD_R})"
+    gram = f"substring(p, i, {q})"
+    gram_j = f"substring(p, j, {q})"
+    tagged = (
+        f"transform(sequence(1, length(p) - {q - 1}), i -> "
+        f"concat({gram}, '#', size(filter(sequence(1, i), j -> {gram_j} = {gram}))))"
+    )
+    # let-bind the padded string via a single-element transform so the
+    # concat is not re-evaluated per gram position
+    return (
+        f"slice(array_sort(transform(array({p}), p -> {tagged})[0]), 1, {k})"
+    )
+
+
+def edit_blocked_candidates(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    prefix_len: int = 17,
+    max_dist: int = 2,
+    q: int = 2,
+    block_cap: int = 128,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, sfx_a, sfx_b) within blocks of the
+    ``prefix_len``-char prefix — plain self-join for blocks ≤ block_cap,
+    exact signature-refined join for oversized blocks. Superset of all
+    pairs with edit distance ≤ max_dist inside a block; exposed so tests
+    can assert candidate bounds directly. Only the SUFFIX rides the join
+    (the shared prefix carries no edit-distance information and would
+    just widen every shuffled row)."""
+    c = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(name_col, 1, prefix_len).alias("blk"),
+        F.substring(F.col(name_col), prefix_len + 1, 2147483647).alias("sfx"),
+    )
+    sizes = c.groupBy("blk").agg(F.count(F.lit(1)).alias("_sz"))
+    c = c.join(sizes, "blk")
+
+    small = c.filter(F.col("_sz") <= block_cap)
+    pairs_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sfx").alias("sfx_a"),
+            F.col("b.sfx").alias("sfx_b"),
+        )
+    )
+
+    big = c.filter(F.col("_sz") > block_cap).withColumn(
+        "sig", F.expr(_signature_sql("sfx", q, max_dist))
+    )
+    ex = big.select("blk", "id", "sfx", "sig", F.explode("sig").alias("g"))
+    pairs_big = (
+        ex.alias("a")
+        .join(ex.alias("b"), ["blk", "g"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        # exactly-once: keep the pair only at its smallest shared
+        # signature gram — no dedup shuffle
+        .filter(
+            F.col("g")
+            == F.array_min(F.array_intersect(F.col("a.sig"), F.col("b.sig")))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sfx").alias("sfx_a"),
+            F.col("b.sfx").alias("sfx_b"),
+        )
+    )
+    return pairs_small.unionByName(pairs_big)
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    prefix_len: int = 17,
+    max_dist: int = 2,
+    q: int = 2,
+    block_cap: int = 128,
+) -> DataFrame:
+    """All pairs (id_a < id_b, dist) sharing the ``prefix_len``-char
+    blocking prefix with levenshtein(name_a, name_b) ≤ max_dist — the
+    same contract as the fixed-key blocked join, with candidates bounded
+    per block (see module docstring)."""
+    cand = edit_blocked_candidates(
+        df, id_col, name_col, prefix_len, max_dist, q, block_cap
+    )
+    # prefix-stripped verify: ed(full names) = ed(suffixes) given the
+    # shared block prefix; banded DP is O(max_dist · suffix_len) per
+    # pair, -1 when the band is exceeded (filtered next) — exact for
+    # every surviving distance
+    dist = F.when(F.col("sfx_a") == F.col("sfx_b"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("sfx_a"), F.col("sfx_b"), max_dist)
+    )
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )

@@ -753,11 +753,14 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Fuzzy entity matching with blocking: candidate pairs come from an
-# EQUI-join on a blocking key (name prefix), then exact levenshtein
-# refine — the entity-resolution shape that avoids the all-pairs cross
-# join (candidates ∝ block sizes, not n²). levenshtein is integer DP,
-# bit-identical across engines.
+# Fuzzy entity matching with ADAPTIVE blocking (r4): candidate pairs come
+# from an equi-join on the blocking key (name prefix) for measured-small
+# blocks, while oversized blocks are refined by the exact Ed-Join q-gram
+# prefix signature (dedup/edjoin.py) — the r3 scale-audit lesson that a
+# fixed key degrades as duplicates densify, now implemented instead of
+# documented. Same pair set (the refinement is exact), same oracle;
+# verify uses equality short-circuit + banded levenshtein(…, 2).
+# levenshtein is integer DP, bit-identical across engines.
 # --------------------------------------------------------------------------
 @_q(
     "fuzzy_name_matches",
@@ -771,15 +774,16 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.edjoin import blocked_edit_distance_pairs
+
     cust = load_table(spark, sf_dir, "customer")
-    c = cust.select("c_custkey", "c_name", F.substring("c_name", 1, 17).alias("blk"))
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-        .withColumn("dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("long"))
-        .filter(F.col("dist") <= 2)
-        .select(F.col("a.c_custkey").alias("id_a"), F.col("b.c_custkey").alias("id_b"), "dist")
-        .orderBy("id_a", "id_b")
+    # deliberately NO global orderBy: the driver compare is
+    # order-insensitive, the output is the one registered result that
+    # grows quadratically with dup density (7.4 M rows at sf1), and a
+    # range sort would re-execute the join+verify child once more just
+    # to sample partition boundaries — measured 2× the whole query
+    return blocked_edit_distance_pairs(
+        cust, "c_custkey", "c_name", prefix_len=17, max_dist=2
     )
 
 

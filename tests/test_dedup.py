@@ -333,3 +333,61 @@ def test_connected_components_long_chain_bounded_lineage(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df, max_iterations=100).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_adaptive_edjoin_exact_and_bounded(spark):
+    """r4 adaptive blocking (the SCALING.md fixed-key lesson): oversized
+    blocks are refined by the exact Ed-Join q-gram prefix signature.
+    On a DIVERSE 300+-member block the candidate count must stay well
+    under the block's all-pairs while the verified result equals the
+    plain blocked join exactly — every planted substitution/insertion/
+    deletion pair and every byte-identical twin found, nothing extra."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.edjoin import (
+        blocked_edit_distance_pairs,
+        edit_blocked_candidates,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdefghij"
+    pref = "Customer#00000000"
+    base = ["".join(rng.choice(alpha) for _ in range(6)) for _ in range(280)]
+    names = [pref + s for s in base]
+    for s in base[:10]:
+        names.append(pref + s[:3] + rng.choice(alpha) + s[4:])  # substitution
+        names.append(pref + s + rng.choice(alpha))  # insertion
+        names.append(pref + s[:-1])  # deletion
+    names += [pref + base[0]] * 3  # byte-identical twins (empty-suffix-safe path)
+    names += ["Other#00000000000" + str(i) for i in range(5)]  # small block
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+
+    c = df.select("id", "name", F.substring("name", 1, 17).alias("blk"))
+    brute = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
+    )
+    bset = {(r.id_a, r.id_b, r.dist) for r in brute.collect()}
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_edit_distance_pairs(
+            df, "id", "name", 17, 2, block_cap=64
+        ).collect()
+    }
+    assert got == bset and len(bset) > 40
+
+    n_blk = len(names) - 5
+    n_cand = edit_blocked_candidates(df, "id", "name", 17, 2, block_cap=64).count()
+    assert n_cand < 0.3 * (n_blk * (n_blk - 1) // 2), n_cand
