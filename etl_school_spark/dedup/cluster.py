@@ -22,17 +22,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_plan_blocks(df: DataFrame) -> None:
+    """Free the storage blocks behind a localCheckpoint'ed frame.
+
+    Its plan is a LogicalRDD over a persisted internal RDD that
+    Dataset.unpersist cannot reach (checkpointed RDDs are not in the
+    cache manager), so without this every superseded checkpoint's blocks
+    would accumulate for the job's lifetime. Reaches the RDD through the
+    analyzed plan (public Spark source, stable since 2.x); correctness
+    never depends on the release succeeding, so failures are swallowed.
+    Only called on frames whose data is no longer reachable from any
+    live lineage (a NEWER truncation point has already materialized)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
     Returns (node, component) with component = min node id reachable —
     a deterministic canonical label. Nodes appearing in no edge are not
     emitted (callers union singletons if needed).
+
+    ``checkpoint_dir``: directory for RELIABLE periodic checkpoints
+    (sets ``sc.setCheckpointDir`` and uses ``Dataset.checkpoint`` at the
+    truncation points instead of the executor-local form) — the
+    production setting for long-lived jobs, where executor loss must not
+    lose the truncated lineage; point it at fault-tolerant storage
+    (HDFS/S3). Checkpoint FILES outlive the job unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or the dir
+    is swept; the default (None) keeps the cheaper localCheckpoint,
+    whose superseded block sets ARE released explicitly each time a
+    newer truncation materializes (see _release_plan_blocks).
     """
     # edges feeds und TWICE (forward + swapped); persist it so an
     # expensive upstream pair pipeline (ngram/minhash join) runs once,
@@ -65,8 +96,12 @@ def connected_components(
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
     prev_sum = _label_sum(labels) if integral else None
     changed = -1
+    prev_ckpt: DataFrame | None = None
     for it in range(max_iterations):
         msgs = (
             und.join(labels, und.a == labels.node)
@@ -82,14 +117,16 @@ def connected_components(
         # planning (and even the per-action plan-string generation) grow
         # with round count until it OOMs the driver on high-diameter
         # graphs (observed: heap exhaustion inside generateTreeString on
-        # a hypothesis-generated long-chain graph). Truncate with a
-        # localCheckpoint every third round: lineage depth stays ≤ 3 for
-        # ANY round count — the required shape for iterative DataFrame
-        # algorithms — while fast-converging graphs (near-dup cliques,
-        # diameter ≤ 3) keep the cheaper columnar cache. A long-lived
-        # production job would point sc.setCheckpointDir at reliable
-        # storage and use checkpoint() instead of the executor-local form.
-        if it % 3 == 2:
+        # a hypothesis-generated long-chain graph). Truncate every third
+        # round — localCheckpoint by default, reliable checkpoint() when
+        # checkpoint_dir is set: lineage depth stays ≤ 3 for ANY round
+        # count — the required shape for iterative DataFrame algorithms —
+        # while fast-converging graphs (near-dup cliques, diameter ≤ 3)
+        # keep the cheaper columnar cache.
+        is_ckpt = it % 3 == 2
+        if is_ckpt and checkpoint_dir is not None:
+            new_labels = new_labels.checkpoint(eager=False)
+        elif is_ckpt:
             new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
@@ -106,6 +143,13 @@ def connected_components(
             )
         labels.unpersist()
         labels = new_labels
+        if is_ckpt:
+            # the new truncation point is materialized (the convergence
+            # action above ran), so the previous one's block set is no
+            # longer reachable from any live lineage — release it
+            if prev_ckpt is not None:
+                _release_plan_blocks(prev_ckpt)
+            prev_ckpt = new_labels
         if changed == 0:
             break
     und.unpersist()

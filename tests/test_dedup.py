@@ -391,3 +391,48 @@ def test_adaptive_edjoin_exact_and_bounded(spark):
     n_blk = len(names) - 5
     n_cand = edit_blocked_candidates(df, "id", "name", 17, 2, block_cap=64).count()
     assert n_cand < 0.3 * (n_blk * (n_blk - 1) // 2), n_cand
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """r4: checkpoint_dir switches the periodic lineage truncation to
+    reliable Dataset.checkpoint — the production form that survives
+    executor loss. A 60-node chain runs 15+ rounds (>= 5 truncation
+    points); labels must be exact, checkpoint files must land in the
+    dir, and the returned frame's plan must be bounded (a LogicalRDD
+    leaf at most 3 rounds deep, not a 60-round join tower)."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    n = 60
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, max_iterations=100, checkpoint_dir=ckpt)
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    import pathlib
+
+    files = list(pathlib.Path(ckpt).rglob("*"))
+    assert any(f.is_file() for f in files), "no reliable checkpoint written"
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan and plan.count("Join") <= 3
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """ADVICE r3: superseded localCheckpoint block sets must be freed,
+    not accumulate for the job's lifetime. After a long-chain run (~20
+    truncation points) the session must hold only O(1) more cached RDDs
+    than before — the live truncation point, not twenty."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    n = 60
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, max_iterations=100)
+    assert {r.node: r.component for r in out.collect()} == {i: 0 for i in range(n + 1)}
+    assert n_cached() - before <= 3, (before, n_cached())
