@@ -14,9 +14,12 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 201 seeds across the seven families below (r3 adds multi-level
+CI pins 226 seeds across the eight families below (r3 adds multi-level
 aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
-DuckDB's native ASOF JOIN); wider one-off sweeps (r3: 1,100 additional
+DuckDB's native ASOF JOIN; r4 adds family 8 — the C4/Gopher corpus
+filter battery at randomized thresholds/predicates/metric subsets, whose
+one-off sweep was 200 seeds at sf0.001 + 50 seeds at sf0.01, all
+clean); wider one-off sweeps (r3: 1,100 additional
 seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
 set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
 family-6 and 130 family-7 seeds, plus 50 seeds of each new family
@@ -512,6 +515,146 @@ def build_setop_query(seed: int):
     return op, spark_build, sql
 
 
+# ---------------------------------------------------------------------------
+# Family 8 (r4): text/corpus metrics — the C4/Gopher filter battery under
+# RANDOM thresholds, document predicates, and metric subsets. The
+# registered text_quality_scores query pins the battery at its default
+# thresholds; this family samples the threshold space, so a boundary bug
+# (rounding mismatch at a cut point, NULL-metric handling under a
+# disabled rule, a metric whose two engine formulations drift on some
+# document) fails a seed, not a user's filter configuration.
+# ---------------------------------------------------------------------------
+from etl_school_spark.functions.text import STOPWORDS  # noqa: E402
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+DOC_PREDICATES = [
+    ("lang_en", lambda: F.col("lang") == "en", "lang = 'en'"),
+    ("lang_not_de", lambda: F.col("lang") != "de", "lang <> 'de'"),
+    ("id_mod", lambda: F.col("doc_id") % 3 == 1, "doc_id % 3 = 1"),
+    ("chars_gt", lambda: F.col("n_chars") > 300, "n_chars > 300"),
+    ("chars_le", lambda: F.col("n_chars") <= 900, "n_chars <= 900"),
+]
+
+# metric name → DuckDB expression over the m CTE (canonical names match
+# corpus_flags emit_metrics output)
+_CORPUS_METRICS = [
+    "n_tokens",
+    "mean_word_len",
+    "stop_share",
+    "alpha_share",
+    "top_word_share",
+    "top_2gram_share",
+    "dup_3gram_frac",
+    "term_punct_share",
+]
+
+_CORPUS_TPL = """
+    WITH t0 AS (SELECT doc_id, lang, n_chars, text FROM documents{where}),
+    t AS (SELECT doc_id, text, string_split(trim(text), ' ') w FROM t0),
+    g AS (
+      SELECT doc_id, text, w,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             round(list_aggregate(list_transform(w, x -> len(x)), 'sum')*1.0
+                   / nullif(len(w), 0), 4) AS mean_word_len,
+             round(len(list_filter(w, x -> x IN ({sw})))*1.0 / nullif(len(w), 0), 4) AS stop_share,
+             round(len(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
+                   / nullif(len(regexp_replace(text, '\\s+', '', 'g')), 0), 4) AS alpha_share,
+             round(list_max(list_transform(list_distinct(w),
+                     t -> len(list_filter(w, x -> x = t))))*1.0 / nullif(len(w), 0), 4) AS top_word_share,
+             round(list_max(list_transform(list_distinct(g2),
+                     t -> len(list_filter(g2, x -> x = t))))*1.0 / nullif(len(g2), 0), 4) AS top_2gram_share,
+             round(1.0 - len(list_distinct(g3))*1.0 / nullif(len(g3), 0), 4) AS dup_3gram_frac,
+             round(len(list_filter(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''),
+                                   x -> regexp_matches(trim(x), '{tp_re}')))*1.0
+                   / nullif(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')), 0), 4)
+               AS term_punct_share
+      FROM g
+    ),
+    f AS (
+      SELECT *,
+             coalesce(n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}, false) AS ok_len,
+             coalesce(mean_word_len >= CAST({min_mwl} AS DOUBLE)
+                      AND mean_word_len <= CAST({max_mwl} AS DOUBLE), false) AS ok_word_len,
+             coalesce(stop_share >= CAST({min_sw} AS DOUBLE), false) AS ok_stopwords,
+             coalesce(alpha_share >= CAST({min_alpha} AS DOUBLE), false) AS ok_alpha,
+             coalesce(top_word_share <= CAST({max_tw} AS DOUBLE), false) AS ok_rep_word,
+             coalesce(top_2gram_share <= CAST({max_t2} AS DOUBLE), false) AS ok_rep_bigram,
+             coalesce(dup_3gram_frac <= CAST({max_d3} AS DOUBLE), false) AS ok_rep_dup,
+             coalesce(term_punct_share >= CAST({min_tp} AS DOUBLE), false) AS ok_term_punct
+      FROM m
+    )
+    SELECT doc_id, {metric_cols}
+           ok_len, ok_word_len, ok_stopwords, ok_alpha, ok_rep_word,
+           ok_rep_bigram, ok_rep_dup, ok_term_punct,
+           (ok_len AND ok_word_len AND ok_stopwords AND ok_alpha
+            AND ok_rep_word AND ok_rep_bigram AND ok_rep_dup
+            AND ok_term_punct) AS keep
+    FROM f ORDER BY doc_id
+"""
+
+
+def build_corpus_filter_query(seed: int):
+    """Family 8: the corpus-filter battery at randomized thresholds over
+    a randomly-filtered document set, emitting a random metric subset
+    plus every flag and the keep conjunction."""
+    rng = random.Random(seed)
+    th = dict(
+        min_tokens=rng.choice([0, 20, 50, 80, 120]),
+        max_tokens=rng.choice([150, 300, 600, 100_000]),
+        min_mean_word_len=rng.choice([2.0, 3.0, 4.0, 4.6, 5.2]),
+        max_mean_word_len=rng.choice([5.0, 6.4, 8.0, 10.0]),
+        min_stopword_share=rng.choice([0.0, 0.03, 0.06, 0.1, 0.18]),
+        min_alpha_share=rng.choice([0.5, 0.66, 0.7, 0.82, 0.9]),
+        max_top_word_share=rng.choice([0.04, 0.1, 0.15, 0.2, 0.3]),
+        max_top_bigram_share=rng.choice([0.02, 0.1, 0.18, 0.25]),
+        max_dup_trigram_frac=rng.choice([0.0, 0.1, 0.3, 0.5]),
+        min_terminal_punct_share=rng.choice([0.0, 0.2, 0.55, 0.9]),
+    )
+    preds = rng.sample(DOC_PREDICATES, rng.randint(0, 2))
+    metrics = sorted(rng.sample(_CORPUS_METRICS, rng.randint(2, 4)))
+
+    def spark_build(spark):
+        from etl_school_spark.functions.corpus import corpus_flags
+
+        docs = load_table(spark, SF_DIR, "documents")
+        for _, col, _ in preds:
+            docs = docs.filter(col())
+        flagged = corpus_flags(docs, emit_metrics=True, **th)
+        return flagged.select(
+            "doc_id",
+            *metrics,
+            "ok_len", "ok_word_len", "ok_stopwords", "ok_alpha",
+            "ok_rep_word", "ok_rep_bigram", "ok_rep_dup", "ok_term_punct",
+            "keep",
+        ).orderBy("doc_id")
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    sql = _CORPUS_TPL.format(
+        where=where,
+        sw=_SW,
+        tp_re="""[.!?]["'')\\]]?$""",
+        metric_cols="".join(f"{m}, " for m in metrics),
+        min_tokens=th["min_tokens"],
+        max_tokens=th["max_tokens"],
+        min_mwl=th["min_mean_word_len"],
+        max_mwl=th["max_mean_word_len"],
+        min_sw=th["min_stopword_share"],
+        min_alpha=th["min_alpha_share"],
+        max_tw=th["max_top_word_share"],
+        max_t2=th["max_top_bigram_share"],
+        max_d3=th["max_dup_trigram_frac"],
+        min_tp=th["min_terminal_punct_share"],
+    )
+    return "documents", spark_build, sql
+
+
 def build_query(seed: int):
     """One deterministic random query: (table, spark_builder, sql_text)."""
     rng = random.Random(seed)
@@ -673,6 +816,21 @@ def test_multilevel_empty_input_divergence(spark, duck):
         "GROUP BY ROLLUP(o_orderpriority)"
     ).fetchall()
     assert len(want) == 1 and want[0][1] == 0  # ANSI: grand-total row
+
+
+@pytest.mark.parametrize("seed", list(range(7000, 7025)))
+def test_random_corpus_filter_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_corpus_filter_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_corpus_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
 
 
 @pytest.mark.parametrize("seed", list(range(6000, 6020)))
