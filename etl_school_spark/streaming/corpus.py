@@ -1,0 +1,91 @@
+"""Streaming corpus build: the batch pipeline's front stages composed on
+a ``readStream`` source, so a continuously arriving crawl lands as
+filtered, scrubbed, exact-deduped, sharded documents without a batch
+window in between.
+
+    raw doc stream
+      → C4/Gopher quality filter   (functions/corpus.filter_corpus)
+      → PII scrubbing              (privacy.scrub_corpus)
+      → exact dedup                (watermarked state on the content
+                                    fingerprint)
+      → shard assignment + token count (pure per-row functions)
+      → partitioned parquet sink   (stream_corpus_to_shards)
+
+Filter and scrub are pure projections — already proven streaming-safe
+(tests/test_quality_privacy.py runs them on readStream). Exact dedup is
+the one stateful stage: ``dropDuplicatesWithinWatermark`` on the
+fingerprint when an event-time column is available (state expires at the
+watermark horizon — the bounded-state form a 24/7 ingest needs), plain
+``dropDuplicates`` otherwise (state grows with distinct fingerprints;
+fine for bounded replays, documented here rather than hidden).
+
+DELIBERATE exclusions, and why (parity with pipeline.build_corpus):
+- near-dup dedup needs the iterative pair/cluster pipeline over the
+  whole corpus — not expressible as bounded streaming state;
+- concat-and-chunk packing needs the CLOSED shard's total hash order
+  for its running token sum — a property no unbounded stream has.
+Both remain batch finalizations over the streamed-in shard directories
+(run pipeline.build_corpus stages on the sink when a training snapshot
+is cut). The streamed stages and the batch build agree exactly on what
+they both compute — asserted by the availableNow round-trip test.
+
+Reference analog: the reference's CDC-stream → task → table pattern
+(SURVEY §2 T1-T2); this is that pattern applied to the corpus surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from pyspark.sql import functions as F
+
+from etl_school_spark.functions.corpus import filter_corpus
+from etl_school_spark.functions.sampling import shard_id
+from etl_school_spark.functions.text import fingerprint, token_count
+from etl_school_spark.privacy import scrub_corpus
+
+
+def build_corpus_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+    n_shards: int = 8,
+    **filter_thresholds,
+) -> DataFrame:
+    """Compose the streaming corpus stages over ``docs`` (typically a
+    ``readStream`` frame; also works on a batch frame for twin tests).
+    Returns the sink-ready frame: surviving scrubbed documents with
+    ``fp``, ``shard`` and ``n_tokens``."""
+    out = filter_corpus(docs, text_col, **filter_thresholds)
+    out = scrub_corpus(out, text_col)
+    out = out.withColumn("fp", fingerprint(text_col))
+    if ts_col is not None and out.isStreaming:
+        out = out.withWatermark(ts_col, watermark_delay)
+        out = out.dropDuplicatesWithinWatermark(["fp"])
+    else:
+        out = out.dropDuplicates(["fp"])
+    return out.withColumn("shard", shard_id(id_col, n_shards)).withColumn(
+        "n_tokens", token_count(text_col).cast("long")
+    )
+
+
+def stream_corpus_to_shards(
+    stream: DataFrame, path: str, checkpoint: str, available_now: bool = True
+) -> StreamingQuery:
+    """Start the shard-partitioned parquet sink: one directory per shard,
+    exactly-once via the checkpoint. ``available_now`` drains whatever
+    the source currently holds and stops — the replay/backfill trigger;
+    pass False for the continuous micro-batch form."""
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("shard")
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

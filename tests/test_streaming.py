@@ -490,3 +490,73 @@ def test_corpus_filter_runs_on_a_stream(spark, workdir):
     rows = spark.sql("select doc_id from corpus_stream").collect()
     spark.catalog.dropTempView("corpus_stream")
     assert {r.doc_id for r in rows} == {1}
+
+
+def test_streaming_corpus_build_matches_batch(spark, tmp_path):
+    """r4: the streaming corpus build (filter → scrub → watermarked
+    fingerprint dedup → shard sink) drains an availableNow source into
+    shard directories that agree exactly with the batch pipeline's
+    stages on the same input: same surviving fingerprint set, same
+    count, and — for fingerprints with no duplicates, where the kept row
+    is deterministic on both sides — identical (doc_id, shard,
+    n_tokens). Near-dup dedup and packing are the documented batch
+    finalizations (streaming/corpus.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.exact import drop_exact_duplicates, exact_dedup_groups
+    from etl_school_spark.functions.corpus import filter_corpus
+    from etl_school_spark.functions.sampling import shard_id
+    from etl_school_spark.functions.text import fingerprint, token_count
+    from etl_school_spark.privacy import scrub_corpus
+    from etl_school_spark.streaming.corpus import (
+        build_corpus_stream,
+        stream_corpus_to_shards,
+    )
+    from etl_school_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+        ),
+    )
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    built = build_corpus_stream(stream, ts_col="ts", n_shards=4)
+    q = stream_corpus_to_shards(built, sink, ck)
+    assert q.awaitTermination(180), "availableNow drain did not finish"
+    got = spark.read.parquet(sink)
+
+    # batch twin: same stages, deterministic min-id canonical
+    scrubbed = scrub_corpus(filter_corpus(docs))
+    batch = (
+        drop_exact_duplicates(scrubbed)
+        .withColumn("fp", fingerprint("text"))
+        .withColumn("shard", shard_id("doc_id", 4))
+        .withColumn("n_tokens", token_count("text").cast("long"))
+    )
+
+    assert got.count() == batch.count() > 0
+    assert {r.fp for r in got.select("fp").collect()} == {
+        r.fp for r in batch.select("fp").collect()
+    }
+    singles = {
+        r.fp for r in exact_dedup_groups(scrubbed).filter("group_n = 1").collect()
+    }
+    key = lambda df: {
+        (r.fp, r.doc_id, r.shard, r.n_tokens)
+        for r in df.select("fp", "doc_id", "shard", "n_tokens").collect()
+        if r.fp in singles
+    }
+    assert key(got) == key(batch)
+    # one directory per shard value at the sink
+    import pathlib
+
+    shard_dirs = {p.name for p in pathlib.Path(sink).iterdir() if p.name.startswith("shard=")}
+    assert shard_dirs <= {f"shard={i}" for i in range(4)} and shard_dirs
