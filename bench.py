@@ -54,6 +54,9 @@ PIPELINE = [
     "sampling_counts_suite",
     "embedding_stats",
     "dedup_simhash",
+    # r4 addition: the adaptive Ed-Join entity matcher (rewritten after
+    # the sf1 fixed-blocking-key audit) — tracked from the round it lands
+    "fuzzy_name_matches",
 ]
 
 HEADLINE = RELATIONAL + PIPELINE

@@ -13,6 +13,17 @@ reader, with the file-source stage as the documented fallback.
 At scale the kafka path is the right source shape: one Spark input
 partition per Kafka partition, offsets tracked in the checkpoint
 (exactly-once with idempotent sinks), no file-listing cost per batch.
+
+End-to-end status (r4 audit): a real-broker smoke test is NOT runnable
+in this environment and the constraint is structural, not a TODO —
+no spark-sql-kafka / kafka-clients jar on the classpath, no broker
+binary installed, and package installation is unavailable. The verified
+ceiling is therefore (a) the pure option-plumbing unit tests and (b)
+the mocked-classpath probe of ``kafka_available``/``kafka_stream``
+(tests/test_streaming.py). On a cluster with the connector jar the
+reader construction below is the standard documented form; the file
+broker remains the tested fallback, which is also full parity with the
+reference's SQLite broker emulation.
 """
 
 from __future__ import annotations
