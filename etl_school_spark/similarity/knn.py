@@ -335,7 +335,7 @@ def lsh_candidate_density(
     bits: int = 4,
     dim: int = 64,
     seed: int = 7,
-    sample_rows: int = 1024,
+    sample_rows: int = 256,
 ) -> tuple[int, float]:
     """(n, sampled distinct-candidate density): the fraction of pairs the
     LSH blocking would pass through as candidates, measured on a bounded
@@ -350,7 +350,12 @@ def lsh_candidate_density(
     ≤ ~sample_rows rows (hash-gated membership, deterministic), so its
     cost is bounded in EVERY regime — including the degenerate one where
     probing the full corpus would cost what the dispatch is trying to
-    avoid."""
+    avoid. Sample size is a bias/cost dial: 256 rows → ≤ ~32 k sample
+    pairs, plenty to separate a degenerate density (≈1) from a healthy
+    clustered one (≈0.003) at the 0.25 cutoff, while keeping the probe's
+    bucket join ≤ ~400 k rows even at density 1 (at 1 024 sample rows
+    the same join measured ~10 M rows — the probe was the dominant cost
+    of the dispatched query at sf0.1)."""
     n = emb.count()
     stride = max(1, n // sample_rows)
     idc = F.col(id_col)
