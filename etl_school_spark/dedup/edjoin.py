@@ -23,6 +23,17 @@ constraints", PVLDB 2008), and it is EXACT, not heuristic:
   loses no true pair, while diverse oversized blocks fragment into
   signature buckets instead of exploding quadratically.
 
+SHORT-STRING COMPLETENESS (found by the hypothesis differential test —
+suffixes '' vs 'a' at d=1 share no gram at all): the prefix-filter
+overlap bound max(|Gₐ|,|G_b|) − q·d is vacuous when the padded suffix
+has ≤ q·d grams, so gram overlap guarantees nothing for such strings.
+Every row short enough to be IN that regime — or within ``max_dist``
+characters of it, i.e. a possible partner — additionally carries a
+universal catch-all gram (chr(3), no real gram starts with it): pairs
+with a short member collide through it by construction, and since a
+partner of a short string is at most ``max_dist`` longer, the catch-all
+bucket holds only bounded-length suffixes per block.
+
 A pair sharing several signature grams is emitted exactly once, at its
 lexicographically smallest shared gram — an array_min(array_intersect)
 check inside the join stage, no dedup shuffle (the knn.py
@@ -115,8 +126,17 @@ def edit_blocked_candidates(
         )
     )
 
+    sig = _signature_sql("sfx", q, max_dist)
+    # short-string completeness (module docstring): padded gram count =
+    # length(sfx) + 3 - q, vacuous-bound regime at <= q·d grams, partners
+    # within max_dist chars of it — all carry the catch-all gram
+    short_len = q * max_dist + q - 3 + max_dist
     big = c.filter(F.col("_sz") > block_cap).withColumn(
-        "sig", F.expr(_signature_sql("sfx", q, max_dist))
+        "sig",
+        F.expr(
+            f"CASE WHEN length(sfx) <= {short_len} "
+            f"THEN array_union({sig}, array(chr(3))) ELSE {sig} END"
+        ),
     )
     ex = big.select("blk", "id", "sfx", "sig", F.explode("sig").alias("g"))
     pairs_big = (

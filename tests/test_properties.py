@@ -461,3 +461,51 @@ def test_mixture_sample_matches_python_reference(spark, rows):
             if hb < threshold_hex(frac):
                 expect.append((i, k))
     assert got == sorted(expect)
+
+
+# names: shared-prefix strings with a small alphabet so blocks are dense
+# and edit-distance boundaries are exercised (many pairs land exactly at
+# distance max_dist and max_dist+1)
+_sfx = st.text(alphabet="abc", max_size=6)
+_name_lists = st.lists(_sfx, min_size=2, max_size=24)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_name_lists, st.integers(min_value=1, max_value=2))
+def test_adaptive_edjoin_matches_python_reference(spark, suffixes, max_dist):
+    """blocked_edit_distance_pairs vs a Python Levenshtein over every
+    within-block pair — the Ed-Join signature refinement must be EXACT
+    (no false negatives from the q-gram prefix filter, none from the
+    banded verify) for any suffix multiset, including empty suffixes,
+    duplicate strings, and boundary distances. block_cap=0 forces every
+    block through the signature path."""
+    from etl_school_spark.dedup.edjoin import blocked_edit_distance_pairs
+
+    prefix = "P" * 17
+    names = [prefix + s for s in suffixes]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(suffixes[i], suffixes[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(suffixes[i], suffixes[j]) <= max_dist
+    }
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_edit_distance_pairs(
+            df, "id", "name", prefix_len=17, max_dist=max_dist, block_cap=0
+        ).collect()
+    }
+    assert got == want
