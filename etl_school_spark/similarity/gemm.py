@@ -97,11 +97,15 @@ def gemm_topk(
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norms = _seq_norms(Q)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # the query block ships ONCE per executor as a broadcast variable,
+    # not once per task in the closure
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Q, q_norms, Qn))
     # +1 so a self-match inside a batch cannot evict a real neighbor
     # before the SQL-side self-filter runs
     local_k = k + 1
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Q, q_norms, Qn = bq.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -166,9 +170,8 @@ def cosine_pairs_dense(
     (the dense-regime bound: 64 × 2048 × dim 64 ≈ 67 MB of doubles at
     the cap — driver- and executor-feasible by construction; a corpus
     past the bound is out of the dense regime by definition — use
-    cosine_pairs_bucketed). X ships to executors in the UDF closure
-    (on a real cluster at the cap, a broadcast variable would be the
-    polish); the inner ``block``-column chunking bounds every score
+    cosine_pairs_bucketed). X ships once per executor as a broadcast
+    variable; the inner ``block``-column chunking bounds every score
     matrix at |batch| × block, so executor memory never sees an
     n²-shaped allocation. Each streamed row i scores against all j > i
     in X — every pair exactly once, no block ownership bookkeeping, no
@@ -195,9 +198,11 @@ def cosine_pairs_dense(
     X = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
     x_norms = _seq_norms(X)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    bx = emb.sparkSession.sparkContext.broadcast((x_ids, X, x_norms, Xn))
     t = float(threshold)
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x_ids, X, x_norms, Xn = bx.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
