@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_school_spark.functions.vectors import cosine
+from etl_school_spark.functions.vectors import as_double, dot, l2_norm
 
 
 def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
@@ -105,25 +105,38 @@ def ivf_topk(
     """
     centroids = train_centroids(corpus, n_cells, iters, id_col, vec_col)
 
+    # norms are computed ONCE per vector on each side — the candidate join
+    # fans a query out to ~nprobe/n_cells of the corpus, and recomputing
+    # l2_norm(qv)·l2_norm(cv) per candidate row (the plain cosine() form)
+    # tripled the fold work on the join output (measured the dominant cost
+    # at sf1: 6 M candidate rows). dot/(nq·nc) is value-identical to
+    # cosine() — same fold order — so the oracle needs no change.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nc"),
         _nearest_cell(F.col(vec_col), centroids).alias("cell"),
     )
     # nprobe nearest cells per query: rank the n_cells distances
     ds = F.array(*[_sq_dist(F.col("qv"), cc) for cc in centroids])
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).select(
-        "query_id", "qv", F.posexplode(ds).alias("cell", "dist")
-    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(as_double(F.col(vec_col))).alias("_nq"),
+    ).select("query_id", "qv", "_nq", F.posexplode(ds).alias("cell", "dist"))
     wq = Window.partitionBy("query_id").orderBy("dist", "cell")
     probes = (
         q.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "_nq", "cell")
     )
 
     cands = probes.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.withColumn("score_raw", cosine(F.col("qv"), F.col("cv")))
+    scored = cands.withColumn(
+        "score_raw",
+        dot(as_double(F.col("qv")), as_double(F.col("cv")))
+        / (F.col("_nq") * F.col("_nc")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
