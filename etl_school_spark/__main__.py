@@ -227,6 +227,45 @@ def cmd_corpus_build(args) -> int:
     return 0
 
 
+def cmd_corpus_stream(args) -> int:
+    """availableNow drain of the streaming corpus build
+    (streaming/corpus.py): filter → scrub → watermarked fingerprint
+    dedup → shard-partitioned parquet sink."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.streaming.corpus import (
+        build_corpus_stream,
+        stream_corpus_to_shards,
+    )
+
+    spark = _spark()
+    schema = spark.read.parquet(args.source).schema
+    stream = spark.readStream.schema(schema).parquet(args.source)
+    built = build_corpus_stream(
+        stream,
+        ts_col=args.ts_col,
+        watermark_delay=args.watermark,
+        n_shards=args.shards,
+    )
+    q = stream_corpus_to_shards(built, args.out, args.checkpoint)
+    q.awaitTermination()
+    back = spark.read.parquet(args.out)
+    stats = back.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "kept_docs": stats.docs,
+                "tokens": stats.tokens,
+                "shards": args.shards,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_school_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -300,6 +339,19 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--capacity", type=int, default=2048)
     cb.add_argument("--near-dedup", action="store_true")
     cb.set_defaults(fn=cmd_corpus_build)
+
+    cs = sub.add_parser(
+        "corpus-stream",
+        help="streaming corpus build: drain a doc source dir into shard sinks "
+        "(filter → scrub → watermarked dedup → partitioned parquet)",
+    )
+    cs.add_argument("--source", required=True, help="parquet dir to readStream")
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--checkpoint", required=True)
+    cs.add_argument("--shards", type=int, default=8)
+    cs.add_argument("--ts-col", default=None, help="event-time column for the watermark")
+    cs.add_argument("--watermark", default="10 minutes")
+    cs.set_defaults(fn=cmd_corpus_stream)
 
     args = p.parse_args(argv)
     return args.fn(args)

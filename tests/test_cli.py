@@ -68,3 +68,18 @@ def test_cli_corpus_build(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == r["kept_docs"]
     assert {row.shard for row in back.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_cli_corpus_stream(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    from etl_school_spark.tables import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(src)
+    r = _run(capsys, ["corpus-stream", "--source", src, "--out", out,
+                      "--checkpoint", ck, "--shards", "4"])
+    assert r["kept_docs"] > 0 and r["tokens"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == r["kept_docs"]
+    assert {row.shard for row in back.select("shard").distinct().collect()} <= set(range(4))
