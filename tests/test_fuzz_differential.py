@@ -19,7 +19,9 @@ aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
 DuckDB's native ASOF JOIN; r4 adds family 8 — the C4/Gopher corpus
 filter battery at randomized thresholds/predicates/metric subsets, whose
 one-off sweep was 200 seeds at sf0.001 + 50 seeds at sf0.01, all
-clean); wider one-off sweeps (r3: 1,100 additional
+clean). The r4 post-change sweep ran 100 FRESH seeds per family across
+all eight families (ranges 41000–48099, 800 queries) after the round's
+last operator change: 0 failures. Wider one-off sweeps (r3: 1,100 additional
 seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
 set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
 family-6 and 130 family-7 seeds, plus 50 seeds of each new family
