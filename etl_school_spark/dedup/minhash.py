@@ -80,29 +80,19 @@ def minhash_signatures(
     return with_hs.withColumn("sig", F.when(F.size("shingles") > 0, sig)).drop("_hs")
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = 0.8,
-    n: int = 3,
-    num_perm: int = 128,
-    bands: int = 32,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
+def band_rows(signed: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:
+    """SKINNY band rows (doc, band_idx, band_hash) from a `sig` frame.
 
-    Returns: id_a, id_b, jaccard — same contract as ngram_jaccard_pairs.
-    """
+    The shingle arrays must NOT ride through the explode/join — at corpus
+    scale that shuffles O(docs × bands) multi-KB arrays; they are
+    re-attached AFTER candidate-pair dedup, when only the (rare)
+    colliding pairs remain (same shape as
+    similarity.knn.cosine_pairs_bucketed). A pure projection of the
+    stored signature — which is what lets a persisted dedup INDEX
+    (dedup/incremental.py) band its historical signatures without
+    touching historical text."""
     rows_per_band = num_perm // bands
-    sets = shingle_sets(docs, id_col, text_col, n)
-    signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
-
-    # SKINNY band rows: (doc, band_idx, band_hash) only. The shingle
-    # arrays must NOT ride through the explode/self-join — at corpus scale
-    # that shuffles O(docs × bands) multi-KB arrays; they are re-attached
-    # AFTER candidate-pair dedup, when only the (rare) colliding pairs
-    # remain (same shape as similarity.knn.cosine_pairs_bucketed).
-    banded = signed.select(
+    return signed.select(
         "doc",
         F.explode(
             F.transform(
@@ -122,6 +112,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
+
+    Returns: id_a, id_b, jaccard — same contract as ngram_jaccard_pairs.
+    """
+    sets = shingle_sets(docs, id_col, text_col, n)
+    signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
+    banded = band_rows(signed, num_perm, bands)
 
     # groupBy-bucket pair expansion, NOT a self-join: a self-join would
     # evaluate the (expensive) signature subtree once per side — this

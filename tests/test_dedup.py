@@ -436,3 +436,63 @@ def test_connected_components_releases_superseded_checkpoints(spark):
     out = connected_components(df, max_iterations=100)
     assert {r.node: r.component for r in out.collect()} == {i: 0 for i in range(n + 1)}
     assert n_cached() - before <= 3, (before, n_cached())
+
+
+def test_incremental_dedup_against_index(spark):
+    """r4 continual-ingestion dedup: a new batch is deduplicated against
+    a persisted index of the accepted corpus (exact + near-dup, history
+    always wins) AND within itself (min-id canonical), touching history
+    only through index columns. Planted: an exact copy of history, a
+    near copy of history (1 word of 40 -> jaccard ~0.85), a within-batch
+    exact pair, a within-batch near pair, and fresh docs."""
+    import random
+
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(k=40):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    def mutate(t):
+        ws = t.split()
+        ws[7] = "zz_changed"
+        return " ".join(ws)
+
+    batch0 = [(i, doc()) for i in range(10)]
+    fresh2, fresh3 = doc(), doc()
+    batch1 = [
+        (100, batch0[0][1]),       # exact dup of history -> dropped
+        (101, mutate(batch0[1][1])),  # near dup of history -> dropped
+        (102, fresh2),             # fresh -> kept (canonical of {102,105})
+        (103, fresh3),             # fresh -> kept (canonical of {103,104})
+        (104, fresh3),             # exact dup within batch -> dropped
+        (105, mutate(fresh2)),     # near dup within batch -> dropped
+        (106, doc()),              # fresh -> kept
+    ]
+    d0 = spark.createDataFrame(batch0, "doc_id long, text string")
+    d1 = spark.createDataFrame(batch1, "doc_id long, text string")
+
+    # production reads the index from its persisted table; localCheckpoint
+    # stands in for that leaf (the operator contract: pass it materialized)
+    index = build_dedup_index(d0).localCheckpoint()
+    accepted, new_rows = dedup_batch_against_index(d1, index)
+    got = {r.doc_id for r in accepted.collect()}
+    assert got == {102, 103, 106}
+    # accepted index rows carry the same ids and the persistable columns
+    assert {r.doc for r in new_rows.collect()} == {102, 103, 106}
+    assert set(new_rows.columns) >= {"doc", "fp", "shingles", "set_size", "sig"}
+
+    # a second batch against the grown index: re-sending an accepted
+    # batch-1 doc (exact) and a near copy of another must both drop
+    index2 = index.unionByName(new_rows.select(*index.columns)).localCheckpoint()
+    d2 = spark.createDataFrame(
+        [(200, fresh3), (201, mutate(fresh3)), (202, doc())],
+        "doc_id long, text string",
+    )
+    accepted2, _ = dedup_batch_against_index(d2, index2)
+    assert {r.doc_id for r in accepted2.collect()} == {202}
