@@ -202,22 +202,18 @@ def cmd_corpus_build(args) -> int:
     stats = back.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
+        # window numbering restarts per shard (pack_concat_windows), so
+        # the global max IS the largest shard's window count — one agg,
+        # no second scan
+        (F.max("last_window") + 1).alias("max_windows_per_shard"),
     ).collect()[0]
-    # per-shard window count = max last_window within the shard + 1;
-    # report the largest shard so capacity sizing is visible
-    per_shard = (
-        back.groupBy("shard")
-        .agg((F.max("last_window") + 1).alias("w"))
-        .agg(F.max("w").alias("mx"))
-        .collect()[0]
-    )
     print(
         json.dumps(
             {
                 "input_docs": docs.count(),
                 "kept_docs": stats.docs,
                 "tokens": stats.tokens,
-                "max_windows_per_shard": per_shard.mx,
+                "max_windows_per_shard": stats.max_windows_per_shard,
                 "shards": args.shards,
                 "pack_capacity": args.capacity,
                 "out": args.out,

@@ -36,7 +36,10 @@ def _release_plan_blocks(df: DataFrame) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.nodeName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            # blocking: the release is rare (one per 3 rounds) and a
+            # synchronous removal keeps storage accounting deterministic
+            # (tests assert the cached-RDD census right after the run)
+            plan.rdd().unpersist(True)
     except Exception:
         pass
 

@@ -42,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_school_spark.dedup.minhash import band_rows, minhash_signatures
+from etl_school_spark.dedup.minhash import (
+    band_rows,
+    minhash_signatures,
+    verify_jaccard_pairs,
+)
 from etl_school_spark.dedup.ngram import shingle_sets
 from etl_school_spark.functions.text import fingerprint
 
@@ -125,27 +129,10 @@ def dedup_batch_against_index(
         .select("new_doc", "old_doc")
         .dropDuplicates(["new_doc", "old_doc"])
     )
-    inter = F.size(F.array_intersect("sh_n", "sh_o"))
-    jac = inter.cast("double") / (F.col("sz_n") + F.col("sz_o") - inter)
     matched = (
-        cands.join(
-            surv.select(
-                F.col("doc").alias("new_doc"),
-                F.col("shingles").alias("sh_n"),
-                F.col("set_size").alias("sz_n"),
-            ),
-            "new_doc",
+        verify_jaccard_pairs(
+            cands, surv, index, threshold, a_col="new_doc", b_col="old_doc"
         )
-        .join(
-            index.select(
-                F.col("doc").alias("old_doc"),
-                F.col("shingles").alias("sh_o"),
-                F.col("set_size").alias("sz_o"),
-            ),
-            "old_doc",
-        )
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_doc").alias("doc"))
         .distinct()
     )
@@ -158,23 +145,8 @@ def dedup_batch_against_index(
 
     sb = band_rows(surv.filter(F.col("sig").isNotNull()), num_perm, bands)
     pcands = pairs_within_groups(sb, ["band_idx", "band_hash"], "doc")
-    sa = surv.select(
-        F.col("doc").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("set_size").alias("size_a"),
-    )
-    s2 = surv.select(
-        F.col("doc").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("set_size").alias("size_b"),
-    )
-    inter2 = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac2 = inter2.cast("double") / (F.col("size_a") + F.col("size_b") - inter2)
-    pairs = (
-        pcands.join(sa, "id_a")
-        .join(s2, "id_b")
-        .filter(jac2 >= threshold)
-        .select("id_a", "id_b")
+    pairs = verify_jaccard_pairs(pcands, surv, surv, threshold).select(
+        "id_a", "id_b"
     )
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("component")).select(

@@ -135,19 +135,39 @@ def minhash_lsh_pairs(
     # evaluate the (expensive) signature subtree once per side — this
     # shape computes signatures exactly once (operators/pairs.py)
     cands = pairs_within_groups(banded, ["band_idx", "band_hash"], "doc")
+    return verify_jaccard_pairs(cands, sets, sets, threshold)
 
-    sa = sets.select(
-        F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("set_size").alias("size_a")
+
+def verify_jaccard_pairs(
+    cands: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    threshold: float,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (a_col, b_col) pairs against two
+    shingle-set frames, each with (doc, shingles, set_size) columns —
+    the one formula shared by the one-shot LSH pipeline (both sides the
+    same frame) and the incremental index path (new batch vs stored
+    index sets, dedup/incremental.py). Raw double division of identical
+    ints — bit-identical across engines (see ngram._jaccard_from_inter)."""
+    sa = sets_a.select(
+        F.col("doc").alias(a_col),
+        F.col("shingles").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
     )
-    sb = sets.select(
-        F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("set_size").alias("size_b")
+    sb = sets_b.select(
+        F.col("doc").alias(b_col),
+        F.col("shingles").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("size_a") + F.col("size_b") - inter)
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa, a_col)
+        .join(sb, b_col)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(a_col, b_col, "jaccard")
     )

@@ -44,12 +44,15 @@ def cosine_pairs_auto(
     dense_block: int = 2048,
     max_dense_blocks: int = 64,
     dense_cutoff: float = 0.25,
+    probe_rows: int = 256,
 ) -> DataFrame:
     """Near-dup pairs (i < j, cosine ≥ threshold) via whichever physical
     form the measured candidate density favors.
 
-    Dispatch rule: sample ~1k rows, run the real LSH candidate generator
-    on the sample, and measure the fraction of sample pairs that survive
+    Dispatch rule: sample ``probe_rows`` rows (default 256 — sized so
+    the probe's bucket join stays ≤ ~400 k rows even at density 1, see
+    knn.lsh_candidate_density), run the real LSH candidate generator on
+    the sample, and measure the fraction of sample pairs that survive
     blocking. Density ≥ dense_cutoff means blocking is no longer pruning
     — the bucketed plan would grind through ≥ a quarter of the pair
     space as join rows plus the exact verify — so run the block-gemm
@@ -66,7 +69,7 @@ def cosine_pairs_auto(
     measured density prices exactly the plan that would run.
     """
     n, density = lsh_candidate_density(
-        emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
+        emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed, probe_rows
     )
     dense_fits = n <= dense_block * max_dense_blocks
     if dense_fits and density >= dense_cutoff:

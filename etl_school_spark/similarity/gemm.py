@@ -24,6 +24,14 @@ This is the one place Python-side compute beats Catalyst for this
 engine: vectorized BLAS over Arrow batches, never row-at-a-time Python
 (the plan shows MapInPandas, no BatchEvalPython).
 
+Broadcast lifecycle (documented tradeoff): the collected matrices ride
+``sc.broadcast`` and are NOT explicitly destroyed — the returned frame's
+closure owns them, so an eager unpersist would break re-execution
+(retries, AQE re-plans, a caller running the frame twice). Cleanup is
+the ContextCleaner's, once the frame is garbage-collected; a session
+holding references to many result frames holds their blocks (≤ ~67 MB
+each at the dense cap) until then.
+
 Emitted scores are BIT-IDENTICAL to the relational baseline (r4): the
 gemm result is used only to SELECT candidates (with a 1e-9 safety margin
 that dwarfs the ~1e-14 float-reassociation gap), and the emitted score is
