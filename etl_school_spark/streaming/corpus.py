@@ -72,6 +72,71 @@ def build_corpus_stream(
     )
 
 
+def stream_corpus_with_index(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    available_now: bool = True,
+    **filter_thresholds,
+) -> StreamingQuery:
+    """The full continual-ingestion loop: every micro-batch is quality-
+    filtered, PII-scrubbed, then deduplicated — exact AND near-dup —
+    against the PERSISTED acceptance index (dedup/incremental.py) and
+    within itself; accepted docs land under ``corpus_path`` and their
+    index rows under ``index_path``, which is exactly the state the next
+    micro-batch (or the next job run, or a batch backfill) dedups
+    against.
+
+    foreachBatch rather than a stateful operator, deliberately: the
+    dedup state is the durable index TABLE — a multi-TB corpus index
+    does not fit a streaming state store, and the table form keeps
+    streaming and batch acceptance byte-compatible (either can extend
+    the same index).
+
+    Retry semantics: foreachBatch re-runs a batch on failure, so both
+    writes go to batch-id-named partition directories with overwrite —
+    a retried batch overwrites its own partial output instead of
+    appending twice, and the index read spans every committed batch
+    partition. The one cross-write hazard left (corpus partition
+    committed, index partition lost mid-crash, retry then sees its own
+    corpus rows as new) is closed by the same overwrite: the retry
+    re-derives BOTH partitions from the batch's input, not from what
+    survived the crash."""
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cleaned = scrub_corpus(
+            filter_corpus(batch_df, text_col, **filter_thresholds), text_col
+        )
+        try:
+            index = spark.read.parquet(index_path).select(
+                "doc", "fp", "shingles", "set_size", "sig"
+            )
+        except Exception:
+            # bootstrap: empty index with the right schema
+            index = build_dedup_index(cleaned.limit(0), id_col, text_col)
+        accepted, rows = dedup_batch_against_index(
+            cleaned, index, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+        accepted.write.mode("overwrite").parquet(f"{corpus_path}/batch={batch_id}")
+        rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_corpus_to_shards(
     stream: DataFrame, path: str, checkpoint: str, available_now: bool = True
 ) -> StreamingQuery:

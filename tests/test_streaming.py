@@ -560,3 +560,65 @@ def test_streaming_corpus_build_matches_batch(spark, tmp_path):
 
     shard_dirs = {p.name for p in pathlib.Path(sink).iterdir() if p.name.startswith("shard=")}
     assert shard_dirs <= {f"shard={i}" for i in range(4)} and shard_dirs
+
+
+def test_stream_corpus_with_index_two_generations(spark, tmp_path):
+    """r4 continual-ingestion loop: micro-batches dedup against the
+    persisted index via foreachBatch; a SECOND availableNow run on the
+    same checkpoint picks up only the new file and dedups it against
+    the index the first run wrote — exact and near dups of generation-0
+    docs drop, fresh docs are accepted and indexed."""
+    import random
+
+    from etl_school_spark.streaming.corpus import stream_corpus_with_index
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(k=60):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    def mutate(t):
+        ws = t.split()
+        ws[9] = "zzz"
+        return " ".join(ws)
+
+    lax = dict(
+        min_tokens=5, min_stopword_share=0.0, min_alpha_share=0.0,
+        max_top_word_share=1.0, max_top_bigram_share=1.0,
+        max_dup_trigram_frac=1.0,
+    )
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    gen0 = [(i, doc()) for i in range(6)]
+    spark.createDataFrame(gen0, "doc_id long, text string").write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_corpus_with_index(stream, corpus, index, ck, **lax)
+        assert q.awaitTermination(180)
+
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == set(range(6))
+
+    fresh = doc()
+    gen1 = [
+        (100, gen0[0][1]),   # exact dup of gen0 -> dropped
+        (101, mutate(gen0[1][1])),  # near dup of gen0 -> dropped
+        (102, fresh),        # fresh -> accepted
+        (103, fresh),        # exact dup within batch -> dropped
+        (104, doc()),        # fresh -> accepted
+    ]
+    spark.createDataFrame(gen1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == set(range(6)) | {102, 104}
+    # the index grew by exactly the accepted generation-1 docs
+    idx = spark.read.parquet(index)
+    assert {r.doc for r in idx.collect()} == set(range(6)) | {102, 104}
