@@ -14,14 +14,18 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 226 seeds across the eight families below (r3 adds multi-level
+CI pins 246 seeds across the nine families below (r3 adds multi-level
 aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
 DuckDB's native ASOF JOIN; r4 adds family 8 — the C4/Gopher corpus
 filter battery at randomized thresholds/predicates/metric subsets, whose
 one-off sweep was 200 seeds at sf0.001 + 50 seeds at sf0.01, all
-clean). The r4 post-change sweep ran 100 FRESH seeds per family across
-all eight families (ranges 41000–48099, 800 queries) after the round's
-last operator change: 0 failures. Wider one-off sweeps (r3: 1,100 additional
+clean; r4 also adds family 9 — gap sessionization at random
+gaps/keys/predicates, randomly running either the plain one-window
+formulation or the hot-key shard+stitch path against one DuckDB
+lag+running-sum twin; its one-off sweep was 150 seeds at sf0.001 + 50
+at sf0.01, clean). The r4 post-change sweep ran 100 FRESH seeds per
+family across families 1-8 (ranges 41000–48099, 800 queries) after the
+round's last operator change: 0 failures. Wider one-off sweeps (r3: 1,100 additional
 seeds at sf0.001 — 300 relational, 200 each scalar/window/join-shape/
 set-op — plus 340 seeds re-run at sf0.01, 10× the data, plus 175
 family-6 and 130 family-7 seeds, plus 50 seeds of each new family
@@ -657,6 +661,59 @@ def build_corpus_filter_query(seed: int):
     return "documents", spark_build, sql
 
 
+# ---------------------------------------------------------------------------
+# Family 9 (r4): gap sessionization — random gaps, keys, predicates, and
+# (crucially) a random choice between the plain one-window formulation
+# and the hot-key shard+stitch path, both checked against ONE DuckDB
+# lag+running-sum twin. The registered session queries pin fixed
+# gaps/keys; this samples the space, and any stitch bug (boundary
+# session split/merge at a shard edge) diverges from the twin.
+# ---------------------------------------------------------------------------
+def build_session_query(seed: int):
+    rng = random.Random(seed)
+    gap_min = rng.choice([5, 15, 30, 47, 90, 240])
+    key = rng.choice(["user_id", "event_type"])
+    preds = rng.sample(PREDICATES["events"], rng.randint(0, 2))
+    impl = rng.choice(["plain", "sharded"])
+    shard_us = rng.choice([3600, 4 * 3600, 24 * 3600]) * 1_000_000
+    gap_us = gap_min * 60 * 1_000_000
+
+    def spark_build(spark):
+        from etl_school_spark.operators.sessions import (
+            gap_sessions,
+            gap_sessions_sharded,
+        )
+
+        ev = load_table(spark, SF_DIR, "events")
+        for _, col, _ in preds:
+            ev = ev.filter(col())
+        ev = ev.select(key, "ts", "event_id")
+        if impl == "plain":
+            out = gap_sessions(ev, key, "ts", gap_us, "event_id")
+        else:
+            out = gap_sessions_sharded(ev, key, "ts", gap_us, "event_id", shard_us)
+        return out.withColumn("n_events", F.col("n_events").cast("long")).orderBy(
+            key, "ses_start"
+        )
+
+    where = (" WHERE " + " AND ".join(s for _, _, s in preds)) if preds else ""
+    sql = f"""
+    WITH e AS (SELECT {key}, ts, event_id FROM events{where}),
+    f AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('microsecond', lag(ts) OVER w, ts) >= {gap_us}
+                THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id)
+    ),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY {key} ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+    SELECT {key}, MIN(ts) AS ses_start, MAX(ts) AS ses_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY {key}, sid ORDER BY {key}, ses_start
+    """
+    return impl, spark_build, sql
+
+
 def build_query(seed: int):
     """One deterministic random query: (table, spark_builder, sql_text)."""
     rng = random.Random(seed)
@@ -818,6 +875,21 @@ def test_multilevel_empty_input_divergence(spark, duck):
         "GROUP BY ROLLUP(o_orderpriority)"
     ).fetchall()
     assert len(want) == 1 and want[0][1] == 0  # ANSI: grand-total row
+
+
+@pytest.mark.parametrize("seed", list(range(8000, 8020)))
+def test_random_sessionization_matches_duckdb(spark, duck, seed):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    _, spark_build, sql = build_session_query(seed)
+    got = spark_build(spark).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert not compare(f"fuzz_sess_{seed}", got, want), (
+        f"divergence for seed {seed}: {sql}"
+    )
 
 
 @pytest.mark.parametrize("seed", list(range(7000, 7025)))
