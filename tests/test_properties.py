@@ -509,3 +509,51 @@ def test_adaptive_edjoin_matches_python_reference(spark, suffixes, max_dist):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts, _texts, st.integers(min_value=1, max_value=30))
+def test_bigram_lm_perplexity_matches_python(spark, ref, texts, vocab_size):
+    """CCNet-style LM scoring (functions/lm.py) vs an independent pure-
+    Python train+score twin: same tokenization, same deterministic vocab
+    tie-break, same add-k smoothing — per-doc perplexities must agree to
+    float-reassociation tolerance, and <2-token docs must be absent."""
+    from etl_school_spark.functions.lm import (
+        perplexity_scores,
+        py_reference_perplexity,
+        train_bigram_lm,
+    )
+
+    lm = train_bigram_lm(_df(spark, ref), "t", vocab_size)
+    got = {
+        r.i: r.ppl
+        for r in perplexity_scores(_df(spark, texts), lm, "i", "t").collect()
+    }
+    want = py_reference_perplexity(ref, texts, vocab_size)
+    for i, w in enumerate(want):
+        if w is None:
+            assert i not in got
+        else:
+            assert abs(got[i] - w) / w < 1e-9, (i, got[i], w)
+
+
+def test_bigram_lm_ranks_fluent_below_gibberish(spark):
+    """The signal the rule battery cannot express: a document drawn from
+    the reference distribution scores LOWER perplexity than the same
+    tokens shuffled."""
+    import random
+
+    from etl_school_spark.functions.lm import perplexity_scores, train_bigram_lm
+
+    sent = "the cat sat on the mat and the dog sat on the rug"
+    ref = [(i, sent) for i in range(20)]
+    lm = train_bigram_lm(spark.createDataFrame(ref, "i long, t string"), "t", 50)
+
+    rng = random.Random(3)
+    shuffled = sent.split()
+    rng.shuffle(shuffled)
+    docs = spark.createDataFrame(
+        [(1, sent), (2, " ".join(shuffled))], "i long, t string"
+    )
+    got = {r.i: r.ppl for r in perplexity_scores(docs, lm, "i", "t").collect()}
+    assert got[1] < got[2]
