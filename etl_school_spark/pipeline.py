@@ -80,12 +80,30 @@ def build_corpus(
     n_shards: int = 8,
     pack_capacity: int = 2048,
     near_dedup: bool = False,
+    ppl_lm=None,
+    max_ppl: float | None = None,
     **filter_thresholds,
 ) -> DataFrame:
     """The full corpus build. Returns the training-ready frame: surviving
     documents with ``shard``, ``first_window``, ``last_window`` and
-    ``n_tokens`` columns, resharded and hash-ordered for writing."""
+    ``n_tokens`` columns, resharded and hash-ordered for writing.
+
+    ``ppl_lm`` + ``max_ppl`` (r4, optional): CCNet-style model-based
+    quality gate after the rule battery — documents whose bigram-LM
+    perplexity against the trusted reference model exceeds ``max_ppl``
+    drop (functions/lm.py). Documents too short to carry bigram evidence
+    have no score and pass through — the rule battery's length bound is
+    the authority on those."""
     out = filter_corpus(docs, text_col, **filter_thresholds)
+    if ppl_lm is not None and max_ppl is not None:
+        from etl_school_spark.functions.lm import perplexity_scores
+
+        scores = perplexity_scores(out, ppl_lm, id_col, text_col)
+        out = (
+            out.join(scores.select(id_col, "ppl"), id_col, "left")
+            .filter(F.col("ppl").isNull() | (F.col("ppl") <= max_ppl))
+            .drop("ppl")
+        )
     out = scrub_corpus(out, text_col)
     out = drop_exact_duplicates(out, id_col, text_col)
     if near_dedup:

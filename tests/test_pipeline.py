@@ -85,3 +85,47 @@ def test_drop_near_duplicates_keeps_best_quality(spark):
     kept = sorted(r.doc_id for r in drop_near_duplicates(df, threshold=0.5).collect())
     assert 3 in kept  # unclustered passes through
     assert len([k for k in kept if k in (1, 2)]) == 1  # one of the pair survives
+
+
+def test_build_corpus_ppl_gate(spark):
+    """r4 optional LM quality gate: with a reference model and a max_ppl
+    cut, the gibberish twin of a fluent doc (passes every rule heuristic
+    — same tokens!) is dropped while the fluent docs survive; without
+    the gate both survive. Short no-evidence docs are untouched."""
+    import random
+
+    from etl_school_spark.functions.lm import perplexity_scores, train_bigram_lm
+    from etl_school_spark.pipeline import build_corpus
+
+    base = (
+        "the cat sat on the mat and the dog sat on the rug . "
+        "the bird sang in the tree and the fish swam in the pond . "
+    ) * 4
+    rng = random.Random(7)
+    shuffled = base.split()
+    rng.shuffle(shuffled)
+    gibberish = " ".join(shuffled)
+
+    ref = spark.createDataFrame(
+        [(i, base) for i in range(10)], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(ref, vocab_size=100)
+
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "extra tail ."), (3, gibberish)],
+        "doc_id long, text string",
+    )
+    lax = dict(
+        min_tokens=5, min_mean_word_len=0.0, min_stopword_share=0.0,
+        min_alpha_share=0.0, max_top_word_share=1.0,
+        max_top_bigram_share=1.0, max_dup_trigram_frac=1.0,
+    )
+    no_gate = build_corpus(docs, near_dedup=False, **lax)
+    assert {r.doc_id for r in no_gate.collect()} == {1, 2, 3}
+
+    # cut between the fluent and shuffled scores
+    ppls = {r.doc_id: r.ppl for r in perplexity_scores(docs, lm).collect()}
+    cut = (max(ppls[1], ppls[2]) + ppls[3]) / 2
+    assert ppls[3] > cut > max(ppls[1], ppls[2])
+    gated = build_corpus(docs, near_dedup=False, ppl_lm=lm, max_ppl=cut, **lax)
+    assert {r.doc_id for r in gated.collect()} == {1, 2}
