@@ -105,24 +105,28 @@ def ivf_topk(
     """
     centroids = train_centroids(corpus, n_cells, iters, id_col, vec_col)
 
-    # norms are computed ONCE per vector on each side — the candidate join
-    # fans a query out to ~nprobe/n_cells of the corpus, and recomputing
-    # l2_norm(qv)·l2_norm(cv) per candidate row (the plain cosine() form)
-    # tripled the fold work on the join output (measured the dominant cost
-    # at sf1: 6 M candidate rows). dot/(nq·nc) is value-identical to
-    # cosine() — same fold order — so the oracle needs no change.
+    # norms AND the double-cast arrays are computed ONCE per vector on
+    # each side, BEFORE the join — the candidate join fans a query out to
+    # ~nprobe/n_cells of the corpus, and evaluating l2_norm / as_double
+    # per candidate row (the plain cosine() form) multiplied the fold
+    # work on the join output (measured the dominant cost at sf1: 6 M
+    # candidate rows). The projected columns materialize into the
+    # shuffle, so the join output only pays the one product fold.
+    # dot/(nq·nc) is value-identical to cosine() — same fold order — so
+    # the oracle needs no change.
+    cvd = as_double(F.col(vec_col))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(as_double(F.col(vec_col))).alias("_nc"),
+        cvd.alias("cv"),
+        l2_norm(cvd).alias("_nc"),
         _nearest_cell(F.col(vec_col), centroids).alias("cell"),
     )
     # nprobe nearest cells per query: rank the n_cells distances
     ds = F.array(*[_sq_dist(F.col("qv"), cc) for cc in centroids])
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(as_double(F.col(vec_col))).alias("_nq"),
+        cvd.alias("qv"),
+        l2_norm(cvd).alias("_nq"),
     ).select("query_id", "qv", "_nq", F.posexplode(ds).alias("cell", "dist"))
     wq = Window.partitionBy("query_id").orderBy("dist", "cell")
     probes = (
@@ -134,8 +138,7 @@ def ivf_topk(
     cands = probes.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
         "score_raw",
-        dot(as_double(F.col("qv")), as_double(F.col("cv")))
-        / (F.col("_nq") * F.col("_nc")),
+        dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (

@@ -241,23 +241,26 @@ def lsh_topk(
         .filter(F.expr(f"({first_table}) = t"))
         .select("query_id", "neighbor_id")
     )
+    # double-cast arrays and norms projected per vector BEFORE the join —
+    # the join output pays only the product fold per candidate (same
+    # values, same fold order; see ivf.py for the measured rationale)
+    vd = as_double(F.col(vec_col))
     qv = q_src.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        l2_norm(as_double(F.col(vec_col))).alias("_nq"),
+        vd.alias("qv"),
+        l2_norm(vd).alias("_nq"),
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(as_double(F.col(vec_col))).alias("_nc"),
+        vd.alias("cv"),
+        l2_norm(vd).alias("_nc"),
     )
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
             "score_raw",
-            dot(as_double(F.col("qv")), as_double(F.col("cv")))
-            / (F.col("_nq") * F.col("_nc")),
+            dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
@@ -479,26 +482,27 @@ def cosine_pairs_bucketed(
     to match the threshold (see the clustered-fixture test).
     """
     cand = lsh_candidate_pairs(emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed)
-    # norms precomputed ONCE per vector (not per candidate pair); the
-    # score expression dot/(na·nb) is value-identical to cosine() — same
-    # summation order — so the brute-force oracle needs no change
+    # double-cast arrays and norms precomputed ONCE per vector (not per
+    # candidate pair); the score expression dot/(na·nb) is
+    # value-identical to cosine() — same summation order — so the
+    # brute-force oracle needs no change
+    vd = as_double(F.col(vec_col))
     va = emb.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        l2_norm(as_double(F.col(vec_col))).alias("_na"),
+        vd.alias("va"),
+        l2_norm(vd).alias("_na"),
     )
     vb = emb.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        l2_norm(as_double(F.col(vec_col))).alias("_nb"),
+        vd.alias("vb"),
+        l2_norm(vd).alias("_nb"),
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cos",
-            dot(as_double(F.col("va")), as_double(F.col("vb")))
-            / (F.col("_na") * F.col("_nb")),
+            dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos").alias("cosine_sim"))
