@@ -18,10 +18,12 @@ constraints", PVLDB 2008), and it is EXACT, not heuristic:
   occurrence-tagged q-grams, so strings within distance ``max_dist``
   differ in at most q·d multiset grams;
 - therefore any matching pair must share at least one gram among the
-  q·d+1 smallest grams (under any fixed total order — lexicographic
-  here) of each side: the SIGNATURE. Joining on (block, signature gram)
-  loses no true pair, while diverse oversized blocks fragment into
-  signature buckets instead of exploding quadratically.
+  q·d+1 smallest grams — under any fixed total order; rarest-first
+  (global-frequency) by default, with a zero-extra-pass lexicographic
+  option (``gram_order``) — of each side: the SIGNATURE. Joining on
+  (block, signature gram) loses no true pair, while diverse oversized
+  blocks fragment into signature buckets instead of exploding
+  quadratically.
 
 SHORT-STRING COMPLETENESS (found by the hypothesis differential test —
 suffixes '' vs 'a' at d=1 share no gram at all): the prefix-filter
@@ -66,13 +68,11 @@ _PAD_L = "chr(1)"
 _PAD_R = "chr(2)"
 
 
-def _signature_sql(suffix_expr: str, q: int, max_dist: int) -> str:
-    """SQL for the Ed-Join prefix signature of ``suffix_expr``: the
-    q·max_dist+1 lexicographically smallest occurrence-tagged q-grams of
-    the padded suffix. Occurrence tags ('gram#k' for the k-th occurrence)
-    make the gram multiset a set, which the one-edit-destroys-at-most-q
-    bound needs; the O(len²) inner filter is fine at name length."""
-    k = q * max_dist + 1
+def _tagged_grams_sql(suffix_expr: str, q: int) -> str:
+    """SQL for ALL occurrence-tagged q-grams of the padded suffix.
+    Occurrence tags ('gram#k' for the k-th occurrence) make the gram
+    multiset a set, which the one-edit-destroys-at-most-q bound needs;
+    the O(len²) inner filter is fine at name length."""
     p = f"concat({_PAD_L}, {suffix_expr}, {_PAD_R})"
     gram = f"substring(p, i, {q})"
     gram_j = f"substring(p, j, {q})"
@@ -82,9 +82,16 @@ def _signature_sql(suffix_expr: str, q: int, max_dist: int) -> str:
     )
     # let-bind the padded string via a single-element transform so the
     # concat is not re-evaluated per gram position
-    return (
-        f"slice(array_sort(transform(array({p}), p -> {tagged})[0]), 1, {k})"
-    )
+    return f"transform(array({p}), p -> {tagged})[0]"
+
+
+def _signature_sql(suffix_expr: str, q: int, max_dist: int) -> str:
+    """SQL for the Ed-Join prefix signature of ``suffix_expr``: the
+    q·max_dist+1 LEXICOGRAPHICALLY smallest occurrence-tagged q-grams of
+    the padded suffix (any fixed total order is correct; see
+    edit_blocked_candidates for the frequency-ordered variant)."""
+    k = q * max_dist + 1
+    return f"slice(array_sort({_tagged_grams_sql(suffix_expr, q)}), 1, {k})"
 
 
 def edit_blocked_candidates(
@@ -95,6 +102,7 @@ def edit_blocked_candidates(
     max_dist: int = 2,
     q: int = 2,
     block_cap: int = 128,
+    gram_order: str = "freq",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b, sfx_a, sfx_b) within blocks of the
     ``prefix_len``-char prefix — plain self-join for blocks ≤ block_cap,
@@ -102,7 +110,21 @@ def edit_blocked_candidates(
     pairs with edit distance ≤ max_dist inside a block; exposed so tests
     can assert candidate bounds directly. Only the SUFFIX rides the join
     (the shared prefix carries no edit-distance information and would
-    just widen every shuffled row)."""
+    just widen every shuffled row).
+
+    ``gram_order`` picks the global total order that defines each row's
+    signature — EXACTNESS does not depend on it (any fixed order
+    satisfies the prefix lemma), PRUNING does:
+
+    - "freq" (default, the classic Ed-Join choice): grams ordered by
+      (global occurrence count asc, gram) measured over the oversized
+      blocks themselves — signatures keep each row's RAREST grams, so
+      signature buckets are maximally selective. Costs one extra
+      aggregate + join + per-row window over the tail blocks only.
+    - "lex": lexicographic — zero extra passes (the signature is a pure
+      per-row expression); the fallback when the tail is tiny and the
+      frequency pass isn't worth its scheduling.
+    """
     c = df.select(
         F.col(id_col).alias("id"),
         F.substring(name_col, 1, prefix_len).alias("blk"),
@@ -126,18 +148,50 @@ def edit_blocked_candidates(
         )
     )
 
-    sig = _signature_sql("sfx", q, max_dist)
+    big0 = c.filter(F.col("_sz") > block_cap)
+    k = q * max_dist + 1
+    if gram_order == "freq":
+        from pyspark.sql.window import Window
+
+        # global gram frequencies over the tail blocks; the freq-prefixed
+        # key makes lexicographic order == (freq asc, gram) order, so the
+        # same array_min exactly-once trick applies unchanged
+        exg = big0.select(
+            "blk", "id", F.explode(F.expr(_tagged_grams_sql("sfx", q))).alias("g")
+        )
+        freq = exg.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
+        keyed = exg.join(freq, "g").select(
+            "blk",
+            "id",
+            F.concat(
+                F.lpad(F.col("_f").cast("string"), 12, "0"), F.lit("#"), F.col("g")
+            ).alias("kg"),
+        )
+        wsig = Window.partitionBy("id").orderBy("kg")
+        sigs = (
+            keyed.withColumn("_rn", F.row_number().over(wsig))
+            .filter(F.col("_rn") <= k)
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("kg")).alias("sig0"))
+        )
+        big0 = big0.join(sigs, "id")
+        sig = "sig0"
+    elif gram_order == "lex":
+        big0 = big0.withColumn("sig0", F.expr(_signature_sql("sfx", q, max_dist)))
+        sig = "sig0"
+    else:
+        raise ValueError(f"gram_order must be 'freq' or 'lex', got {gram_order!r}")
     # short-string completeness (module docstring): padded gram count =
     # length(sfx) + 3 - q, vacuous-bound regime at <= q·d grams, partners
     # within max_dist chars of it — all carry the catch-all gram
     short_len = q * max_dist + q - 3 + max_dist
-    big = c.filter(F.col("_sz") > block_cap).withColumn(
+    big = big0.withColumn(
         "sig",
         F.expr(
             f"CASE WHEN length(sfx) <= {short_len} "
             f"THEN array_union({sig}, array(chr(3))) ELSE {sig} END"
         ),
-    )
+    ).drop("sig0")
     ex = big.select("blk", "id", "sfx", "sig", F.explode("sig").alias("g"))
     pairs_big = (
         ex.alias("a")
@@ -167,13 +221,14 @@ def blocked_edit_distance_pairs(
     max_dist: int = 2,
     q: int = 2,
     block_cap: int = 128,
+    gram_order: str = "freq",
 ) -> DataFrame:
     """All pairs (id_a < id_b, dist) sharing the ``prefix_len``-char
     blocking prefix with levenshtein(name_a, name_b) ≤ max_dist — the
     same contract as the fixed-key blocked join, with candidates bounded
     per block (see module docstring)."""
     cand = edit_blocked_candidates(
-        df, id_col, name_col, prefix_len, max_dist, q, block_cap
+        df, id_col, name_col, prefix_len, max_dist, q, block_cap, gram_order
     )
     # prefix-stripped verify: ed(full names) = ed(suffixes) given the
     # shared block prefix; banded DP is O(max_dist · suffix_len) per

@@ -380,17 +380,26 @@ def test_adaptive_edjoin_exact_and_bounded(spark):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
     )
     bset = {(r.id_a, r.id_b, r.dist) for r in brute.collect()}
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in blocked_edit_distance_pairs(
-            df, "id", "name", 17, 2, block_cap=64
-        ).collect()
-    }
-    assert got == bset and len(bset) > 40
+    for order in ("freq", "lex"):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in blocked_edit_distance_pairs(
+                df, "id", "name", 17, 2, block_cap=64, gram_order=order
+            ).collect()
+        }
+        assert got == bset and len(bset) > 40, order
 
     n_blk = len(names) - 5
-    n_cand = edit_blocked_candidates(df, "id", "name", 17, 2, block_cap=64).count()
-    assert n_cand < 0.3 * (n_blk * (n_blk - 1) // 2), n_cand
+    all_pairs = n_blk * (n_blk - 1) // 2
+    n_lex = edit_blocked_candidates(
+        df, "id", "name", 17, 2, block_cap=64, gram_order="lex"
+    ).count()
+    n_freq = edit_blocked_candidates(
+        df, "id", "name", 17, 2, block_cap=64, gram_order="freq"
+    ).count()
+    assert n_lex < 0.3 * all_pairs, n_lex
+    # rarest-first signatures must prune at least as hard as lexicographic
+    assert n_freq <= n_lex, (n_freq, n_lex)
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):

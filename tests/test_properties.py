@@ -471,8 +471,9 @@ _name_lists = st.lists(_sfx, min_size=2, max_size=24)
 
 
 @settings(max_examples=25, deadline=None)
-@given(_name_lists, st.integers(min_value=1, max_value=2))
-def test_adaptive_edjoin_matches_python_reference(spark, suffixes, max_dist):
+@given(_name_lists, st.integers(min_value=1, max_value=2),
+       st.sampled_from(["freq", "lex"]))
+def test_adaptive_edjoin_matches_python_reference(spark, suffixes, max_dist, order):
     """blocked_edit_distance_pairs vs a Python Levenshtein over every
     within-block pair — the Ed-Join signature refinement must be EXACT
     (no false negatives from the q-gram prefix filter, none from the
@@ -505,7 +506,8 @@ def test_adaptive_edjoin_matches_python_reference(spark, suffixes, max_dist):
     got = {
         (r.id_a, r.id_b, r.dist)
         for r in blocked_edit_distance_pairs(
-            df, "id", "name", prefix_len=17, max_dist=max_dist, block_cap=0
+            df, "id", "name", prefix_len=17, max_dist=max_dist, block_cap=0,
+            gram_order=order,
         ).collect()
     }
     assert got == want
