@@ -97,11 +97,26 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "gemm",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF probing.
 
     Same output contract as brute_force_topk / lsh_topk:
     (query_id, neighbor_id, score, rank).
+
+    ``verify`` picks the physical form of the probe-scoring stage — the
+    ANSWER is identical (bit-for-bit; both emit exact sequential-fold
+    scores over the same candidate set, so the same oracle passes):
+
+    - "gemm" (default, the FAISS IVF-Flat physical form): cogroup the
+      probing queries and the cell members per cell, one BLAS product
+      per cell shortlists, exact rescore emits (the gemm.py pattern).
+      Contract: ONE CELL's members and probing queries must fit an
+      executor's memory — which is how IVF cells are sized anyway
+      (n_cells ≈ √corpus keeps cells ~√n).
+    - "sql": the declarative cell equi-join + per-candidate fold — no
+      per-group memory contract at all; the fallback when cells are
+      unboundedly skewed.
     """
     centroids = train_centroids(corpus, n_cells, iters, id_col, vec_col)
 
@@ -135,14 +150,70 @@ def ivf_topk(
         .select("query_id", "qv", "_nq", "cell")
     )
 
-    cands = probes.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cands.withColumn(
-        "score_raw",
-        dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")),
-    )
+    if verify == "gemm":
+        scored = _cogroup_gemm_scores(probes, c, k)
+    elif verify == "sql":
+        cands = probes.join(c, "cell").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = cands.withColumn(
+            "score_raw",
+            dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")),
+        )
+    else:
+        raise ValueError(f"verify must be 'gemm' or 'sql', got {verify!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("score_raw").alias("score"), "rank")
     )
+
+
+def _cogroup_gemm_scores(probes: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Per-cell BLAS scoring of probing queries against cell members:
+    cogroup on cell, gemm over normalized copies to SHORTLIST (local
+    top-(k+1) per query with a reassociation-safety margin), then emit
+    the exact score — the JVM-computed norms ride in (_nq/_nc) and the
+    dot is a strict left-to-right column fold (gemm._seq_fold_sum), so
+    emitted doubles are bit-identical to the declarative verify and to
+    the oracle. Self-matches survive to the SQL-side filter, exactly as
+    in gemm.gemm_topk."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_school_spark.similarity.gemm import _SELECT_MARGIN, _seq_fold_sum
+
+    local_k = k + 1
+
+    def score(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "score_raw": pd.Series(dtype="float64")}
+        )
+        if len(qdf) == 0 or len(cdf) == 0:
+            return empty
+        Q = np.array([list(v) for v in qdf["qv"]], dtype=np.float64)
+        C = np.array([list(v) for v in cdf["cv"]], dtype=np.float64)
+        qn = qdf["_nq"].to_numpy(dtype=np.float64)
+        cn = cdf["_nc"].to_numpy(dtype=np.float64)
+        S = (Q / qn[:, None]) @ (C / cn[:, None]).T  # approximate
+        m = min(local_k, S.shape[1])
+        kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
+        qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
+        score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
+        return pd.DataFrame(
+            {
+                "query_id": qdf["query_id"].to_numpy(dtype=np.int64)[qi],
+                "neighbor_id": cdf["neighbor_id"].to_numpy(dtype=np.int64)[ci],
+                "score_raw": score_exact,
+            }
+        )
+
+    out = (
+        probes.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(score, schema="query_id long, neighbor_id long, score_raw double")
+    )
+    return out.filter(F.col("query_id") != F.col("neighbor_id"))

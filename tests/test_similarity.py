@@ -330,3 +330,19 @@ def test_int8_quantization_roundtrip_bounds(spark):
         assert err.max() <= r.scale / 2 + 1e-12
         assert abs(r.p.q_max_err - err.max()) < 1e-12
         assert abs(r.p.q_mse - (err ** 2).mean()) < 1e-12
+
+
+def test_ivf_verify_backends_bit_identical(spark):
+    """The cogroup-gemm verify (default) and the declarative cell-join
+    verify must produce IDENTICAL rows — same neighbors, same ranks,
+    same score BITS (both emit exact sequential-fold doubles over the
+    same candidate set) — so either backend satisfies the one oracle."""
+    from etl_school_spark.similarity.ivf import ivf_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+         for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, verify="gemm").collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+         for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, verify="sql").collect()}
+    assert a == b and len(a) > 0
