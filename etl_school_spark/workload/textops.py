@@ -97,8 +97,56 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver hash-checks the filter decisions a training pipeline would
 # actually act on, not just the underlying metrics. NULL metric (empty
 # doc) fails its rule on both engines.
+#
+# r5: the query ALSO emits the CCNet-style model-based quality signal —
+# bigram-LM perplexity (functions/lm.py) with the corpus itself as the
+# reference, vocab_size=16 (small enough that the synthetic corpus's
+# out-of-vocab → <unk> path genuinely fires), add-1 smoothing. The oracle
+# retrains the model in SQL: same tokenization, same (count desc, token)
+# vocab tie-break, same per-doc lag window (no cross-doc bigrams), same
+# smoothing arithmetic. ppl is rounded to 4 decimals on BOTH engines —
+# the transcendental-determinism pattern from tfidf_top_terms (ln/exp and
+# the avg fold order differ in the last ULPs between JVM and libm;
+# ~1e-9 absolute here, invisible at 1e-4 granularity). Docs with < 2
+# tokens have no bigram evidence: NULL ppl / n_bigrams via left join.
 # --------------------------------------------------------------------------
 _TERM_PUNCT_RE = """[.!?]["'')\\]]?$"""  # SQL-escaped: '' is a literal quote
+
+_PPL_VOCAB = 16  # reference-LM vocab size (V = vocab + <unk> = 17)
+
+_PPL_CTES = f"""
+    lm_tok AS (
+      SELECT doc_id, u.i AS pos, ws[u.i + 1] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(range(len(ws))) AS u(i)
+    ),
+    lm_uni AS (SELECT w, count(*) AS c FROM lm_tok GROUP BY w),
+    lm_vocab AS (SELECT w FROM lm_uni ORDER BY c DESC, w LIMIT {_PPL_VOCAB}),
+    lm_m AS (
+      SELECT t.doc_id, t.pos, CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS tok
+      FROM lm_tok t LEFT JOIN lm_vocab v USING (w)
+    ),
+    lm_bg AS (
+      SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             tok AS w2
+      FROM lm_m
+    ),
+    lm_bgf AS (SELECT doc_id, w1, w2 FROM lm_bg WHERE w1 IS NOT NULL),
+    lm_bc AS (SELECT w1, w2, count(*) AS c FROM lm_bgf GROUP BY w1, w2),
+    lm_cc AS (SELECT w1, sum(c) AS c1 FROM lm_bc GROUP BY w1),
+    lm_logp AS (
+      SELECT b.doc_id,
+             ln((coalesce(bc.c, 0) + 1.0)
+                / (coalesce(cc.c1, 0) + 1.0 * {_PPL_VOCAB + 1})) AS logp
+      FROM lm_bgf b
+      LEFT JOIN lm_bc bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      LEFT JOIN lm_cc cc ON b.w1 = cc.w1
+    ),
+    lm_ppl AS (
+      SELECT doc_id, round(exp(-avg(logp)), 4) AS ppl, count(*) AS n_bigrams
+      FROM lm_logp GROUP BY doc_id
+    )"""
 
 
 @_q(
@@ -146,7 +194,8 @@ _TERM_PUNCT_RE = """[.!?]["'')\\]]?$"""  # SQL-escaped: '' is a literal quote
              coalesce(dup_3gram_frac <= 0.30, false) AS ok_rep_dup,
              coalesce(term_punct_share >= 0.0, false) AS ok_term_punct
       FROM m
-    )
+    ),
+    {_PPL_CTES}
     SELECT doc_id, lang,
            round((least(n_tok / 50.0, 1.0) + ttr + (1.0 - abs(sw - 0.1))) / 3.0, 4) AS quality,
            top_word_share,
@@ -155,25 +204,32 @@ _TERM_PUNCT_RE = """[.!?]["'')\\]]?$"""  # SQL-escaped: '' is a literal quote
            (top_word_share <= 0.2 AND top_2gram_share <= 0.2 AND dup_3gram_frac <= 0.2)
              AS repetition_ok,
            mean_word_len, alpha_share, term_punct_share,
+           lm_ppl.ppl AS ppl, lm_ppl.n_bigrams AS n_bigrams,
            ok_len, ok_word_len, ok_stopwords, ok_alpha,
            ok_rep_word, ok_rep_bigram, ok_rep_dup, ok_term_punct,
            (ok_len AND ok_word_len AND ok_stopwords AND ok_alpha AND ok_rep_word
             AND ok_rep_bigram AND ok_rep_dup AND ok_term_punct) AS keep
-    FROM f
+    FROM f LEFT JOIN lm_ppl USING (doc_id)
     ORDER BY doc_id
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.functions.corpus import corpus_flags
+    from etl_school_spark.functions.lm import perplexity_scores, train_bigram_lm
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # CCNet-style model signal: reference = the corpus itself (self-
+    # perplexity), trained distributed (functions/lm.py) — the model
+    # frames never touch the driver.
+    lm = train_bigram_lm(docs, vocab_size=_PPL_VOCAB, k=1.0)
+    ppl = perplexity_scores(docs, lm).withColumn("ppl", F.round("ppl", 4))
     # emit_metrics=True: the expensive fold metrics are computed ONCE and
     # shared between each flag and its output slot (see corpus_flags);
     # re-deriving them here with fresh top_word_share(...) calls would
     # defeat codegen subexpression elimination (fresh lambda IDs) and
     # roughly double the query's per-row cost — measured 3.2 s → 1.9 s
     # at sf0.1 when this was switched to column reuse.
-    flagged = corpus_flags(docs, emit_metrics=True)
+    flagged = corpus_flags(docs, emit_metrics=True).join(ppl, "doc_id", "left")
     tws = F.col("top_word_share")
     t2s = F.col("top_2gram_share")
     d3f = F.col("dup_3gram_frac")
@@ -189,6 +245,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_word_len",
             "alpha_share",
             "term_punct_share",
+            "ppl",
+            "n_bigrams",
             "ok_len",
             "ok_word_len",
             "ok_stopwords",
