@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.minhash import (
+    band_hash_array,
     band_rows,
     minhash_signatures,
     verify_jaccard_pairs,
@@ -112,22 +113,46 @@ def dedup_batch_against_index(
 
     # 1a. exact vs history: fingerprint anti-join
     surv = new_idx.join(index.select("fp"), "fp", "left_anti")
-    # 1b. exact within batch: lowest id per fingerprint
-    canon = surv.groupBy("fp").agg(F.min("doc").alias("doc"))
-    surv = surv.join(canon.select("doc"), "doc", "left_semi")
+    # 1b. exact within batch: lowest id per fingerprint. Null-text docs
+    # (null fp) are OUT OF CONTRACT for exact dedup: the anti-join never
+    # matches them (they all reach here), and lumping them into one null
+    # group would silently treat distinct null-text docs as copies of
+    # each other — they bypass the canonical pass instead, each
+    # surviving as its own document.
+    null_fp = surv.filter(F.col("fp").isNull())
+    canon = (
+        surv.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.min("doc").alias("doc"))
+    )
+    surv = surv.join(canon.select("doc"), "doc", "left_semi").unionByName(null_fp)
 
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
     # exact-Jaccard verify on stored shingle sets; any verified match
-    # disqualifies the new doc (history is immutable — it always wins)
-    sigged = surv.filter(F.col("sig").isNotNull())
-    nb = band_rows(sigged, num_perm, bands).withColumnRenamed("doc", "new_doc")
-    ib = band_rows(
-        index.filter(F.col("sig").isNotNull()), num_perm, bands
-    ).withColumnRenamed("doc", "old_doc")
+    # disqualifies the new doc (history is immutable — it always wins).
+    # Each side carries its full band-hash array so the pair is emitted
+    # only at the FIRST band where both agree (pure filter) — no
+    # dropDuplicates exchange on the candidate pairs (the simhash/knn
+    # first-collision pattern).
+    bh = band_hash_array(num_perm, bands)
+    nb = (
+        surv.filter(F.col("sig").isNotNull())
+        .select(F.col("doc").alias("new_doc"), bh.alias("_ba"))
+        .select("new_doc", "_ba", F.posexplode("_ba").alias("band_idx", "band_hash"))
+    )
+    ib = (
+        index.filter(F.col("sig").isNotNull())
+        .select(F.col("doc").alias("old_doc"), bh.alias("_bb"))
+        .select("old_doc", "_bb", F.posexplode("_bb").alias("band_idx", "band_hash"))
+    )
+    first_collision = (
+        F.array_position(F.zip_with("_ba", "_bb", lambda x, y: x == y), F.lit(True))
+        == F.col("band_idx") + 1
+    )
     cands = (
         nb.join(ib, ["band_idx", "band_hash"])
+        .filter(first_collision)
         .select("new_doc", "old_doc")
-        .dropDuplicates(["new_doc", "old_doc"])
     )
     matched = (
         verify_jaccard_pairs(

@@ -65,19 +65,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_single(ngram_jaccard_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
-def _minhash_oracle() -> str:
-    """Full MinHash+LSH replica: same shingles as _NGRAM_ORACLE, same
-    md5-derived base hash + affine permutations (minhash.perm_constants —
-    the (a_i, b_i) literals are embedded below), same 32×4 banding, same
-    exact Jaccard verify. Exact int64 arithmetic in both engines."""
+def _sig_cte_block() -> str:
+    """Shared CTE text (t/sh/hashed/signed/banded): the MinHash replay —
+    same shingles as _NGRAM_ORACLE, same md5-derived base hash + affine
+    permutations (minhash.perm_constants — the (a_i, b_i) literals are
+    embedded), same 32×4 banding. Exact int64 arithmetic in both engines.
+    Used by the one-shot LSH oracle AND the incremental-index oracle."""
     from etl_school_spark.dedup.minhash import MERSENNE_31, perm_constants
 
     sig_terms = ",\n          ".join(
         f"list_min([({a} * hh + {b}) % {MERSENNE_31} for hh in hs])"
         for a, b in perm_constants(128)
     )
-    return f"""
-WITH t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+    return f"""t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(w) >= 3
@@ -98,7 +98,14 @@ signed AS (
 banded AS (
   SELECT doc_id, b AS band_idx, md5(array_to_string(sig[(b*4+1):(b*4+4)], ',')) AS band_hash
   FROM signed, unnest(generate_series(0, 31)) AS u(b)
-),
+)"""
+
+
+def _minhash_oracle() -> str:
+    """One-shot MinHash+LSH replica over _sig_cte_block, same exact
+    Jaccard verify as the Spark plan."""
+    return f"""
+WITH {_sig_cte_block()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b

@@ -505,3 +505,26 @@ def test_incremental_dedup_against_index(spark):
     )
     accepted2, _ = dedup_batch_against_index(d2, index2)
     assert {r.doc_id for r in accepted2.collect()} == {202}
+
+
+def test_incremental_dedup_null_text_out_of_contract(spark):
+    """Null-text docs (null fingerprint) bypass exact dedup entirely:
+    they never match history's fingerprints AND are excluded from the
+    within-batch canonical pass, so two distinct null-text docs are NOT
+    collapsed into one (the pre-r5 behavior silently kept only the
+    min-id one)."""
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "fresh words only here now ok yes no up dn")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(hist).localCheckpoint()
+    accepted, _ = dedup_batch_against_index(batch, index)
+    assert {r.doc_id for r in accepted.collect()} == {10, 11, 12}
