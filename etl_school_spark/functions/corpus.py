@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.functions.text import (
+    WS_CLASS,
     dup_ngram_frac,
     stopword_share,
     token_count,
@@ -56,7 +57,7 @@ def mean_word_length(col: Column | str) -> Column:
 def alpha_share(col: Column | str) -> Column:
     """Share of non-whitespace characters that are ASCII letters."""
     c = F.col(col) if isinstance(col, str) else col
-    dense = F.regexp_replace(c, r"\s+", "")
+    dense = F.regexp_replace(c, WS_CLASS, "")
     n_alpha = F.length(F.regexp_replace(dense, r"[^A-Za-z]", ""))
     return F.round(n_alpha / F.nullif(F.length(dense), F.lit(0)), 4)
 

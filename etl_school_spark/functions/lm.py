@@ -141,8 +141,9 @@ def py_reference_perplexity(
     ref_texts: list[str], texts: list[str], vocab_size: int, k: float = 1.0
 ) -> list[float | None]:
     """Independent pure-Python twin of train+score, used by the property
-    test (tests/test_properties.py) — same tokenization (Java \\s+ on the
-    trimmed string), same vocab tie-break, same smoothing."""
+    test (tests/test_properties.py) — same tokenization (the explicit
+    whitespace class text.WS_CLASS on the trimmed string), same vocab
+    tie-break, same smoothing."""
     import re
 
     def toks(s: str) -> list[str]:

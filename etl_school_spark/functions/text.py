@@ -25,10 +25,18 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
+# Explicit whitespace class shared by the Spark expressions and the DuckDB
+# oracle SQL. Java's \s is [ \t\n\x0B\f\r] while RE2 (DuckDB) \s omits \x0B
+# — spelling the class out makes both engines tokenize identically BY
+# CONSTRUCTION instead of by absence of vertical tabs in the data. Both
+# regex dialects accept the \xhh escape, so the same literal serves both.
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization (explicit Java-\\s class, see WS_CLASS)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_CLASS)
 
 
 def token_count(col: Column | str) -> Column:
@@ -203,7 +211,7 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Identical content (modulo spacing/case) → identical fingerprint."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), WS_CLASS, " ")))
 
 
 # bit p (p=0 is the MSB) of a hex digit is set iff the digit is in this set

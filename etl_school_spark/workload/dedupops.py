@@ -141,7 +141,7 @@ def _simhash_oracle() -> str:
     sig = "[" + ",\n         ".join(bit_exprs) + "]"
     return f"""
 WITH t AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS toks FROM documents
 ),
 hmap AS (SELECT doc_id, [substr(md5(tk), 1, 16) for tk in toks] AS hs FROM t),
 s AS (SELECT doc_id, {sig} AS sig FROM hmap),
@@ -265,7 +265,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_after_exact_dedup",
     """
     WITH fp AS (
-      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f
       FROM documents
     ),
     canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
@@ -294,7 +294,7 @@ def corpus_after_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CONTAMINATION_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram

@@ -117,7 +117,7 @@ _PPL_VOCAB = 16  # reference-LM vocab size (V = vocab + <unk> = 17)
 _PPL_CTES = f"""
     lm_tok AS (
       SELECT doc_id, u.i AS pos, ws[u.i + 1] AS w
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
             FROM documents),
            unnest(range(len(ws))) AS u(i)
     ),
@@ -175,8 +175,8 @@ _PPL_CTES = f"""
       SELECT *,
              round(list_aggregate(list_transform(w, x -> len(x)), 'sum')*1.0
                    / nullif(len(w), 0), 4) AS mean_word_len,
-             round(len(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
-                   / nullif(len(regexp_replace(text, '\\s+', '', 'g')), 0), 4) AS alpha_share,
+             round(len(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
+                   / nullif(len(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')), 0), 4) AS alpha_share,
              round(len(list_filter(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''),
                                    x -> regexp_matches(trim(x), '{_TERM_PUNCT_RE}')))*1.0
                    / nullif(len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')), 0), 4)
@@ -299,7 +299,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_exact_groups",
     """
-    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+    SELECT md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
            MIN(doc_id) AS canonical_id,
            COUNT(*) AS group_n
     FROM documents
@@ -320,7 +320,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "doc_fingerprints",
     """
-    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
     FROM documents
     ORDER BY doc_id
     """,
