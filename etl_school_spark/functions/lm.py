@@ -141,9 +141,10 @@ def py_reference_perplexity(
     ref_texts: list[str], texts: list[str], vocab_size: int, k: float = 1.0
 ) -> list[float | None]:
     """Independent pure-Python twin of train+score, used by the property
-    test (tests/test_properties.py) — same tokenization (the explicit
-    whitespace class text.WS_CLASS on the trimmed string), same vocab
-    tie-break, same smoothing."""
+    test (tests/test_properties.py) — same tokenization (the same
+    whitespace class as text.WS_CLASS, duplicated here so the twin stays
+    independent; the property test asserts the two classes match), same
+    vocab tie-break, same smoothing."""
     import re
 
     def toks(s: str) -> list[str]:

@@ -20,9 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_school_spark.dedup.minhash import minhash_lsh_pairs
 from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_near_pairs
-from etl_school_spark.functions.text import STOPWORDS
+from etl_school_spark.functions.text import STOPWORDS, WS_CLASS
 from etl_school_spark.tables import fan_out, load_table
 from etl_school_spark.workload._suite import sorted_single
+
+# DuckDB tokenizer twin of functions.text.tokens: the same explicit
+# whitespace class as the Spark side (WS_CLASS), so shingle tokenization
+# agrees BY CONSTRUCTION — not by absence of tabs/multi-spaces in the
+# fixture (the r6 unification, extended to the dedup oracles).
+_TOK = f"regexp_split_to_array(trim(text), '{WS_CLASS}')"
 
 QUERIES = {}
 ORACLES = {}
@@ -39,8 +45,8 @@ def _q(name: str, oracle: str | None = None):
 
 
 # Brute-force exact word-trigram Jaccard in DuckDB (O(n²) — oracle scale only).
-_NGRAM_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+_NGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK} w FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(w) >= 3
@@ -65,19 +71,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_single(ngram_jaccard_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
 
 
-def _sig_cte_block() -> str:
+def _sig_cte_block(src: str = "documents") -> str:
     """Shared CTE text (t/sh/hashed/signed/banded): the MinHash replay —
     same shingles as _NGRAM_ORACLE, same md5-derived base hash + affine
     permutations (minhash.perm_constants — the (a_i, b_i) literals are
     embedded), same 32×4 banding. Exact int64 arithmetic in both engines.
-    Used by the one-shot LSH oracle AND the incremental-index oracle."""
+    Used by the one-shot LSH oracle AND the incremental-index oracle
+    (``src`` names the doc frame — ``documents`` for the one-shot replay,
+    the two-generation ``corpus`` CTE for the incremental one)."""
     from etl_school_spark.dedup.minhash import MERSENNE_31, perm_constants
 
     sig_terms = ",\n          ".join(
         f"list_min([({a} * hh + {b}) % {MERSENNE_31} for hh in hs])"
         for a, b in perm_constants(128)
     )
-    return f"""t AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOK} w FROM {src}),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(w) >= 3
@@ -207,7 +215,7 @@ labels AS (
   FROM reach
   GROUP BY s
 ),
-qt AS (SELECT doc_id, string_split(trim(text), ' ') w FROM documents),
+qt AS (SELECT doc_id, {_TOK} w FROM documents),
 qc AS (
   SELECT doc_id,
          len(w)*1.0 AS n_tok,
@@ -257,32 +265,161 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# The actionable output of dedup: the corpus with only the canonical
-# (minimum-id) document retained per exact-content group — a left-semi
-# join against the canonical set, which at scale moves only ids.
+# Incremental dedup against a persisted index (dedup/incremental.py) —
+# the continual-ingestion acceptance decision, driver-registered.
+#
+# Two-generation setup, fully replayable in SQL: the index is built from
+# the even-id documents (gen-0, "already accepted"); the batch is the
+# odd-id documents PLUS planted duplicates sourced from both generations —
+#   +1_000_000: verbatim copies of gen-0 docs      → exact-vs-history
+#   +2_000_000: gen-0 docs with one appended token → near-dup-vs-history
+#   +3_000_000: verbatim copies of batch docs      → within-batch exact
+#   +4_000_000: batch docs with one appended token → within-batch near-dup
+# so every acceptance path (fingerprint anti-join, history band join +
+# Jaccard verify, within-batch canonical + connected components) fires on
+# data the oracle can reconstruct. The oracle replays the EXACT
+# acceptance order: exact-vs-history, then within-batch exact canonical,
+# then near-vs-history on those survivors, then within-batch components
+# on THOSE survivors — the stated acceptance-order semantics of
+# dedup_batch_against_index, not a one-shot rebuild over the union.
+#
+# (Replaces the r1 `corpus_after_exact_dedup` slot: its one-shot
+# left-semi shape is value-checked inside `dedup_exact_groups` already,
+# and the 50-slot registry is full.)
 # --------------------------------------------------------------------------
-@_q(
-    "corpus_after_exact_dedup",
-    """
-    WITH fp AS (
-      SELECT doc_id, md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f
-      FROM documents
-    ),
-    canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
-    SELECT d.doc_id, d.lang, d.source, d.n_chars
-    FROM documents d SEMI JOIN canon USING (doc_id)
-    ORDER BY d.doc_id
-    """,
+def _incremental_oracle() -> str:
+    corpus = """corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, 0 AS gen FROM documents WHERE doc_id % 2 = 0
+  UNION ALL SELECT CAST(doc_id AS BIGINT), text, 1 FROM documents WHERE doc_id % 2 = 1
+  UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), text, 1 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT CAST(doc_id + 2000000 AS BIGINT), text || ' amendment', 1
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 14 = 0
+  UNION ALL SELECT CAST(doc_id + 3000000 AS BIGINT), text, 1
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+  UNION ALL SELECT CAST(doc_id + 4000000 AS BIGINT), text || ' postscript', 1
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 14 = 1
+)"""
+    jac = (
+        "len(list_intersect({a}.s, {b}.s))*1.0"
+        " / ({a}.set_size + {b}.set_size - len(list_intersect({a}.s, {b}.s)))"
+    )
+    return f"""
+WITH RECURSIVE {corpus},
+{_sig_cte_block("corpus")},
+fps AS (
+  SELECT doc_id, gen,
+         md5(lower(regexp_replace(trim(text), '{WS_CLASS}', ' ', 'g'))) AS fp
+  FROM corpus
+),
+-- step 1a: exact vs history (NULL fp never matches, by contract)
+s1 AS (
+  SELECT b.doc_id, b.fp FROM fps b
+  WHERE b.gen = 1
+    AND NOT EXISTS (SELECT 1 FROM fps i WHERE i.gen = 0 AND i.fp = b.fp)
+),
+-- step 1b: within-batch exact — lowest id per fingerprint; NULL-fp docs
+-- bypass the canonical pass (each survives as its own document)
+s1c AS (
+  SELECT doc_id FROM s1
+  QUALIFY fp IS NULL OR doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+),
+-- step 2: near-dup vs history — band collision candidates, exact-Jaccard verify
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+  FROM banded n
+  JOIN banded o ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  JOIN fps og ON o.doc_id = og.doc_id AND og.gen = 0
+  WHERE n.doc_id IN (SELECT doc_id FROM s1c)
+),
+m2 AS (
+  SELECT DISTINCT c.new_doc
+  FROM cand2 c JOIN signed a ON c.new_doc = a.doc_id
+               JOIN signed b ON c.old_doc = b.doc_id
+  WHERE {jac.format(a="a", b="b")} >= 0.8
+),
+s2 AS (SELECT doc_id FROM s1c WHERE doc_id NOT IN (SELECT new_doc FROM m2)),
+-- step 3: within-batch near-dup on the step-2 survivors — pairs, connected
+-- components (transitive closure, min reachable id), min-id canonical
+cand3 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM s2)
+    AND b.doc_id IN (SELECT doc_id FROM s2)
+),
+p3 AS (
+  SELECT c.id_a, c.id_b
+  FROM cand3 c JOIN signed sa ON c.id_a = sa.doc_id
+               JOIN signed sb ON c.id_b = sb.doc_id
+  WHERE {jac.format(a="sa", b="sb")} >= 0.8
+),
+und AS (SELECT id_a AS a, id_b AS b FROM p3 UNION SELECT id_b, id_a FROM p3),
+reach(s, t) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+),
+labels AS (SELECT s AS node, least(s, min(t)) AS component FROM reach GROUP BY s),
+accepted AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id NOT IN (SELECT node FROM labels WHERE node != component)
 )
-def corpus_after_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_school_spark.dedup.exact import drop_exact_duplicates
+SELECT a.doc_id, f.fp FROM accepted a JOIN fps f USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def _planted_batch(docs: DataFrame) -> DataFrame:
+    """The gen-1 batch with planted duplicates — the Spark twin of the
+    oracle's ``corpus`` CTE gen-1 rows (same id offsets, same appended
+    tokens)."""
+    from pyspark.sql import functions as F
+
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    did = F.col("doc_id")
+    gen1 = base.filter(did % 2 == 1)
+    exact_hist = base.filter(did % 10 == 0).select(
+        (did + 1000000).alias("doc_id"), "text"
+    )
+    near_hist = base.filter((did % 2 == 0) & (did % 14 == 0)).select(
+        (did + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" amendment")).alias("text"),
+    )
+    exact_batch = base.filter((did % 2 == 1) & (did % 10 == 1)).select(
+        (did + 3000000).alias("doc_id"), "text"
+    )
+    near_batch = base.filter((did % 2 == 1) & (did % 14 == 1)).select(
+        (did + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" postscript")).alias("text"),
+    )
+    return (
+        gen1.unionByName(exact_hist)
+        .unionByName(near_hist)
+        .unionByName(exact_batch)
+        .unionByName(near_batch)
+    )
+
+
+@_q("incremental_dedup_accepted", _incremental_oracle())
+def incremental_dedup_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        drop_exact_duplicates(docs)
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+    gen0 = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text").filter(
+        F.col("doc_id") % 2 == 0
     )
+    batch = _planted_batch(docs)
+    # materialized index, per the dedup_batch_against_index contract
+    # (production reads it from the persisted index table)
+    index = build_dedup_index(gen0).localCheckpoint(eager=False)
+    _accepted, rows = dedup_batch_against_index(batch, index, threshold=0.8)
+    return sorted_single(rows.select(F.col("doc").alias("doc_id"), "fp"), "doc_id")
 
 
 # --------------------------------------------------------------------------

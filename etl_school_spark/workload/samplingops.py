@@ -11,6 +11,7 @@ from etl_school_spark.functions.sampling import (
     threshold_hex,
     train_test_split,
 )
+from etl_school_spark.functions.text import WS_CLASS as _WS
 from etl_school_spark.tables import load_table
 
 QUERIES = {}
@@ -97,7 +98,7 @@ _SHARD_SQL = (
     WITH shards AS (
       SELECT doc_id, lang,
              {_SHARD_SQL} AS shard,
-             len(string_split(trim(text), ' ')) AS n_tok,
+             len(regexp_split_to_array(trim(text), '{_WS}')) AS n_tok,
              n_chars,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hb
       FROM documents

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from etl_school_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    WS_CLASS,
     distinct_token_count,
     fingerprint,
     lang_id,
@@ -39,6 +40,11 @@ def _q(name: str, oracle: str | None = None):
 
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+# DuckDB tokenizer twin of functions.text.tokens — same explicit
+# whitespace class as the Spark side (WS_CLASS), so both engines tokenize
+# identically BY CONSTRUCTION (not by absence of tabs in the fixture)
+_TOK = f"regexp_split_to_array(trim(text), '{WS_CLASS}')"
+
 
 # --------------------------------------------------------------------------
 # Token counting: whitespace tokens, distinct types, BPE-ish regex tokens
@@ -46,7 +52,7 @@ _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
 @_q(
     "text_token_stats",
     f"""
-    WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') w, text,
+    WITH t AS (SELECT doc_id, n_chars, {_TOK} w, text,
                       list_filter(list_transform(string_split_regex(text, '\\n+'),
                                                  p -> trim(p)), p -> p <> '') AS paras
                FROM documents)
@@ -152,7 +158,7 @@ _PPL_CTES = f"""
 @_q(
     "text_quality_scores",
     f"""
-    WITH t AS (SELECT doc_id, lang, text, string_split(trim(text), ' ') w FROM documents),
+    WITH t AS (SELECT doc_id, lang, text, {_TOK} w FROM documents),
     g AS (
       SELECT doc_id, lang, text, w,
              list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
@@ -272,7 +278,7 @@ def _lang_oracle() -> str:
     counts_sql = ",\n             ".join(counts)
     g = "greatest(c_en, c_fr, c_de, c_es)"
     return f"""
-    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) dw FROM documents),
+    WITH t AS (SELECT doc_id, lang, list_distinct({_TOK}) dw FROM documents),
     c AS (SELECT doc_id, lang,
              {counts_sql}
           FROM t)
@@ -339,10 +345,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @_q(
     "vocabulary_top_terms",
-    """
+    f"""
     WITH tok AS (
       SELECT doc_id, u.t AS term
-      FROM documents, unnest(string_split(trim(text), ' ')) AS u(t)
+      FROM documents, unnest({_TOK}) AS u(t)
       WHERE u.t <> ''
     )
     SELECT term,
@@ -375,10 +381,10 @@ def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @_q(
     "tfidf_top_terms",
-    """
+    f"""
     WITH tok AS (
       SELECT doc_id, u.t AS term
-      FROM documents, unnest(string_split(trim(text), ' ')) AS u(t)
+      FROM documents, unnest({_TOK}) AS u(t)
       WHERE u.t <> ''
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -530,7 +530,7 @@ def build_setop_query(seed: int):
 # disabled rule, a metric whose two engine formulations drift on some
 # document) fails a seed, not a user's filter configuration.
 # ---------------------------------------------------------------------------
-from etl_school_spark.functions.text import STOPWORDS  # noqa: E402
+from etl_school_spark.functions.text import STOPWORDS, WS_CLASS  # noqa: E402
 
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS)
 
@@ -557,7 +557,7 @@ _CORPUS_METRICS = [
 
 _CORPUS_TPL = """
     WITH t0 AS (SELECT doc_id, lang, n_chars, text FROM documents{where}),
-    t AS (SELECT doc_id, text, string_split(trim(text), ' ') w FROM t0),
+    t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '{ws}') w FROM t0),
     g AS (
       SELECT doc_id, text, w,
              list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
@@ -570,8 +570,8 @@ _CORPUS_TPL = """
              round(list_aggregate(list_transform(w, x -> len(x)), 'sum')*1.0
                    / nullif(len(w), 0), 4) AS mean_word_len,
              round(len(list_filter(w, x -> x IN ({sw})))*1.0 / nullif(len(w), 0), 4) AS stop_share,
-             round(len(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
-                   / nullif(len(regexp_replace(text, '\\s+', '', 'g')), 0), 4) AS alpha_share,
+             round(len(regexp_replace(regexp_replace(text, '{ws}', '', 'g'), '[^A-Za-z]', '', 'g'))*1.0
+                   / nullif(len(regexp_replace(text, '{ws}', '', 'g')), 0), 4) AS alpha_share,
              round(list_max(list_transform(list_distinct(w),
                      t -> len(list_filter(w, x -> x = t))))*1.0 / nullif(len(w), 0), 4) AS top_word_share,
              round(list_max(list_transform(list_distinct(g2),
@@ -645,6 +645,7 @@ def build_corpus_filter_query(seed: int):
     sql = _CORPUS_TPL.format(
         where=where,
         sw=_SW,
+        ws=WS_CLASS,
         tp_re="""[.!?]["'')\\]]?$""",
         metric_cols="".join(f"{m}, " for m in metrics),
         min_tokens=th["min_tokens"],

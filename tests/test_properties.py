@@ -526,6 +526,16 @@ def test_bigram_lm_perplexity_matches_python(spark, ref, texts, vocab_size):
         train_bigram_lm,
     )
 
+    # the twin's duplicated whitespace class must stay equivalent to
+    # text.WS_CLASS (lm.py docstring contract): same splits on a probe
+    # covering every class member and near-misses
+    import re
+
+    from etl_school_spark.functions.text import WS_CLASS
+
+    probe = "a b\tc\nd\x0be\ff\rg\x1ch i"
+    assert re.split(WS_CLASS, probe) == re.split("[ \t\n\x0b\f\r]+", probe)
+
     lm = train_bigram_lm(_df(spark, ref), "t", vocab_size)
     got = {
         r.i: r.ppl
