@@ -86,6 +86,19 @@ def main() -> None:
     # smallest table pays it up front without warming any query's plan.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
 
+    # Environment canary: a CODE-INDEPENDENT probe (pure JVM codegen sum
+    # over a synthetic range — no I/O, no Python, no repo code in the hot
+    # path) timed on every run. Cross-round bench deltas divide out host
+    # drift by comparing against canary_sec: r4-r6 showed uniform ±15%
+    # machine variance on rounds with no plan changes, which this probe
+    # makes measurable instead of guessable. Median of 3 runs.
+    canary_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        canary_samples.append(time.time() - t0)
+    canary_sec = round(sorted(canary_samples)[1], 4)
+
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
     # included, so planning-time regressions are visible. passes 2..n+1 =
@@ -123,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": main_timings,
                 "warm_iters": 0 if cold_only else warm_iters,
+                "canary_sec": canary_sec,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
