@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.dedup.minhash import (
-    band_hash_array,
     band_rows,
     minhash_signatures,
     verify_jaccard_pairs,
@@ -69,6 +68,41 @@ def build_dedup_index(
         F.col(id_col).alias("doc"), fingerprint(text_col).alias("fp")
     )
     return fps.join(signed, "doc")
+
+
+def _history_band_candidates(
+    surv: DataFrame,
+    index: DataFrame,
+    num_perm: int,
+    bands: int,
+) -> DataFrame:
+    """Candidate (new_doc, old_doc) pairs colliding in ≥1 LSH band:
+    SKINNY (doc, band_idx, band_hash) rows on both sides, then a
+    dropDuplicates exchange on the matched pairs.
+
+    Measured decision (r7, tools/bench_incremental_shapes.py): the r5
+    first-collision variant — both exploded sides carrying their full
+    band-hash arrays so a pure filter emits each pair once — is ~20%
+    SLOWER end-to-end at sf0.1 (14.1 s vs 11.3 s) and sf1 (39.9 s vs
+    33.2 s, 25k-doc index / 42k-doc batch): band collisions between a
+    batch and a mostly-disjoint history are rare, so the candidate
+    dropDuplicates exchange is tiny while the carried arrays widen EVERY
+    exploded shuffle row ~(bands+1)×. A carry-batch-side-only hybrid
+    (re-joining the index array onto matched rows) measured between the
+    two (12.99 s / 38.4 s). First-collision remains the right pattern
+    where collisions are the common case (simhash.py, knn.py); here the
+    skinny + dedup shape wins at every measured scale."""
+    nb = band_rows(
+        surv.filter(F.col("sig").isNotNull()), num_perm, bands
+    ).withColumnRenamed("doc", "new_doc")
+    ib = band_rows(
+        index.filter(F.col("sig").isNotNull()), num_perm, bands
+    ).withColumnRenamed("doc", "old_doc")
+    return (
+        nb.join(ib, ["band_idx", "band_hash"])
+        .select("new_doc", "old_doc")
+        .dropDuplicates(["new_doc", "old_doc"])
+    )
 
 
 def dedup_batch_against_index(
@@ -130,30 +164,7 @@ def dedup_batch_against_index(
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
     # exact-Jaccard verify on stored shingle sets; any verified match
     # disqualifies the new doc (history is immutable — it always wins).
-    # Each side carries its full band-hash array so the pair is emitted
-    # only at the FIRST band where both agree (pure filter) — no
-    # dropDuplicates exchange on the candidate pairs (the simhash/knn
-    # first-collision pattern).
-    bh = band_hash_array(num_perm, bands)
-    nb = (
-        surv.filter(F.col("sig").isNotNull())
-        .select(F.col("doc").alias("new_doc"), bh.alias("_ba"))
-        .select("new_doc", "_ba", F.posexplode("_ba").alias("band_idx", "band_hash"))
-    )
-    ib = (
-        index.filter(F.col("sig").isNotNull())
-        .select(F.col("doc").alias("old_doc"), bh.alias("_bb"))
-        .select("old_doc", "_bb", F.posexplode("_bb").alias("band_idx", "band_hash"))
-    )
-    first_collision = (
-        F.array_position(F.zip_with("_ba", "_bb", lambda x, y: x == y), F.lit(True))
-        == F.col("band_idx") + 1
-    )
-    cands = (
-        nb.join(ib, ["band_idx", "band_hash"])
-        .filter(first_collision)
-        .select("new_doc", "old_doc")
-    )
+    cands = _history_band_candidates(surv, index, num_perm, bands)
     matched = (
         verify_jaccard_pairs(
             cands, surv, index, threshold, a_col="new_doc", b_col="old_doc"

@@ -114,40 +114,6 @@ def band_rows(signed: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFr
     ).select("doc", "band.band_idx", "band.band_hash")
 
 
-def band_hash_array(num_perm: int = 128, bands: int = 32) -> F.Column:
-    """array<long> of per-band hashes of `sig` — the band_rows md5 reduced
-    to 60 bits (conv of the first 15 hex chars), one array per row.
-
-    This is the CARRIED form for first-collision pair emission: a band
-    join whose rows keep the full array can emit each colliding pair
-    exactly once (at the first band where both sides agree) with a pure
-    filter instead of a dropDuplicates exchange (the simhash.py / knn.py
-    pattern). The 60-bit reduction keeps the carried array 4× skinnier
-    than md5 strings; extra collisions it could theoretically introduce
-    only ADD candidates, which the exact-Jaccard verify removes."""
-    rows_per_band = num_perm // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
