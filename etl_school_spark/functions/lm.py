@@ -137,6 +137,56 @@ def perplexity_scores(
     )
 
 
+def save_bigram_lm(lm: BigramLM, path: str) -> None:
+    """Persist the model as plain parquet tables (vocab/bigrams/contexts)
+    plus a one-row meta table carrying (v, k) — the durable form a
+    continual-ingestion loop scores against (streaming/corpus.py). The
+    frames never pass through the driver; meta is two scalars."""
+    lm.vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+    spark = lm.vocab.sparkSession
+    spark.createDataFrame([(lm.v, float(lm.k))], "v long, k double").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    """Load a model persisted by ``save_bigram_lm``. The returned frames
+    are ordinary parquet scans — scoring joins read them fresh, so a
+    retrained model at the same path is picked up by the next batch."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return BigramLM(
+        vocab=spark.read.parquet(f"{path}/vocab"),
+        bigrams=spark.read.parquet(f"{path}/bigrams"),
+        contexts=spark.read.parquet(f"{path}/contexts"),
+        v=int(meta.v),
+        k=float(meta.k),
+    )
+
+
+def ppl_gate(
+    docs: DataFrame,
+    lm: BigramLM,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style model gate: drop documents whose perplexity against
+    the reference model exceeds ``max_ppl``. Documents too short to carry
+    bigram evidence have no score and pass through — the rule battery's
+    length bound is the authority on those. The ONE gate implementation,
+    shared by the batch build (pipeline.build_corpus) and the streaming
+    loop (streaming/corpus.py foreachBatch) so their acceptance decisions
+    agree by construction."""
+    scores = perplexity_scores(docs, lm, id_col, text_col)
+    return (
+        docs.join(scores.select(id_col, "ppl"), id_col, "left")
+        .filter(F.col("ppl").isNull() | (F.col("ppl") <= max_ppl))
+        .drop("ppl")
+    )
+
+
 def py_reference_perplexity(
     ref_texts: list[str], texts: list[str], vocab_size: int, k: float = 1.0
 ) -> list[float | None]:

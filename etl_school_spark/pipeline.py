@@ -96,14 +96,9 @@ def build_corpus(
     the authority on those."""
     out = filter_corpus(docs, text_col, **filter_thresholds)
     if ppl_lm is not None and max_ppl is not None:
-        from etl_school_spark.functions.lm import perplexity_scores
+        from etl_school_spark.functions.lm import ppl_gate
 
-        scores = perplexity_scores(out, ppl_lm, id_col, text_col)
-        out = (
-            out.join(scores.select(id_col, "ppl"), id_col, "left")
-            .filter(F.col("ppl").isNull() | (F.col("ppl") <= max_ppl))
-            .drop("ppl")
-        )
+        out = ppl_gate(out, ppl_lm, max_ppl, id_col, text_col)
     out = scrub_corpus(out, text_col)
     out = drop_exact_duplicates(out, id_col, text_col)
     if near_dedup:

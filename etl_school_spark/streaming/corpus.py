@@ -23,11 +23,18 @@ DELIBERATE exclusions, and why (parity with pipeline.build_corpus):
 - near-dup dedup needs the iterative pair/cluster pipeline over the
   whole corpus — not expressible as bounded streaming state;
 - concat-and-chunk packing needs the CLOSED shard's total hash order
-  for its running token sum — a property no unbounded stream has.
-Both remain batch finalizations over the streamed-in shard directories
-(run pipeline.build_corpus stages on the sink when a training snapshot
-is cut). The streamed stages and the batch build agree exactly on what
-they both compute — asserted by the availableNow round-trip test.
+  for its running token sum — a property no unbounded stream has;
+- the CCNet perplexity gate (r7) needs a per-document lag window +
+  aggregation — semantically per-row (no cross-doc state) but on
+  Spark's unsupported-operation list for unbounded streams, so it runs
+  where micro-batches are batch frames: ``stream_corpus_with_index``
+  applies it inside foreachBatch via the same ``functions.lm.ppl_gate``
+  as the batch build (gate parity asserted by the round-trip test).
+Near-dup and packing remain batch finalizations over the streamed-in
+shard directories (run pipeline.build_corpus stages on the sink when a
+training snapshot is cut). The streamed stages and the batch build
+agree exactly on what they both compute — asserted by the availableNow
+round-trip test.
 
 Reference analog: the reference's CDC-stream → task → table pattern
 (SURVEY §2 T1-T2); this is that pattern applied to the corpus surface.
@@ -81,6 +88,8 @@ def stream_corpus_with_index(
     text_col: str = "text",
     threshold: float = 0.8,
     available_now: bool = True,
+    ppl_lm_path: str | None = None,
+    max_ppl: float | None = None,
     **filter_thresholds,
 ) -> StreamingQuery:
     """The full continual-ingestion loop: every micro-batch is quality-
@@ -96,6 +105,18 @@ def stream_corpus_with_index(
     does not fit a streaming state store, and the table form keeps
     streaming and batch acceptance byte-compatible (either can extend
     the same index).
+
+    ``ppl_lm_path`` + ``max_ppl`` (r7): the CCNet-style model gate, at
+    parity with ``pipeline.build_corpus(ppl_lm=..., max_ppl=...)`` — a
+    BigramLM persisted with ``functions.lm.save_bigram_lm`` is loaded
+    per micro-batch (plain parquet scans; a retrained model at the same
+    path takes effect on the next batch) and applied via the SAME
+    ``ppl_gate`` at the SAME stage position (after the rule battery,
+    before scrubbing), so streamed and batch acceptance agree by
+    construction. The gate lives here, in foreachBatch, because per-doc
+    perplexity needs a per-document window + aggregation — on Spark's
+    unsupported-operation list for unbounded streams, but plain batch
+    ops on a micro-batch.
 
     Retry semantics: foreachBatch re-runs a batch on failure, so both
     writes go to batch-id-named partition directories with overwrite —
@@ -113,9 +134,14 @@ def stream_corpus_with_index(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cleaned = scrub_corpus(
-            filter_corpus(batch_df, text_col, **filter_thresholds), text_col
-        )
+        cleaned = filter_corpus(batch_df, text_col, **filter_thresholds)
+        if ppl_lm_path is not None and max_ppl is not None:
+            from etl_school_spark.functions.lm import load_bigram_lm, ppl_gate
+
+            cleaned = ppl_gate(
+                cleaned, load_bigram_lm(spark, ppl_lm_path), max_ppl, id_col, text_col
+            )
+        cleaned = scrub_corpus(cleaned, text_col)
         try:
             index = spark.read.parquet(index_path).select(
                 "doc", "fp", "shingles", "set_size", "sig"

@@ -622,3 +622,76 @@ def test_stream_corpus_with_index_two_generations(spark, tmp_path):
     # the index grew by exactly the accepted generation-1 docs
     idx = spark.read.parquet(index)
     assert {r.doc for r in idx.collect()} == set(range(6)) | {102, 104}
+
+
+def test_stream_corpus_ppl_gate_matches_batch(spark, tmp_path):
+    """r7: the CCNet model gate at streaming/batch parity — a BigramLM
+    persisted with save_bigram_lm is applied inside foreachBatch
+    (stream_corpus_with_index) at the same stage position and through
+    the same ppl_gate as pipeline.build_corpus; the availableNow drain
+    must accept EXACTLY the ids the batch build accepts, and the gate
+    must actually fire (gibberish docs drop, fluent docs survive)."""
+    import random
+
+    from etl_school_spark.functions.lm import (
+        load_bigram_lm,
+        perplexity_scores,
+        save_bigram_lm,
+        train_bigram_lm,
+    )
+    from etl_school_spark.pipeline import build_corpus
+    from etl_school_spark.streaming.corpus import stream_corpus_with_index
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def fluent(k=60):
+        # markov-ish: each token strongly predicts the next (w_i -> w_i+1)
+        start = rng.randrange(len(vocab))
+        return " ".join(vocab[(start + j) % len(vocab)] for j in range(k))
+
+    def gibberish(k=60):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    docs = [(i, fluent()) for i in range(8)] + [
+        (100 + i, gibberish()) for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    lm = train_bigram_lm(df.filter("doc_id < 8"), vocab_size=40)
+    lm_path = str(tmp_path / "lm")
+    save_bigram_lm(lm, lm_path)
+    lm2 = load_bigram_lm(spark, lm_path)
+
+    # pick the cut between the two regimes; assert they separate at all
+    scores = {r.doc_id: r.ppl for r in perplexity_scores(df, lm2).collect()}
+    hi_fluent = max(v for k_, v in scores.items() if k_ < 100)
+    lo_gib = min(v for k_, v in scores.items() if k_ >= 100)
+    assert hi_fluent < lo_gib
+    max_ppl = (hi_fluent + lo_gib) / 2.0
+
+    lax = dict(
+        min_tokens=5, min_stopword_share=0.0, min_alpha_share=0.0,
+        max_top_word_share=1.0, max_top_bigram_share=1.0,
+        max_dup_trigram_frac=1.0,
+    )
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_corpus_with_index(
+        stream, corpus, index, ck, ppl_lm_path=lm_path, max_ppl=max_ppl, **lax
+    )
+    assert q.awaitTermination(180)
+    streamed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    batch = build_corpus(
+        df, near_dedup=True, ppl_lm=lm2, max_ppl=max_ppl, **lax
+    )
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+
+    assert streamed == batch_ids
+    assert streamed == set(range(8))  # gate fired: all gibberish dropped
