@@ -24,13 +24,21 @@ This is the one place Python-side compute beats Catalyst for this
 engine: vectorized BLAS over Arrow batches, never row-at-a-time Python
 (the plan shows MapInPandas, no BatchEvalPython).
 
-Broadcast lifecycle (documented tradeoff): the collected matrices ride
-``sc.broadcast`` and are NOT explicitly destroyed — the returned frame's
-closure owns them, so an eager unpersist would break re-execution
-(retries, AQE re-plans, a caller running the frame twice). Cleanup is
-the ContextCleaner's, once the frame is garbage-collected; a session
-holding references to many result frames holds their blocks (≤ ~67 MB
-each at the dense cap) until then.
+Broadcast lifecycle (documented tradeoff + r8 opt-in hook): the
+collected matrices ride ``sc.broadcast`` and are NOT eagerly destroyed —
+the returned frame's closure owns them, so an automatic unpersist would
+break re-execution (retries, AQE re-plans, a caller running the frame
+twice). By default cleanup is the ContextCleaner's, once the frame is
+garbage-collected; a session holding references to many result frames
+holds their blocks (≤ ~67 MB each at the dense cap) until then. A
+long-lived session that is DONE with a result can reclaim the blocks
+immediately with ``destroy_broadcasts(df)`` — each result frame carries
+its broadcast handles in ``df._esp_broadcasts``, and the helper destroys
+them on request. After the call the frame is no longer executable (that
+is the contract: call it only when done); sessions that prefer fully
+automatic reclamation can instead lower
+``spark.cleaner.periodicGC.interval`` (default 30min) so the
+ContextCleaner notices dropped frames sooner.
 
 Emitted scores are BIT-IDENTICAL to the relational baseline (r4): the
 gemm result is used only to SELECT candidates (with a 1e-9 safety margin
@@ -142,12 +150,14 @@ def gemm_topk(
         score_batches, schema="query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    return (
+    out = (
         local.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+    out._esp_broadcasts = [bq]  # destroy_broadcasts hook (module docstring)
+    return out
 
 
 def cosine_pairs_dense(
@@ -238,6 +248,32 @@ def cosine_pairs_dense(
                     }
                 )
 
-    return emb.mapInPandas(
+    out = emb.mapInPandas(
         score_batches, schema="id_a long, id_b long, cosine_sim double"
     )
+    out._esp_broadcasts = [bx]  # destroy_broadcasts hook (module docstring)
+    return out
+
+
+def destroy_broadcasts(df: DataFrame, blocking: bool = True) -> int:
+    """Opt-in terminal cleanup for a gemm result frame: destroy the
+    broadcast blocks the frame's closures own, NOW, instead of waiting
+    for the ContextCleaner to notice the frame's garbage collection
+    (module docstring, "Broadcast lifecycle"). Returns the number of
+    broadcasts destroyed; 0 for frames with no registered broadcasts
+    (including a frame already cleaned — the call is idempotent).
+
+    CONTRACT: the frame must be DONE — destroyed blocks cannot be
+    re-fetched, so any later action on the frame (or a frame derived
+    from it) fails. That is exactly why this is a hook and not an
+    automatic ``unpersist`` at return: only the caller knows when the
+    last action has run."""
+    handles = getattr(df, "_esp_broadcasts", None)
+    if not handles:
+        return 0
+    n = 0
+    for b in handles:
+        b.destroy(blocking)
+        n += 1
+    df._esp_broadcasts = []
+    return n

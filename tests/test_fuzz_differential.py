@@ -14,7 +14,12 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 246 seeds across the nine families below (r3 adds multi-level
+CI pins 271 seeds across the ten families below (r8 adds family 10 —
+the adaptive Ed-Join under a random parameter sweep of q / max_dist /
+block_cap / prefix_len / gram order vs a pure-Python brute-force
+blocked join, targeting the short-string catch-all bound; its one-off
+sweep was 100 fresh seeds (10100–10199) beyond the 25 CI seeds, all
+clean; r3 adds multi-level
 aggregation — ROLLUP / CUBE / GROUPING SETS — and as-of joins vs
 DuckDB's native ASOF JOIN; r4 adds family 8 — the C4/Gopher corpus
 filter battery at randomized thresholds/predicates/metric subsets, whose
@@ -920,4 +925,87 @@ def test_random_asof_join_matches_duckdb(spark, duck, seed):
     want = duck.execute(sql).fetchdf()
     assert not compare(f"fuzz_asof_{seed}", got, want), (
         f"divergence for seed {seed}: {sql}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Family 10 (r8): adaptive Ed-Join under a RANDOM parameter sweep — q,
+# max_dist, block_cap, prefix_len, and gram order all vary per seed,
+# against a pure-Python brute-force blocked join (every within-block
+# pair, full Levenshtein). The hypothesis differential
+# (test_properties.py) pins q=2 in one all-signature block; this family
+# targets the parameter interactions that test could not reach — above
+# all the short-string catch-all bound (edjoin.py `short_len`, a
+# function of BOTH q and max_dist), which decides which rows ride the
+# chr(3) bucket. Suffix lengths are biased to straddle that bound, the
+# alphabet is tiny so blocks are dense with boundary-distance pairs,
+# block_cap is small enough that blocks land on BOTH sides of the
+# small/signature split, and exact duplicates are planted.
+# ---------------------------------------------------------------------------
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def build_edjoin_case(seed):
+    """(params, names) for one Ed-Join sweep seed. Deterministic."""
+    rng = random.Random(seed)
+    q = rng.choice([1, 2, 3])
+    max_dist = rng.choice([1, 2, 3])
+    block_cap = rng.choice([2, 8, 64])
+    prefix_len = rng.choice([1, 2, 3])
+    gram_order = rng.choice(["freq", "lex"])
+    alpha = rng.choice(["ab", "abc"])
+    # the catch-all regime bound from edjoin.py — suffix lengths sampled
+    # 0..bound+max_dist+3 put rows inside it, just past it, and at the
+    # partner margin
+    short_len = q * max_dist + q - 3 + max_dist
+    prefixes = ["P" * prefix_len, "Q" * prefix_len]
+    if prefix_len > 1:
+        prefixes.append("P" * (prefix_len - 1) + "Q")
+    names = []
+    for _ in range(rng.randrange(40, 121)):
+        lo_bias = rng.random() < 0.5  # half the rows hug the short regime
+        top = (short_len + 1) if lo_bias else (short_len + max_dist + 4)
+        ln = rng.randrange(0, max(1, top))
+        names.append(
+            rng.choice(prefixes) + "".join(rng.choice(alpha) for _ in range(ln))
+        )
+    for _ in range(rng.randrange(0, 6)):  # planted exact dups
+        names.append(rng.choice(names))
+    return (q, max_dist, block_cap, prefix_len, gram_order), names
+
+
+@pytest.mark.parametrize("seed", list(range(10000, 10025)))
+def test_random_edjoin_sweep_matches_python(spark, seed):
+    from etl_school_spark.dedup.edjoin import blocked_edit_distance_pairs
+
+    (q, max_dist, block_cap, prefix_len, gram_order), names = build_edjoin_case(seed)
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_edit_distance_pairs(
+            df, "id", "name", prefix_len=prefix_len, max_dist=max_dist, q=q,
+            block_cap=block_cap, gram_order=gram_order,
+        ).collect()
+    }
+    want = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if names[i][:prefix_len] != names[j][:prefix_len]:
+                continue
+            d = _py_lev(names[i][prefix_len:], names[j][prefix_len:])
+            if d <= max_dist:
+                want.add((i, j, d))
+    assert got == want, (
+        f"seed {seed} q={q} d={max_dist} cap={block_cap} "
+        f"plen={prefix_len} order={gram_order}: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )

@@ -346,3 +346,29 @@ def test_ivf_verify_backends_bit_identical(spark):
     b = {(r.query_id, r.rank): (r.neighbor_id, r.score)
          for r in ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, verify="sql").collect()}
     assert a == b and len(a) > 0
+
+
+def test_destroy_broadcasts_releases_blocks_on_request(spark):
+    """r8 broadcast lifecycle hook (gemm.py module docstring): a session
+    done with a gemm result frame can reclaim its broadcast blocks
+    immediately instead of waiting for the ContextCleaner. The hook must
+    (a) destroy exactly the frame's registered broadcasts, (b) be
+    idempotent, (c) leave the frame genuinely dead — re-execution after
+    destroy must raise, which doubles as proof the blocks really were
+    the frame's working state and are gone."""
+    import pytest as _pytest
+
+    from etl_school_spark.similarity.gemm import destroy_broadcasts, gemm_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = gemm_topk(emb, queries, k=3)
+    assert len(out.collect()) > 0  # frame runs while the blocks live
+
+    handles = list(out._esp_broadcasts)
+    assert destroy_broadcasts(out) == len(handles) == 1
+    assert destroy_broadcasts(out) == 0  # idempotent
+    # frames with no registered broadcasts are a no-op, not an error
+    assert destroy_broadcasts(emb) == 0
+    with _pytest.raises(Exception):
+        out.collect()  # destroyed blocks cannot be re-fetched
