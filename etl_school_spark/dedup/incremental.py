@@ -160,6 +160,15 @@ def dedup_batch_against_index(
         .agg(F.min("doc").alias("doc"))
     )
     surv = surv.join(canon.select("doc"), "doc", "left_semi").unionByName(null_fp)
+    # stage-boundary lineage truncation (r8): every later stage references
+    # `surv` ~3× (band projection, verify shingle lookup, anti-join left
+    # side), so WITHOUT truncation the plan tree multiplies ~3× per stage
+    # — measured 93k formatted-plan lines / ~17k Exchange nodes and ~10 s
+    # of pure plan compilation per run at sf0.01 (data-independent, it
+    # dwarfed the actual sf0.01 execution). Truncating at each stage
+    # boundary keeps the tree additive. The checkpointed frame is
+    # batch-sized (never corpus-sized) state the stage computed anyway.
+    surv = surv.localCheckpoint(eager=False)
 
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
     # exact-Jaccard verify on stored shingle sets; any verified match
@@ -172,7 +181,7 @@ def dedup_batch_against_index(
         .select(F.col("new_doc").alias("doc"))
         .distinct()
     )
-    surv = surv.join(matched, "doc", "left_anti")
+    surv = surv.join(matched, "doc", "left_anti").localCheckpoint(eager=False)
 
     # 3. near-dup within the surviving batch: pair + components + min-id
     # canonical (the one-shot pipeline's rule, on the shrunk batch)
@@ -181,8 +190,10 @@ def dedup_batch_against_index(
 
     sb = band_rows(surv.filter(F.col("sig").isNotNull()), num_perm, bands)
     pcands = pairs_within_groups(sb, ["band_idx", "band_hash"], "doc")
-    pairs = verify_jaccard_pairs(pcands, surv, surv, threshold).select(
-        "id_a", "id_b"
+    pairs = (
+        verify_jaccard_pairs(pcands, surv, surv, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # components iterate over `pairs`
     )
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("component")).select(
