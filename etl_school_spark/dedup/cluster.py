@@ -68,11 +68,25 @@ def connected_components(
     whose superseded block sets ARE released explicitly each time a
     newer truncation materializes (see _release_plan_blocks).
     """
-    # edges feeds und TWICE (forward + swapped); persist it so an
-    # expensive upstream pair pipeline (ngram/minhash join) runs once,
-    # not once per union branch
-    edges = edges.persist()
-    edges.count()  # materialize BEFORE the 2-branch union reads it
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame, eager: bool) -> DataFrame:
+        return (
+            df.checkpoint(eager=eager)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=eager)
+        )
+
+    # edges feeds und twice (forward + swapped) and EVERY round's plan —
+    # truncate it, don't just persist it (r8, measured): persist caches
+    # the DATA but every cached-frame reference still embeds the full
+    # upstream pair-pipeline plan (PPJoin / minhash trees), so each
+    # round's plan generation and optimization re-paid it — components
+    # over an unmaterialized sf0.01 pair pipeline ran 4.4 s vs 1.2 s
+    # over a truncated one. Eager: the loop's first action needs the
+    # data anyway, and a materialized leaf is what makes the plans small.
+    edges = _truncate(edges, True)
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -99,12 +113,10 @@ def connected_components(
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
     prev_sum = _label_sum(labels) if integral else None
     changed = -1
     prev_ckpt: DataFrame | None = None
+    last_was_ckpt = False
     for it in range(max_iterations):
         msgs = (
             und.join(labels, und.a == labels.node)
@@ -127,12 +139,11 @@ def connected_components(
         # while fast-converging graphs (near-dup cliques, diameter ≤ 3)
         # keep the cheaper columnar cache.
         is_ckpt = it % 3 == 2
-        if is_ckpt and checkpoint_dir is not None:
-            new_labels = new_labels.checkpoint(eager=False)
-        elif is_ckpt:
-            new_labels = new_labels.localCheckpoint(eager=False)
+        if is_ckpt:
+            new_labels = _truncate(new_labels, False)
         else:
             new_labels = new_labels.persist()
+        last_was_ckpt = is_ckpt
         if integral:
             new_sum = _label_sum(new_labels)
             changed = 0 if new_sum == prev_sum else 1
@@ -155,8 +166,21 @@ def connected_components(
             prev_ckpt = new_labels
         if changed == 0:
             break
+    # Make the RETURNED frame a self-contained leaf before releasing the
+    # loop's working state: once labels is a materialized truncation
+    # point, nothing the caller can run re-reads und or the edges leaf,
+    # so their blocks are safe to free here instead of leaking for the
+    # session's lifetime (the census test pins this). If the loop ended
+    # on a checkpoint round the convergence action already materialized
+    # a leaf and there is nothing to do.
+    if not last_was_ckpt:
+        final = _truncate(labels, True)
+        labels.unpersist()
+        if prev_ckpt is not None:
+            _release_plan_blocks(prev_ckpt)
+        labels = final
     und.unpersist()
-    edges.unpersist()
+    _release_plan_blocks(edges)
     if changed != 0:
         # graph diameter exceeded the round budget: labels are still a
         # valid partition refinement but long chains may be SPLIT into

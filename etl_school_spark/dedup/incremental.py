@@ -190,10 +190,10 @@ def dedup_batch_against_index(
 
     sb = band_rows(surv.filter(F.col("sig").isNotNull()), num_perm, bands)
     pcands = pairs_within_groups(sb, ["band_idx", "band_hash"], "doc")
-    pairs = (
-        verify_jaccard_pairs(pcands, surv, surv, threshold)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)  # components iterate over `pairs`
+    # connected_components truncates its edge input internally (it
+    # iterates over it), so no checkpoint is needed on `pairs` here
+    pairs = verify_jaccard_pairs(pcands, surv, surv, threshold).select(
+        "id_a", "id_b"
     )
     labels = connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("component")).select(
