@@ -4,7 +4,7 @@ SimHash packs a document's token set into 64 bits such that hamming
 distance approximates (1 - cosine) of the token vectors. Blocking uses
 the pigeonhole principle: with the signature split into ``chunks`` equal
 chunks, any pair within hamming distance ``max_hamming`` < chunks must
-agree exactly on at least one chunk — so joining on (chunk_idx,
+agree exactly on at least one chunk — so bucketing on (chunk_idx,
 chunk_value) finds ALL such pairs (no false negatives), and an exact
 hamming verify removes false positives.
 
@@ -45,9 +45,10 @@ def simhash_near_pairs(
     Precondition: ``id_col`` values are unique (the standard contract for
     a corpus keyed by doc id — the same assumption exact.py's
     fingerprint groupBy makes). Duplicate ids would emit one pair row
-    per input-row combination: the first-collision filter is exactly-once
-    per ROW pair, and the shuffle-free design deliberately has no
-    pair-level dropDuplicates to collapse id-level duplicates.
+    per in-bucket row combination: the first-collision filter is
+    exactly-once per ROW pair, and the dedup-shuffle-free design
+    deliberately has no pair-level dropDuplicates to collapse id-level
+    duplicates.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
@@ -70,12 +71,24 @@ def simhash_near_pairs(
     )
     # exactly-once emission WITHOUT a dedup shuffle (the knn.py
     # first-collision pattern): a pair is kept only at the first chunk
-    # on which the two signatures agree — pure word ops per join row
+    # on which the two signatures agree — pure word ops per pair row
     case_chain = (
         "CASE "
         + " ".join(f"WHEN ((sa ^ sb) & {m}L) = 0L THEN {c}" for c, m in enumerate(masks))
         + " ELSE -1 END"
     )
+    # Pair generation stays a self-JOIN (rows stream through codegen
+    # filters), NOT the operators/pairs.py groupBy-array expansion: at
+    # sf1 the tiled corpus has simhash chunk buckets of up to 16,390
+    # members (near-identical template docs agree on whole chunks), and
+    # a collect_list expansion would materialize ~134M pair structs in
+    # ONE row (r8, measured: the array shape never finished at sf1,
+    # while the join streams the same ~half-billion candidates fine).
+    # The join computes the signature scan on both sides — Spark
+    # broadcasts the build side and ReuseExchange does not apply across
+    # a broadcast boundary (r8: a shuffle_hash hint did not recover
+    # reuse under AQE either) — so the scan itself was made cheap
+    # instead: see _simhash_bit_sums (conv halves + long shift/mask).
     return (
         ids.alias("a")
         .join(ids.alias("b"), ["t", "key"])

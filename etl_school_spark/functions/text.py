@@ -227,19 +227,40 @@ def _signed64(mask: int) -> int:
 def _simhash_bit_sums(col: Column | str) -> Column:
     """The 64 ±contribution sums underlying SimHash (array<long>): for
     each bit k, the number of distinct tokens whose md5 sets bit k minus
-    the number that clear it."""
+    the number that clear it.
+
+    Bit k is bit (k%4) of hex digit (k//4) with p=0 the digit's MSB —
+    i.e. exactly bit (31-k) of the first 32 md5 bits for k<32 and bit
+    (63-k) of the next 32 for k>=32 (md5's big-endian bit order). The
+    driver oracle extracts the same bits by hex-digit set membership
+    (HEX_BIT_SETS — ANSI-SQL-portable); here each token's two 32-bit
+    halves are parsed ONCE with conv() and every bit is a long
+    shift+mask, because higher-order-function lambdas evaluate
+    interpreted (outside whole-stage codegen) and the previous
+    per-bit substring+isin form paid 8 string compares per bit per
+    token (r8, measured: the signature scan dropped ~3x)."""
     w = F.array_distinct(tokens(col))
-    # md5 once per token, then fold the ±1 contributions over the hashes
-    hashes = F.transform(w, lambda t: F.substring(F.md5(t), 1, 16))
+
+    def _half(t: Column, start: int) -> Column:
+        # 8 hex chars < 2^32: the string->long cast cannot overflow
+        return F.conv(F.substring(F.md5(t), start, 8), 16, 10).cast("long")
+
+    # conv once per token (fold lambdas re-evaluate per ELEMENT, so the
+    # halves are materialized into the array, not recomputed per bit)
+    hashes = F.transform(
+        w, lambda t: F.struct(_half(t, 1).alias("hi"), _half(t, 9).alias("lo"))
+    )
     zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
 
     def contrib(acc: Column, h: Column) -> Column:
         bits = F.array(
             *[
-                F.when(
-                    F.substring(h, k // 4 + 1, 1).isin(list(HEX_BIT_SETS[k % 4])),
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
+                (
+                    F.shiftright(h["hi" if k < 32 else "lo"], (31 - k) % 32)
+                    .bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("long")
                 for k in range(64)
             ]
         )
