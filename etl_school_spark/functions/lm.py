@@ -64,7 +64,18 @@ def _mapped_bigrams(
 ) -> DataFrame:
     """(doc id, w1, w2) bigram rows with out-of-vocab tokens mapped to
     <unk>; the lag window is per document, so no bigram crosses a
-    document boundary."""
+    document boundary.
+
+    The posexplode + per-doc lag-window shape is KEPT by measurement
+    (r8): an expression-side alternative — zip the token array with its
+    own 1-shifted slice into (wa, wb) structs, explode once, map vocab
+    with two broadcast joins, no window shuffle — benched ~equal at
+    sf0.1 but ~2.7x SLOWER at sf1 (7.9 vs 3.0 s train+score warm):
+    higher-order-function lambdas build the pair structs interpreted,
+    row by row, while posexplode and the window sort are codegen'd and
+    the token rows they shuffle are skinny. Same lesson as the
+    dedup_clusters/simhash shape work: HOF array construction loses to
+    exchange-based operators once data, not plan overhead, dominates."""
     rows = docs.select(
         F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("pos", "w")
     )
