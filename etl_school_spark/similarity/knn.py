@@ -182,23 +182,36 @@ def lsh_topk(
     per-table string code comparison bit for bit — same candidate set,
     word-op join keys instead of strings.
 
-    Candidates are emitted exactly once WITHOUT a dedup shuffle (the
-    lsh_candidate_pairs pattern, r4): each join row carries both sides'
-    pool words, so a (query, neighbor) pair is kept only at its FIRST
-    colliding table — ``(pq XOR pn) AND table_mask_t' != 0`` for every
-    earlier table t'. The r3 shape shuffled every collision row into a
-    dropDuplicates; the first-collision filter is a flat word-op CASE
-    chain that runs inside the join stage and forwards distinct pairs."""
+    Scoring is a per-bucket cogroup gemm (r8 — the ivf.py physical
+    form, adopted by sf1 measurement): with near-uniform vectors the
+    bucket collision set is ~64% of the pair space (10.3M candidates
+    for 800 queries x 20k corpus at sf1), so both per-candidate shapes
+    lose — the HOF dot fold evaluates interpreted (~4 s of a 6.3 s
+    query) and an Arrow scorer over candidate PAIRS ships every vector
+    once per candidate (~10 GB; benched slower still). Cogrouping the
+    bucket MEMBERS instead ships each vector once per (table, bucket)
+    membership — tables x the corpus, never candidates x — and each
+    bucket runs one BLAS gemm to SHORTLIST (local top-(k+1) per query
+    with gemm._SELECT_MARGIN), then emits the exact score: products
+    folded strict left-to-right (gemm._seq_fold_sum), JVM-computed
+    norms riding in — bit-identical doubles, same DuckDB oracle. A
+    global top-k member is within local top-k of every bucket it
+    shares with the query (at most k-1 candidates beat it anywhere),
+    so the shortlist union provably contains the global top-k,
+    boundary ties included (the margin cut is inclusive). Pairs
+    colliding in several tables emit identical rows, collapsed by a
+    pair dropDuplicates over the (small) shortlist union before the
+    global window merge."""
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = [p for t in range(tables) for p in planes[t]]
     mask = (1 << bits) - 1
-    # table t occupies pool bits [t·bits, (t+1)·bits): collision in t
-    # ⇔ (pq ^ pn) & table_mask_t == 0
-    table_masks = [
-        _signed64((mask << (bits * t)) & ((1 << 64) - 1)) for t in range(tables)
-    ]
 
-    coded = corpus.withColumn("_pool", pool_code(vec_col, flat))
+    vd = as_double(F.col(vec_col))
+    coded = (
+        corpus.withColumn("_pool", pool_code(vec_col, flat))
+        .withColumn("_v", vd)
+        .withColumn("_n", l2_norm(vd))
+    )
     table_keys = F.array(
         *[
             F.struct(
@@ -209,59 +222,72 @@ def lsh_topk(
         ]
     )
 
-    def exploded(df: DataFrame, id_alias: str, pool_alias: str) -> DataFrame:
+    def exploded(
+        df: DataFrame, id_alias: str, v_alias: str, n_alias: str
+    ) -> DataFrame:
         return df.select(
             F.col(id_col).alias(id_alias),
-            F.col("_pool").alias(pool_alias),
+            F.col("_v").alias(v_alias),
+            F.col("_n").alias(n_alias),
             F.explode(table_keys).alias("b"),
-        ).select(id_alias, pool_alias, "b.t", "b.key")
+        ).select(id_alias, v_alias, n_alias, "b.t", "b.key")
 
     if query_filter is not None:
-        q_src = corpus.filter(query_filter)
         q_coded = coded.filter(query_filter)
     else:
-        q_src = queries
-        q_coded = queries.withColumn("_pool", pool_code(vec_col, flat))
+        q_coded = (
+            queries.withColumn("_pool", pool_code(vec_col, flat))
+            .withColumn("_v", vd)
+            .withColumn("_n", l2_norm(vd))
+        )
 
-    # short-circuiting CASE chain: index of the first table where the two
-    # pool words agree on all `bits` positions — pure word ops, no per-row
-    # array allocation (see lsh_candidate_pairs for the measured rationale)
-    first_table = (
-        "CASE "
-        + " ".join(
-            f"WHEN ((pq ^ pn) & {m}L) = 0L THEN {t}"
-            for t, m in enumerate(table_masks)
+    qb = exploded(q_coded, "query_id", "qv", "_nq")
+    cb = exploded(coded, "neighbor_id", "cv", "_nc")
+
+    local_k = k + 1  # self-match survives to the SQL-side filter
+
+    def _bucket_score(qdf, cdf):
+        import numpy as np
+        import pandas as pd
+
+        from etl_school_spark.similarity.gemm import _SELECT_MARGIN, _seq_fold_sum
+
+        if len(qdf) == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "score_raw": pd.Series(dtype="float64"),
+                }
+            )
+        Q = np.array(qdf["qv"].tolist(), dtype=np.float64)
+        C = np.array(cdf["cv"].tolist(), dtype=np.float64)
+        qn = qdf["_nq"].to_numpy(dtype=np.float64)
+        cn = cdf["_nc"].to_numpy(dtype=np.float64)
+        S = (Q / qn[:, None]) @ (C / cn[:, None]).T  # approximate
+        m = min(local_k, S.shape[1])
+        kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
+        qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
+        score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
+        return pd.DataFrame(
+            {
+                "query_id": qdf["query_id"].to_numpy(dtype=np.int64)[qi],
+                "neighbor_id": cdf["neighbor_id"].to_numpy(dtype=np.int64)[ci],
+                "score_raw": score_exact,
+            }
         )
-        + " ELSE -1 END"
-    )
-    cands = (
-        exploded(q_coded, "query_id", "pq")
-        .join(exploded(coded, "neighbor_id", "pn"), ["t", "key"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .filter(F.expr(f"({first_table}) = t"))
-        .select("query_id", "neighbor_id")
-    )
-    # double-cast arrays and norms projected per vector BEFORE the join —
-    # the join output pays only the product fold per candidate (same
-    # values, same fold order; see ivf.py for the measured rationale)
-    vd = as_double(F.col(vec_col))
-    qv = q_src.select(
-        F.col(id_col).alias("query_id"),
-        vd.alias("qv"),
-        l2_norm(vd).alias("_nq"),
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vd.alias("cv"),
-        l2_norm(vd).alias("_nc"),
-    )
+
     scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .withColumn(
-            "score_raw",
-            dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")),
+        qb.groupBy("t", "key")
+        .cogroup(cb.groupBy("t", "key"))
+        .applyInPandas(
+            _bucket_score,
+            schema="query_id long, neighbor_id long, score_raw double",
         )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # cross-table duplicates carry bit-identical exact scores — any
+        # surviving row of a pair is THE row
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_raw"), "neighbor_id")
     return (

@@ -45,24 +45,31 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.7, f"LSH recall degraded: {recall:.2f}"
 
 
-def test_lsh_topk_no_dedup_shuffle(spark):
-    """r4: candidate pairs are emitted exactly once at their FIRST
-    colliding table (word-op filter inside the join stage), so the plan
-    must contain no Deduplicate — the r3 shape shuffled every collision
-    row into a dropDuplicates. Result equality with the old shape is
-    separately pinned by the driver oracle (distinct candidates either
-    way)."""
+def test_lsh_topk_bucket_gemm_shape(spark):
+    """r8: scoring is a per-bucket cogroup gemm (knn.lsh_topk docstring)
+    — the plan must contain the cogroup Arrow stage and NO per-candidate
+    join of vector payloads. The pair dropDuplicates is allowed (and
+    expected) because it runs over the per-bucket top-(k+1) SHORTLIST
+    union, never the full candidate space — the r4 concern it replaced
+    was a dedup shuffle of every collision row. Result equality with the
+    full-candidate scoring is separately pinned by the driver oracle."""
     from etl_school_spark.similarity.knn import lsh_topk
 
     emb = _emb(spark)
     df = lsh_topk(emb, k=5, bits=4, tables=16, query_filter=F.col("vec_id") % 25 == 0)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "Deduplicate" not in analyzed
-    # and the rewrite must not have changed results vs an explicit dedup
-    # of the same candidate space: ranks are unique per query
+    assert "FlatMapCoGroupsInPandas" in analyzed
+    # shortlist dedup, not candidate-space dedup: the Deduplicate input
+    # is the cogroup output (3 skinny columns), not a join of vectors
+    assert "Deduplicate" in analyzed
     rows = df.collect()
     assert len(rows) == len({(r.query_id, r.rank) for r in rows})
     assert len(rows) == len({(r.query_id, r.neighbor_id) for r in rows})
+    # every query got a full k results (the corpus is dense enough)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert set(per_q.values()) == {5}
 
 
 def test_cosine_matches_numpy(spark):
