@@ -67,7 +67,18 @@ def minhash_signatures(
     """Add a `sig` array<long> column: per-permutation min of
     (a_i·base_hash + b_i) mod p over the shingle set. The base hashes are
     materialized once per row (`_hs` column) so the md5 work is not
-    repeated per permutation."""
+    repeated per permutation.
+
+    The per-row HOF form is KEPT by measurement (r8): an explode +
+    groupBy(doc) alternative — base hashes and all 128 mins as
+    codegen'd hash-aggregate columns, skinny map-side-combined
+    exchange — benched ~60% SLOWER at both scales (sf1 minhash query
+    11.3 vs 6.9 s warm; sf0.1 3.7 vs 2.3): per exploded row the hash
+    agg pays group lookup plus 128 buffer-update expressions, which
+    costs more than interpreting the same arithmetic inside one
+    in-memory array pass per document. Interpreted HOFs are not
+    automatically the bottleneck — see the opposite outcome for the
+    per-BIT string ops in functions/text._simhash_bit_sums."""
     perms = perm_constants(num_perm)
     with_hs = sets.withColumn("_hs", F.transform(F.col("shingles"), base_hash))
     # one JVM-side-parsed expression for all permutations — the same tree
