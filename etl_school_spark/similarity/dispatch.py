@@ -67,10 +67,34 @@ def cosine_pairs_auto(
     sample front end is not reusable for the full corpus anyway). LSH
     parameters apply to BOTH the probe and the bucketed branch, so the
     measured density prices exactly the plan that would run.
+
+    The probe result is MEMOIZED per (input plan, probe params) for the
+    session's lifetime (r8, measured): the probe's cost is almost
+    entirely driver-side analysis of the literal-heavy hyperplane
+    expression (~2.4 s warm at sf0.1 — data-independent), while the
+    probe itself is deterministic (hash-gated sample membership), so a
+    repeated dispatch over the same frame re-derives the same density.
+    Correctness never depends on the memo: both branches emit
+    bit-identical rows, so a stale entry (a table whose CONTENT mutated
+    under an unchanged plan mid-session) can only affect plan choice;
+    a new session re-probes.
     """
-    n, density = lsh_candidate_density(
-        emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed, probe_rows
+    probe_key = (
+        emb._jdf.queryExecution().analyzed().semanticHash(),
+        id_col, vec_col, pool_bits, n_subsets, bits, dim, seed, probe_rows,
     )
+    spark = emb.sparkSession
+    memo = getattr(spark, "_esp_density_memo", None)
+    if memo is None:
+        memo = {}
+        spark._esp_density_memo = memo
+    if probe_key in memo:
+        n, density = memo[probe_key]
+    else:
+        n, density = lsh_candidate_density(
+            emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed, probe_rows
+        )
+        memo[probe_key] = (n, density)
     dense_fits = n <= dense_block * max_dense_blocks
     if dense_fits and density >= dense_cutoff:
         return cosine_pairs_dense(
