@@ -57,6 +57,11 @@ PIPELINE = [
     # r4 addition: the adaptive Ed-Join entity matcher (rewritten after
     # the sf1 fixed-blocking-key audit) — tracked from the round it lands
     "fuzzy_name_matches",
+    # r8 addition (landed r7 — missed by one round): the two-generation
+    # incremental-dedup replay, the engine's heaviest multi-stage
+    # pipeline query (~6 s warm at sf0.1). NOTE for cross-round total
+    # comparisons: r8's headline total includes it, r7's did not.
+    "incremental_dedup_accepted",
 ]
 
 HEADLINE = RELATIONAL + PIPELINE

@@ -294,6 +294,46 @@ def test_cosine_pairs_auto_dispatch(spark):
     assert got2 == base2 and len(base2) > 0
 
 
+def test_cosine_pairs_auto_probe_memoized(spark):
+    """r8: the dispatch density probe — almost entirely data-independent
+    driver-side analysis of the hyperplane literals — must run at most
+    once per (input plan, probe params) per session. Re-dispatching the
+    same frame must hit the memo (no second probe); a DIFFERENT frame
+    must miss it (its own probe). Both calls still return the exact
+    answer."""
+    from etl_school_spark.similarity import dispatch as dsp
+
+    emb = _emb(spark)
+    calls = {"n": 0}
+    real = dsp.lsh_candidate_density
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    # drop any memo left by earlier tests in this shared session
+    if hasattr(spark, "_esp_density_memo"):
+        del spark._esp_density_memo
+    dsp.lsh_candidate_density = counting
+    try:
+        r1 = cosine_pairs_auto_rows(dsp, emb)
+        assert calls["n"] == 1
+        r2 = cosine_pairs_auto_rows(dsp, emb)
+        assert calls["n"] == 1  # memo hit — no second probe
+        assert r1 == r2
+        other = emb.filter(F.col("vec_id") < 40)
+        cosine_pairs_auto_rows(dsp, other)
+        assert calls["n"] == 2  # different plan — fresh probe
+    finally:
+        dsp.lsh_candidate_density = real
+
+
+def cosine_pairs_auto_rows(dsp, frame):
+    return sorted(
+        (r.id_a, r.id_b) for r in dsp.cosine_pairs_auto(frame, 0.4).collect()
+    )
+
+
 def test_int8_quantization_roundtrip_bounds(spark):
     """Symmetric int8 quantization: codes stay in [-127, 127], max
     reconstruction error is bounded by scale/2 (round-to-nearest), the
