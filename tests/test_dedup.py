@@ -277,6 +277,47 @@ def test_simhash_packed_matches_array_bits(spark):
     assert all(r.h_arr == r.h_word for r in hd)
 
 
+def test_simhash_bit_sums_match_hex_digit_definition(spark):
+    """r8 kernel lock: _simhash_bit_sums extracts bit k as a long
+    shift/mask over two conv()-parsed 32-bit md5 halves. That must stay
+    bit-for-bit the DEFINITION the driver oracle replays — bit p (p=0
+    the MSB) of hex digit k//4 via HEX_BIT_SETS membership — for every
+    token, including the cases that distinguish the two forms (unicode
+    multi-byte md5 input, punctuation, single chars, long tokens)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.functions.text import (
+        HEX_BIT_SETS,
+        WS_CLASS,
+        _simhash_bit_sums,
+    )
+
+    texts = [
+        (1, "the quick brown fox the quick"),
+        (2, "naïve café déjà-vu ünïcödé"),
+        (3, "x"),
+        (4, "a b c d e f g h i j k l m n o p"),
+        (5, "punct! marks? (and) [brackets] {braces} #hash"),
+        (6, "supercalifragilisticexpialidocious " * 3),
+    ]
+    df = spark.createDataFrame(texts, "i long, t string")
+    got = {r.i: list(r.s) for r in df.select("i", _simhash_bit_sums("t").alias("s")).collect()}
+
+    import re
+
+    for i, t in texts:
+        toks = sorted(set(re.split("[ \t\n\x0b\f\r]+", t.strip())))
+        sums = [0] * 64
+        for tok in toks:
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+            for k in range(64):
+                bit = h[k // 4] in HEX_BIT_SETS[k % 4]
+                sums[k] += 1 if bit else -1
+        assert got[i] == sums, (i, got[i][:8], sums[:8])
+
+
 def test_corpus_flags_reannotation_overwrites(spark):
     """corpus_flags of an already-annotated frame overwrites the flag
     (and metric) columns instead of appending ambiguous duplicates —
