@@ -163,6 +163,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     query_filter: F.Column | None = None,
+    corpus_block: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -201,7 +202,29 @@ def lsh_topk(
     boundary ties included (the margin cut is inclusive). Pairs
     colliding in several tables emit identical rows, collapsed by a
     pair dropDuplicates over the (small) shortlist union before the
-    global window merge."""
+    global window merge.
+
+    Per-bucket memory is BOUNDED (r9): a bucket holds O(corpus / 2^bits)
+    members — at the registered bits=4 that is ~1/16 of the corpus in
+    ONE pandas group, so an unblocked gemm would allocate an
+    O(|Qb| × |bucket|) score matrix plus float64 copies of every member
+    per task: fine at 20k docs, an OOM/straggler at 100×. The scorer
+    therefore iterates the corpus side of each bucket in fixed-size
+    ``corpus_block`` slices (the gemm.cosine_pairs_dense multi-block
+    pattern): each block is shortlisted locally — per-query top-(k+1)
+    within the block, inclusive _SELECT_MARGIN cut — and rescored
+    exactly, so peak numpy allocation is O(|Qb| × corpus_block) instead
+    of O(|Qb| × |bucket|). The per-block shortlist union is a SUPERSET
+    of the bucket-wide shortlist (at most k-1 candidates anywhere beat a
+    true top-k member, so it survives the local cut of every block that
+    contains it — the same argument that makes the bucket shortlist
+    cover the global top-k); extra rows are exact-scored and fall out of
+    the final rank ≤ k window, so the output is row-identical for every
+    block size (pinned by the planted hot-bucket test). Residual
+    per-task footprint is the Arrow-deserialized group frame itself
+    (inherent to cogroup applyInPandas — vectors as object cells, no
+    float64/score-matrix copies); past THAT bound, scale ``bits`` with
+    log2(corpus) so bucket membership stays constant-sized."""
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = [p for t in range(tables) for p in planes[t]]
     mask = (1 << bits) - 1
@@ -252,30 +275,47 @@ def lsh_topk(
 
         from etl_school_spark.similarity.gemm import _SELECT_MARGIN, _seq_fold_sum
 
-        if len(qdf) == 0 or len(cdf) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "score_raw": pd.Series(dtype="float64"),
-                }
-            )
-        Q = np.array(qdf["qv"].tolist(), dtype=np.float64)
-        C = np.array(cdf["cv"].tolist(), dtype=np.float64)
-        qn = qdf["_nq"].to_numpy(dtype=np.float64)
-        cn = cdf["_nc"].to_numpy(dtype=np.float64)
-        S = (Q / qn[:, None]) @ (C / cn[:, None]).T  # approximate
-        m = min(local_k, S.shape[1])
-        kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
-        qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
-        score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "query_id": qdf["query_id"].to_numpy(dtype=np.int64)[qi],
-                "neighbor_id": cdf["neighbor_id"].to_numpy(dtype=np.int64)[ci],
-                "score_raw": score_exact,
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "score_raw": pd.Series(dtype="float64"),
             }
         )
+        if len(qdf) == 0 or len(cdf) == 0:
+            return empty
+        Q = np.array(qdf["qv"].tolist(), dtype=np.float64)
+        qn = qdf["_nq"].to_numpy(dtype=np.float64)
+        Qn = Q / qn[:, None]
+        q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
+        c_ids_all = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        parts = []
+        # block-tile the corpus side: per-block local shortlist + exact
+        # rescore — peak allocation O(|Qb| × corpus_block), never
+        # O(|Qb| × |bucket|) (docstring, "Per-bucket memory is BOUNDED")
+        for lo in range(0, len(cdf), corpus_block):
+            hi = min(lo + corpus_block, len(cdf))
+            C = np.array(cdf["cv"].iloc[lo:hi].tolist(), dtype=np.float64)
+            cn = cdf["_nc"].to_numpy(dtype=np.float64)[lo:hi]
+            S = Qn @ (C / cn[:, None]).T  # approximate (BLAS fold order)
+            m = min(local_k, S.shape[1])
+            kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
+            qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
+            if len(qi) == 0:
+                continue
+            score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": c_ids_all[lo:hi][ci],
+                        "score_raw": score_exact,
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
     scored = (
         qb.groupBy("t", "key")

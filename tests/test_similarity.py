@@ -72,6 +72,35 @@ def test_lsh_topk_bucket_gemm_shape(spark):
     assert set(per_q.values()) == {5}
 
 
+def test_lsh_topk_hot_bucket_blocking_invariant(spark):
+    """r9: per-bucket corpus-side block tiling (knn.lsh_topk docstring,
+    "Per-bucket memory is BOUNDED") must not change the result. Plant a
+    HOT bucket far larger than the block size — bits=1/tables=1 puts
+    ~half the corpus (≈ 600 rows) into each of two buckets, corpus_block
+    32 forces ~19 block passes through the hot bucket — and require
+    row-identical output (same neighbors, same ranks, same score BITS)
+    vs an effectively unblocked run. This is the planted-straggler proof
+    that the per-block shortlist union covers the bucket-wide top-k."""
+    from etl_school_spark.similarity.knn import lsh_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def rows(block):
+        return sorted(
+            map(
+                tuple,
+                lsh_topk(
+                    emb, queries, k=5, bits=1, tables=1, corpus_block=block
+                ).collect(),
+            )
+        )
+
+    blocked = rows(32)
+    unblocked = rows(10**9)
+    assert blocked == unblocked and len(blocked) > 0
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 
