@@ -96,13 +96,24 @@ def main() -> None:
     # path) timed on every run. Cross-round bench deltas divide out host
     # drift by comparing against canary_sec: r4-r6 showed uniform ±15%
     # machine variance on rounds with no plan changes, which this probe
-    # makes measurable instead of guessable. Median of 3 runs.
+    # makes measurable instead of guessable. r9: the r8 3-sample median
+    # still wandered 0.20-0.29 s across back-to-back runs of identical
+    # code, too wide to normalize ±5% deltas — now the MEDIAN OF 9
+    # samples, with the spread (max-min) reported next to the point
+    # value so a reader can judge how much normalization the canary
+    # actually supports on this run.
+    # one untimed run first: the probe's own codegen compile otherwise
+    # lands in sample 1 and inflates the spread with a constant that
+    # says nothing about host variance
+    spark.range(500_000_000).selectExpr("sum(id)").collect()
     canary_samples = []
-    for _ in range(3):
+    for _ in range(9):
         t0 = time.time()
         spark.range(500_000_000).selectExpr("sum(id)").collect()
         canary_samples.append(time.time() - t0)
-    canary_sec = round(sorted(canary_samples)[1], 4)
+    canary_samples.sort()
+    canary_sec = round(canary_samples[len(canary_samples) // 2], 4)
+    canary_spread = round(canary_samples[-1] - canary_samples[0], 4)
 
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
@@ -142,6 +153,7 @@ def main() -> None:
                 "queries": main_timings,
                 "warm_iters": 0 if cold_only else warm_iters,
                 "canary_sec": canary_sec,
+                "canary_spread": canary_spread,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

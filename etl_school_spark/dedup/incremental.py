@@ -140,6 +140,20 @@ def dedup_batch_against_index(
     history already disqualified. A one-shot rebuild over the union can
     therefore merge components this form keeps separate — the standard
     continual-ingestion tradeoff, stated rather than hidden.
+
+    Checkpoint-block lifecycle (r9, closing the r8 ADVICE): the three
+    stage-boundary truncations are lazy (eager=False — they
+    materialize at the caller's first action), so this function cannot
+    release anything itself; instead both returned frames carry the
+    checkpoint handles in ``_esp_checkpoints``, and a caller that is
+    DONE with a batch (all actions run, outputs persisted) reclaims
+    the blocks immediately with ``release_batch_checkpoints`` — the
+    streaming loop (streaming/corpus.py) does so after each
+    micro-batch's writes, so a long-lived session replaying many
+    batches holds only the live batch's blocks. Callers that skip the
+    release rely on driver GC + ContextCleaner, which eventually
+    reclaims the (batch-sized, never corpus-sized) sets once the
+    frames are collected.
     """
     new_idx = build_dedup_index(
         new_docs, id_col, text_col, n, num_perm
@@ -181,7 +195,9 @@ def dedup_batch_against_index(
         .select(F.col("new_doc").alias("doc"))
         .distinct()
     )
-    surv = surv.join(matched, "doc", "left_anti").localCheckpoint(eager=False)
+    surv2 = surv.join(matched, "doc", "left_anti").localCheckpoint(eager=False)
+    ckpts = [new_idx, surv, surv2]
+    surv = surv2
 
     # 3. near-dup within the surviving batch: pair + components + min-id
     # canonical (the one-shot pipeline's rule, on the shrunk batch)
@@ -205,4 +221,30 @@ def dedup_batch_against_index(
     accepted = new_docs.join(
         accepted_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
     )
+    # release hook (docstring, "Checkpoint-block lifecycle"): same list
+    # on both frames — the batch owns ONE set of truncation points
+    accepted._esp_checkpoints = ckpts
+    surv._esp_checkpoints = ckpts
     return accepted, surv
+
+
+def release_batch_checkpoints(*frames: DataFrame) -> int:
+    """Free the localCheckpoint blocks a finished batch's frames own
+    (``_esp_checkpoints``, set by dedup_batch_against_index). CONTRACT:
+    the batch must be DONE — every action on the returned frames (and
+    anything derived from them) has run and the outputs are persisted;
+    released frames cannot be re-executed. Shared-list semantics make
+    the call idempotent across both frames of one batch. Returns the
+    number of checkpoint block sets released."""
+    from etl_school_spark.dedup.cluster import _release_plan_blocks
+
+    n = 0
+    for df in frames:
+        handles = getattr(df, "_esp_checkpoints", None)
+        if not handles:
+            continue
+        for ck in list(handles):
+            _release_plan_blocks(ck)
+            n += 1
+        handles.clear()
+    return n

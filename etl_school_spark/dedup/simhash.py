@@ -30,6 +30,37 @@ from pyspark.sql import functions as F
 from etl_school_spark.functions.text import _signed64, simhash64_packed
 
 
+def _chunk_masks(chunks: int) -> list[int]:
+    chunk_size = 64 // chunks
+    return [
+        _signed64(((1 << chunk_size) - 1) << (c * chunk_size)) for c in range(chunks)
+    ]
+
+
+def simhash_chunk_rows(
+    docs: DataFrame,
+    chunks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, _sig, t, key) chunk-bucket membership rows — the blocking
+    frame of ``simhash_near_pairs``, exposed so the skew census
+    (dedup/census.py) measures exactly the bucket distribution the
+    candidate self-join will see."""
+    signed = docs.select(
+        F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
+    )
+    buckets = F.array(
+        *[
+            F.struct(F.lit(c).alias("t"), F.expr(f"_sig & {m}L").alias("key"))
+            for c, m in enumerate(_chunk_masks(chunks))
+        ]
+    )
+    return signed.select("doc", "_sig", F.explode(buckets).alias("b")).select(
+        "doc", "_sig", "b.t", "b.key"
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -52,23 +83,8 @@ def simhash_near_pairs(
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
-    chunk_size = 64 // chunks
-    masks = [
-        _signed64(((1 << chunk_size) - 1) << (c * chunk_size)) for c in range(chunks)
-    ]
-
-    signed = docs.select(
-        F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
-    )
-    buckets = F.array(
-        *[
-            F.struct(F.lit(c).alias("t"), F.expr(f"_sig & {m}L").alias("key"))
-            for c, m in enumerate(masks)
-        ]
-    )
-    ids = signed.select("doc", "_sig", F.explode(buckets).alias("b")).select(
-        "doc", "_sig", "b.t", "b.key"
-    )
+    masks = _chunk_masks(chunks)
+    ids = simhash_chunk_rows(docs, chunks, id_col, text_col)
     # exactly-once emission WITHOUT a dedup shuffle (the knn.py
     # first-collision pattern): a pair is kept only at the first chunk
     # on which the two signatures agree — pure word ops per pair row

@@ -45,6 +45,7 @@ def cosine_pairs_auto(
     max_dense_blocks: int = 64,
     dense_cutoff: float = 0.25,
     probe_rows: int = 256,
+    force_reprobe: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (i < j, cosine ≥ threshold) via whichever physical
     form the measured candidate density favors.
@@ -74,10 +75,22 @@ def cosine_pairs_auto(
     expression (~2.4 s warm at sf0.1 — data-independent), while the
     probe itself is deterministic (hash-gated sample membership), so a
     repeated dispatch over the same frame re-derives the same density.
-    Correctness never depends on the memo: both branches emit
-    bit-identical rows, so a stale entry (a table whose CONTENT mutated
-    under an unchanged plan mid-session) can only affect plan choice;
-    a new session re-probes.
+    Staleness contract (r9, tightened from the r8 claim "a stale entry
+    can only affect plan choice"): both branches DO emit bit-identical
+    rows, but the dense branch additionally fail-louds when the corpus
+    exceeds its dense_block × max_dense_blocks cap at EXECUTION time —
+    so a stale memoized n (content grew past the cap under an unchanged
+    analyzed plan, or a semanticHash collision) could route a
+    now-oversized corpus into cosine_pairs_dense's ValueError, a
+    session-persistent hard failure a fresh probe would have avoided.
+    Two escapes close that hole: (a) callers that mutate table content
+    under an unchanged plan can pass ``force_reprobe=True`` to bypass
+    and overwrite the memo entry; (b) when the DENSE branch raises its
+    cap ValueError while dispatch believed the corpus fit, the stale
+    entry is EVICTED and the dispatch re-probes once — the refreshed
+    count then routes to the bucketed branch (or re-raises if the
+    corpus genuinely is dense-regime-degenerate AND over the cap, which
+    is a real parameter error, not staleness).
     """
     probe_key = (
         emb._jdf.queryExecution().analyzed().semanticHash(),
@@ -88,23 +101,35 @@ def cosine_pairs_auto(
     if memo is None:
         memo = {}
         spark._esp_density_memo = memo
-    if probe_key in memo:
-        n, density = memo[probe_key]
-    else:
-        n, density = lsh_candidate_density(
+
+    def probed(fresh: bool) -> tuple[int, float]:
+        if not fresh and probe_key in memo:
+            return memo[probe_key]
+        n_density = lsh_candidate_density(
             emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed, probe_rows
         )
-        memo[probe_key] = (n, density)
-    dense_fits = n <= dense_block * max_dense_blocks
-    if dense_fits and density >= dense_cutoff:
-        return cosine_pairs_dense(
-            emb,
-            threshold,
-            id_col,
-            vec_col,
-            block=dense_block,
-            max_blocks=max_dense_blocks,
-        )
+        memo[probe_key] = n_density
+        return n_density
+
+    n, density = probed(fresh=force_reprobe)
+    cap = dense_block * max_dense_blocks
+    if n <= cap and density >= dense_cutoff:
+        try:
+            return cosine_pairs_dense(
+                emb,
+                threshold,
+                id_col,
+                vec_col,
+                block=dense_block,
+                max_blocks=max_dense_blocks,
+            )
+        except ValueError:
+            # memoized n said "fits" but the cap check inside the dense
+            # branch (which counts the REAL corpus) disagreed — the memo
+            # entry is stale; evict, re-probe once, re-dispatch
+            n, density = probed(fresh=True)
+            if n <= cap and density >= dense_cutoff:
+                raise  # genuinely dense-degenerate AND over the cap
     return cosine_pairs_bucketed(
         emb, threshold, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
     )

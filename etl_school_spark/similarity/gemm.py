@@ -92,6 +92,65 @@ def _exact_scores(
     return _seq_fold_sum(A * B) / (a_norms * b_norms)
 
 
+def blocked_shortlist_scores(
+    qdf: pd.DataFrame, cdf: pd.DataFrame, local_k: int, block: int
+) -> pd.DataFrame:
+    """Shared per-group scorer for the cogroup ANN stages (knn.lsh_topk
+    buckets, ivf.ivf_topk cells): score one pandas group of queries
+    (query_id, qv, _nq) against one group of corpus members
+    (neighbor_id, cv, _nc), block-tiling the CORPUS side so peak numpy
+    allocation is O(|Qb| × block) — never O(|Qb| × |group|) (r9; groups
+    are O(corpus/buckets) and unbounded at 100×). Each block is
+    shortlisted locally (per-query top-``local_k`` under the inclusive
+    _SELECT_MARGIN cut of the approximate BLAS scores) and the
+    survivors rescored with the exact sequential fold, so emitted
+    doubles are bit-identical to the declarative form and the output
+    row set is invariant to ``block``: at most local_k-1 candidates
+    anywhere beat a group-wide top-local_k member, so it survives the
+    local cut of every block that contains it — per-block shortlist
+    unions are supersets of the group-wide shortlist, and extra rows
+    fall out of the caller's global rank window."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "score_raw": pd.Series(dtype="float64"),
+        }
+    )
+    if len(qdf) == 0 or len(cdf) == 0:
+        return empty
+    Q = np.array([list(v) for v in qdf["qv"]], dtype=np.float64)
+    qn = qdf["_nq"].to_numpy(dtype=np.float64)
+    Qn = Q / qn[:, None]
+    q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
+    c_ids = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+    cn_all = cdf["_nc"].to_numpy(dtype=np.float64)
+    parts = []
+    for lo in range(0, len(cdf), block):
+        hi = min(lo + block, len(cdf))
+        C = np.array([list(v) for v in cdf["cv"].iloc[lo:hi]], dtype=np.float64)
+        cn = cn_all[lo:hi]
+        S = Qn @ (C / cn[:, None]).T  # approximate (BLAS fold order)
+        m = min(local_k, S.shape[1])
+        kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
+        qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
+        if len(qi) == 0:
+            continue
+        score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
+        parts.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": c_ids[lo:hi][ci],
+                    "score_raw": score_exact,
+                }
+            )
+        )
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True)
+
+
 def gemm_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,7 +326,18 @@ def destroy_broadcasts(df: DataFrame, blocking: bool = True) -> int:
     re-fetched, so any later action on the frame (or a frame derived
     from it) fails. That is exactly why this is a hook and not an
     automatic ``unpersist`` at return: only the caller knows when the
-    last action has run."""
+    last action has run.
+
+    The ``_esp_broadcasts`` attribute lives on the exact Python
+    DataFrame object the operator returned — it does NOT survive
+    DataFrame transformations (``.filter``/``.select``/``.cache``
+    return NEW objects without the hook), so calling this on a derived
+    frame returns 0 WITHOUT freeing anything even though the derived
+    frame's closures still reference the blocks. Keep a reference to
+    the original returned frame and call the hook on that (pinned by
+    test). IVF results carry no handles at all (centroids are plan
+    literals, see ivf.ivf_topk docstring) — 0 there means "nothing to
+    free", not a missed release."""
     handles = getattr(df, "_esp_broadcasts", None)
     if not handles:
         return 0

@@ -98,6 +98,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify: str = "gemm",
+    cell_block: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF probing.
 
@@ -111,13 +112,22 @@ def ivf_topk(
     - "gemm" (default, the FAISS IVF-Flat physical form): cogroup the
       probing queries and the cell members per cell, one BLAS product
       per cell shortlists, exact rescore emits (the gemm.py pattern).
-      Contract: ONE CELL's members and probing queries must fit an
-      executor's memory — which is how IVF cells are sized anyway
-      (n_cells ≈ √corpus keeps cells ~√n).
+      r9: the cell's corpus side is block-tiled in ``cell_block``
+      slices (gemm.blocked_shortlist_scores — the same bound as
+      lsh_topk buckets), so per-task numpy allocation is
+      O(|probing queries| × cell_block) even when a cell outgrows the
+      n_cells ≈ √corpus sizing rule; the Arrow-deserialized group frame
+      itself remains cell-sized (inherent to cogroup applyInPandas).
     - "sql": the declarative cell equi-join + per-candidate fold — no
       per-group memory contract at all; the fallback when cells are
       unboundedly skewed.
-    """
+
+    Broadcast-lifecycle note: unlike gemm_topk/cosine_pairs_dense, the
+    trained centroids ship as Catalyst LITERALS (n_cells × dim constant
+    arrays folded into the plan), not ``sc.broadcast`` blocks — there
+    are no broadcast handles to destroy, and
+    ``gemm.destroy_broadcasts(ivf_frame)`` is a documented no-op
+    returning 0 (pinned by test)."""
     centroids = train_centroids(corpus, n_cells, iters, id_col, vec_col)
 
     # norms AND the double-cast arrays are computed ONCE per vector on
@@ -151,7 +161,7 @@ def ivf_topk(
     )
 
     if verify == "gemm":
-        scored = _cogroup_gemm_scores(probes, c, k)
+        scored = _cogroup_gemm_scores(probes, c, k, cell_block)
     elif verify == "sql":
         cands = probes.join(c, "cell").filter(
             F.col("query_id") != F.col("neighbor_id")
@@ -170,46 +180,27 @@ def ivf_topk(
     )
 
 
-def _cogroup_gemm_scores(probes: DataFrame, c: DataFrame, k: int) -> DataFrame:
+def _cogroup_gemm_scores(
+    probes: DataFrame, c: DataFrame, k: int, cell_block: int = 4096
+) -> DataFrame:
     """Per-cell BLAS scoring of probing queries against cell members:
-    cogroup on cell, gemm over normalized copies to SHORTLIST (local
-    top-(k+1) per query with a reassociation-safety margin), then emit
-    the exact score — the JVM-computed norms ride in (_nq/_nc) and the
-    dot is a strict left-to-right column fold (gemm._seq_fold_sum), so
-    emitted doubles are bit-identical to the declarative verify and to
-    the oracle. Self-matches survive to the SQL-side filter, exactly as
-    in gemm.gemm_topk."""
-    import numpy as np
-    import pandas as pd
+    cogroup on cell, block-tiled gemm over normalized copies to
+    SHORTLIST (per-block local top-(k+1) per query with a
+    reassociation-safety margin — gemm.blocked_shortlist_scores, shared
+    with knn.lsh_topk's bucket scorer), then emit the exact score — the
+    JVM-computed norms ride in (_nq/_nc) and the dot is a strict
+    left-to-right column fold (gemm._seq_fold_sum), so emitted doubles
+    are bit-identical to the declarative verify and to the oracle.
+    Self-matches survive to the SQL-side filter, exactly as in
+    gemm.gemm_topk."""
+    import pandas as pd  # noqa: F401 — applyInPandas dependency
 
-    from etl_school_spark.similarity.gemm import _SELECT_MARGIN, _seq_fold_sum
+    from etl_school_spark.similarity.gemm import blocked_shortlist_scores
 
     local_k = k + 1
 
-    def score(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"),
-             "neighbor_id": pd.Series(dtype="int64"),
-             "score_raw": pd.Series(dtype="float64")}
-        )
-        if len(qdf) == 0 or len(cdf) == 0:
-            return empty
-        Q = np.array([list(v) for v in qdf["qv"]], dtype=np.float64)
-        C = np.array([list(v) for v in cdf["cv"]], dtype=np.float64)
-        qn = qdf["_nq"].to_numpy(dtype=np.float64)
-        cn = cdf["_nc"].to_numpy(dtype=np.float64)
-        S = (Q / qn[:, None]) @ (C / cn[:, None]).T  # approximate
-        m = min(local_k, S.shape[1])
-        kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
-        qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
-        score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
-        return pd.DataFrame(
-            {
-                "query_id": qdf["query_id"].to_numpy(dtype=np.int64)[qi],
-                "neighbor_id": cdf["neighbor_id"].to_numpy(dtype=np.int64)[ci],
-                "score_raw": score_exact,
-            }
-        )
+    def score(qdf, cdf):
+        return blocked_shortlist_scores(qdf, cdf, local_k, cell_block)
 
     out = (
         probes.groupBy("cell")

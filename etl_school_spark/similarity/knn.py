@@ -270,52 +270,12 @@ def lsh_topk(
     local_k = k + 1  # self-match survives to the SQL-side filter
 
     def _bucket_score(qdf, cdf):
-        import numpy as np
-        import pandas as pd
-
-        from etl_school_spark.similarity.gemm import _SELECT_MARGIN, _seq_fold_sum
-
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "neighbor_id": pd.Series(dtype="int64"),
-                "score_raw": pd.Series(dtype="float64"),
-            }
-        )
-        if len(qdf) == 0 or len(cdf) == 0:
-            return empty
-        Q = np.array(qdf["qv"].tolist(), dtype=np.float64)
-        qn = qdf["_nq"].to_numpy(dtype=np.float64)
-        Qn = Q / qn[:, None]
-        q_ids = qdf["query_id"].to_numpy(dtype=np.int64)
-        c_ids_all = cdf["neighbor_id"].to_numpy(dtype=np.int64)
-        parts = []
         # block-tile the corpus side: per-block local shortlist + exact
         # rescore — peak allocation O(|Qb| × corpus_block), never
         # O(|Qb| × |bucket|) (docstring, "Per-bucket memory is BOUNDED")
-        for lo in range(0, len(cdf), corpus_block):
-            hi = min(lo + corpus_block, len(cdf))
-            C = np.array(cdf["cv"].iloc[lo:hi].tolist(), dtype=np.float64)
-            cn = cdf["_nc"].to_numpy(dtype=np.float64)[lo:hi]
-            S = Qn @ (C / cn[:, None]).T  # approximate (BLAS fold order)
-            m = min(local_k, S.shape[1])
-            kth = np.partition(S, S.shape[1] - m, axis=1)[:, S.shape[1] - m]
-            qi, ci = np.nonzero(S >= (kth[:, None] - _SELECT_MARGIN))
-            if len(qi) == 0:
-                continue
-            score_exact = _seq_fold_sum(Q[qi] * C[ci]) / (qn[qi] * cn[ci])
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "query_id": q_ids[qi],
-                        "neighbor_id": c_ids_all[lo:hi][ci],
-                        "score_raw": score_exact,
-                    }
-                )
-            )
-        if not parts:
-            return empty
-        return pd.concat(parts, ignore_index=True)
+        from etl_school_spark.similarity.gemm import blocked_shortlist_scores
+
+        return blocked_shortlist_scores(qdf, cdf, local_k, corpus_block)
 
     scored = (
         qb.groupBy("t", "key")

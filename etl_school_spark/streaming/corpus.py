@@ -130,6 +130,7 @@ def stream_corpus_with_index(
     from etl_school_spark.dedup.incremental import (
         build_dedup_index,
         dedup_batch_against_index,
+        release_batch_checkpoints,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -154,6 +155,12 @@ def stream_corpus_with_index(
         )
         accepted.write.mode("overwrite").parquet(f"{corpus_path}/batch={batch_id}")
         rows.write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        # both writes committed — the parquet partitions are the durable
+        # state and a retry rebuilds fresh frames, so the batch's
+        # truncation blocks are dead weight from here; free them NOW
+        # instead of accumulating one set per micro-batch until driver
+        # GC notices (r9, incremental.py "Checkpoint-block lifecycle")
+        release_batch_checkpoints(accepted, rows)
 
     w = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -31,3 +31,12 @@ def duck():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: end-to-end tests against a REAL Kafka broker — run only "
+        "when KAFKA_BOOTSTRAP is set and the spark-sql-kafka connector "
+        "is on the classpath (skipped otherwise)",
+    )

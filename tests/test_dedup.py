@@ -569,3 +569,94 @@ def test_incremental_dedup_null_text_out_of_contract(spark):
     index = build_dedup_index(hist).localCheckpoint()
     accepted, _ = dedup_batch_against_index(batch, index)
     assert {r.doc_id for r in accepted.collect()} == {10, 11, 12}
+
+
+def test_bucket_census_matches_direct_count_and_skew_posture(spark):
+    """r9 skew instrument (dedup/census.py): the census must report
+    exactly the bucket distribution of the frame the operator joins on
+    (validated against a direct groupBy-collect here), and the measured
+    posture thresholds hold at test scale:
+
+    - minhash band buckets stay FAR below the pairs_within_groups
+      collect_list materialization hazard (documented threshold 10_000
+      members/bucket; measured max 4 at sf0.1, 40 at sf1 — census.py
+      records the routing plan if a corpus ever crosses it);
+    - simhash's template hot bucket IS detected (max_size >> p99 —
+      that skew existing is exactly why the census exists; the join
+      form streams it, census.py documents the recursive-pigeonhole
+      refinement if the throughput tax ever warrants it).
+    """
+    from collections import Counter
+
+    from etl_school_spark.dedup.census import (
+        bucket_size_stats,
+        minhash_census,
+        simhash_census,
+    )
+    from etl_school_spark.dedup.simhash import simhash_chunk_rows
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+
+    # census == direct computation over the same blocking frame
+    frame = simhash_chunk_rows(docs)
+    direct = Counter(
+        (r.t, r.key) for r in frame.select("t", "key").collect()
+    )
+    got = bucket_size_stats(frame, ["t", "key"])
+    sizes = sorted(direct.values())
+    assert got["rows"] == sum(sizes)
+    assert got["n_buckets"] == len(sizes)
+    assert got["max_size"] == sizes[-1]
+    assert got["pair_expansion"] == sum(s * (s - 1) // 2 for s in sizes)
+
+    sh = simhash_census(docs)
+    assert sh == got  # the convenience wrapper censuses the same frame
+    # the template skew is real and detected: one hot chunk bucket far
+    # beyond the p99 of the distribution
+    assert sh["max_size"] > 5 * sh["p99"]
+
+    mh = minhash_census(docs)
+    assert mh["rows"] > 0
+    # posture threshold: band buckets far below the collect_list hazard
+    assert mh["max_size"] < 10_000
+
+
+def test_incremental_dedup_releases_batch_checkpoints(spark):
+    """r9 (ADVICE): a long-lived session replaying many batches must not
+    accumulate one stage-boundary checkpoint block set per batch.
+    dedup_batch_against_index hands its three truncation points to the
+    caller via _esp_checkpoints; release_batch_checkpoints frees them
+    once the batch is done (the streaming loop calls it after its
+    writes). Cached-RDD census must return to ~baseline; the call is
+    idempotent across both returned frames (shared-list semantics)."""
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        release_batch_checkpoints,
+    )
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    hist = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(hist).localCheckpoint()
+    before = n_cached()
+    batch = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine"),
+         (11, "totally different words in this second document here")],
+        "doc_id long, text string",
+    )
+    accepted, rows = dedup_batch_against_index(batch, index)
+    # run every action the streaming loop runs (materializes the lazy
+    # checkpoints), then release
+    assert len(accepted.collect()) == 2 and len(rows.collect()) == 2
+    assert n_cached() > before  # truncation blocks are live
+    assert release_batch_checkpoints(accepted, rows) == 3
+    assert release_batch_checkpoints(accepted, rows) == 0  # idempotent
+    assert n_cached() <= before, (before, n_cached())

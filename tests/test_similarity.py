@@ -357,10 +357,77 @@ def test_cosine_pairs_auto_probe_memoized(spark):
         dsp.lsh_candidate_density = real
 
 
-def cosine_pairs_auto_rows(dsp, frame):
+def cosine_pairs_auto_rows(dsp, frame, **kw):
     return sorted(
-        (r.id_a, r.id_b) for r in dsp.cosine_pairs_auto(frame, 0.4).collect()
+        (r.id_a, r.id_b) for r in dsp.cosine_pairs_auto(frame, 0.4, **kw).collect()
     )
+
+
+def test_cosine_pairs_auto_force_reprobe(spark):
+    """r9 staleness escape hatch (a): ``force_reprobe=True`` must bypass
+    the memo and re-run the density query (then overwrite the entry), for
+    callers who mutate table content under an unchanged analyzed plan."""
+    from etl_school_spark.similarity import dispatch as dsp
+
+    emb = _emb(spark)
+    calls = {"n": 0}
+    real = dsp.lsh_candidate_density
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    if hasattr(spark, "_esp_density_memo"):
+        del spark._esp_density_memo
+    dsp.lsh_candidate_density = counting
+    try:
+        r1 = cosine_pairs_auto_rows(dsp, emb)
+        assert calls["n"] == 1
+        r2 = cosine_pairs_auto_rows(dsp, emb, force_reprobe=True)
+        assert calls["n"] == 2  # memo bypassed, probe re-ran
+        assert r1 == r2
+        cosine_pairs_auto_rows(dsp, emb)
+        assert calls["n"] == 2  # refreshed entry serves the next call
+    finally:
+        dsp.lsh_candidate_density = real
+
+
+def test_cosine_pairs_auto_evicts_stale_memo_on_dense_cap(spark):
+    """r9 staleness escape hatch (b), closing the r8 ADVICE hole: a stale
+    memoized count that routes a now-oversized corpus into the dense
+    branch hits cosine_pairs_dense's cap ValueError — the dispatcher must
+    EVICT the stale entry, re-probe once, and re-dispatch (here: to the
+    bucketed branch, which still returns the exact answer) instead of
+    leaving the session with a persistent hard failure."""
+    from etl_school_spark.similarity import dispatch as dsp
+    from etl_school_spark.similarity.knn import cosine_pairs
+
+    emb = _emb(spark)
+    calls = {"n": 0}
+    real = dsp.lsh_candidate_density
+
+    def stale_then_real(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return (20, 1.0)  # stale: "fits the cap, dense regime"
+        return real(*a, **kw)
+
+    if hasattr(spark, "_esp_density_memo"):
+        del spark._esp_density_memo
+    dsp.lsh_candidate_density = stale_then_real
+    try:
+        # cap = 10 x 3 = 30 rows << the real corpus -> dense raises
+        got = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in dsp.cosine_pairs_auto(
+                emb, 0.4, dense_block=10, max_dense_blocks=3
+            ).collect()
+        }
+        assert calls["n"] == 2  # stale probe + one eviction re-probe
+    finally:
+        dsp.lsh_candidate_density = real
+    base = {(r.id_a, r.id_b): r.cosine_sim for r in cosine_pairs(emb, 0.4).collect()}
+    assert got == base and len(base) > 0
 
 
 def test_int8_quantization_roundtrip_bounds(spark):
@@ -406,6 +473,50 @@ def test_int8_quantization_roundtrip_bounds(spark):
         assert err.max() <= r.scale / 2 + 1e-12
         assert abs(r.p.q_max_err - err.max()) < 1e-12
         assert abs(r.p.q_mse - (err ** 2).mean()) < 1e-12
+
+
+def test_ivf_cell_block_invariant_and_no_broadcast_handles(spark):
+    """r9: the ivf cell scorer shares knn's block-tiled shortlist
+    (gemm.blocked_shortlist_scores) — shrinking cell_block far below the
+    cell size must not change a single row/bit. And ivf frames carry NO
+    broadcast handles (centroids are plan literals, ivf_topk docstring),
+    so destroy_broadcasts is a documented 0-return no-op there."""
+    from etl_school_spark.similarity.gemm import destroy_broadcasts
+    from etl_school_spark.similarity.ivf import ivf_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def rows(block):
+        return sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, queries, k=5, n_cells=16, nprobe=6, cell_block=block
+                ).collect(),
+            )
+        )
+
+    # ~2000/16 = ~125-member cells; block=16 forces ~8 block passes
+    assert rows(16) == rows(10**9) != []
+    out = ivf_topk(emb, queries, k=3)
+    assert destroy_broadcasts(out) == 0  # no handles to free, by design
+
+
+def test_destroy_broadcasts_does_not_survive_derived_frames(spark):
+    """r9 (ADVICE): _esp_broadcasts lives on the exact returned object;
+    a derived frame silently reports 0 destroyed while its closures
+    still hold the blocks — the docstring caveat, pinned so the
+    behavior can't drift silently."""
+    from etl_school_spark.similarity.gemm import destroy_broadcasts, gemm_topk
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = gemm_topk(emb, queries, k=3)
+    derived = out.filter(F.col("rank") == 1)
+    assert destroy_broadcasts(derived) == 0  # hook did not propagate
+    assert len(derived.collect()) > 0  # blocks still live
+    assert destroy_broadcasts(out) == 1  # the original frees them
 
 
 def test_ivf_verify_backends_bit_identical(spark):
