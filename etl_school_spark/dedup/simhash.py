@@ -37,6 +37,28 @@ def _chunk_masks(chunks: int) -> list[int]:
     ]
 
 
+def _sub_masks(chunks: int, subs: int) -> list[list[int]]:
+    """Per chunk t: the 64 − 64/chunks COMPLEMENT bits (everything the
+    bucket does not already agree on) split into ``subs`` near-equal
+    groups — the recursive-pigeonhole refinement keys. A pair in bucket
+    t with hamming ≤ subs − 1 has ALL its differing bits in the
+    complement, so it agrees exactly on at least one group."""
+    chunk_size = 64 // chunks
+    out = []
+    for t in range(chunks):
+        comp = [
+            b for b in range(64) if not (t * chunk_size <= b < (t + 1) * chunk_size)
+        ]
+        base, rem = divmod(len(comp), subs)
+        groups, idx = [], 0
+        for c in range(subs):
+            size = base + (1 if c < rem else 0)
+            groups.append(_signed64(sum(1 << b for b in comp[idx : idx + size])))
+            idx += size
+        out.append(groups)
+    return out
+
+
 def simhash_chunk_rows(
     docs: DataFrame,
     chunks: int = 4,
@@ -67,6 +89,7 @@ def simhash_near_pairs(
     chunks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    refine_threshold: int | None = None,
 ) -> DataFrame:
     """All pairs (i < j) with SimHash hamming distance ≤ max_hamming.
 
@@ -80,6 +103,27 @@ def simhash_near_pairs(
     exactly-once per ROW pair, and the dedup-shuffle-free design
     deliberately has no pair-level dropDuplicates to collapse id-level
     duplicates.
+
+    ``refine_threshold`` (r9): RECURSIVE PIGEONHOLE refinement for hot
+    chunk buckets — template/boilerplate corpora concentrate ~whole
+    percents of the corpus into single chunk buckets (census.py: one
+    sf1 bucket holds 16,390 members → 134 M of the stage's 242 M
+    candidate pairs), and almost all of those candidates fail the
+    hamming verify. With a threshold set, buckets larger than it are
+    re-blocked on ``max_hamming + 1`` near-equal sub-chunks of their 48
+    COMPLEMENT bits: a pair in bucket t with hamming ≤ max_hamming has
+    all its differing bits in the complement, so it agrees exactly on
+    ≥ 1 sub-chunk — no qualifying pair is lost, while dissimilar pairs
+    that merely share the 16-bit chunk now also need a 12-bit sub-chunk
+    match to surface. OUTPUT-EXACT for any threshold: qualifying pairs
+    route by their FIRST agreeing chunk — hot → found via sub-join
+    (pigeonhole) and emitted at their first agreeing sub-chunk, small →
+    the plain join (whose first-collision filter rejects pairs owned by
+    a hot bucket) — so each is emitted exactly once, and the only
+    candidates refinement can drop are pairs the hamming filter would
+    reject anyway (differentially tested; measured crossover in
+    SCALING.md). Cost: one extra groupBy-count + size join on the
+    skinny bucket rows. None (default) keeps the single-join plan.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
@@ -93,6 +137,22 @@ def simhash_near_pairs(
         + " ".join(f"WHEN ((sa ^ sb) & {m}L) = 0L THEN {c}" for c, m in enumerate(masks))
         + " ELSE -1 END"
     )
+    first_chunk = F.expr(f"({case_chain}) = t")
+
+    def joined_pairs(rows: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            rows.alias("a")
+            .join(rows.alias("b"), keys)
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.col("a._sig").alias("sa"),
+                F.col("b._sig").alias("sb"),
+                *[F.col(k) for k in keys if k in ("t", "sub_t")],
+            )
+        )
+
     # Pair generation stays a self-JOIN (rows stream through codegen
     # filters), NOT the operators/pairs.py groupBy-array expansion: at
     # sf1 the tiled corpus has simhash chunk buckets of up to 16,390
@@ -105,19 +165,61 @@ def simhash_near_pairs(
     # a broadcast boundary (r8: a shuffle_hash hint did not recover
     # reuse under AQE either) — so the scan itself was made cheap
     # instead: see _simhash_bit_sums (conv halves + long shift/mask).
-    return (
-        ids.alias("a")
-        .join(ids.alias("b"), ["t", "key"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a._sig").alias("sa"),
-            F.col("b._sig").alias("sb"),
-            F.col("t"),
+    if refine_threshold is None:
+        cand = joined_pairs(ids, ["t", "key"]).filter(first_chunk)
+    else:
+        sizes = ids.groupBy("t", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+        tagged = ids.join(sizes, ["t", "key"])
+        small = tagged.filter(F.col("_bsz") <= refine_threshold).drop("_bsz")
+        hot = tagged.filter(F.col("_bsz") > refine_threshold).drop("_bsz")
+        # a pair is OWNED by its first agreeing chunk; the small join's
+        # first-collision filter rejects hot-owned pairs even when they
+        # also share a small bucket, so the two paths are disjoint
+        small_cand = joined_pairs(small, ["t", "key"]).filter(first_chunk)
+
+        subs = max_hamming + 1
+        sm = _sub_masks(chunks, subs)
+        sub_key = lambda c: (  # noqa: E731 — per-t mask dispatch
+            "CASE t "
+            + " ".join(f"WHEN {t} THEN _sig & {sm[t][c]}L" for t in range(chunks))
+            + " END"
         )
-        .filter(F.expr(f"({case_chain}) = t"))
-        .withColumn("hamming_dist", F.bit_count(F.expr("sa ^ sb")).cast("long"))
+        sub_buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("sub_t"), F.expr(sub_key(c)).alias("sub_key")
+                )
+                for c in range(subs)
+            ]
+        )
+        hot_sub = hot.select(
+            "doc", "_sig", "t", "key", F.explode(sub_buckets).alias("s")
+        ).select("doc", "_sig", "t", "key", "s.sub_t", "s.sub_key")
+        # second-level first-collision: within the owning chunk bucket,
+        # emit at the first agreeing SUB-chunk — same exactly-once word
+        # trick one level down
+        sub_case = (
+            "CASE t "
+            + " ".join(
+                f"WHEN {t} THEN (CASE "
+                + " ".join(
+                    f"WHEN ((sa ^ sb) & {sm[t][c]}L) = 0L THEN {c}"
+                    for c in range(subs)
+                )
+                + " ELSE -1 END)"
+                for t in range(chunks)
+            )
+            + " END"
+        )
+        hot_cand = (
+            joined_pairs(hot_sub, ["t", "key", "sub_t", "sub_key"])
+            .filter(first_chunk)
+            .filter(F.expr(f"({sub_case}) = sub_t"))
+            .drop("sub_t")
+        )
+        cand = small_cand.unionByName(hot_cand)
+    return (
+        cand.withColumn("hamming_dist", F.bit_count(F.expr("sa ^ sb")).cast("long"))
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
     )

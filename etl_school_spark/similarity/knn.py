@@ -152,11 +152,26 @@ def pool_code(vec: Column | str, planes: list[list[float]]) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def _auto_bits(n: int, tables: int, target_bucket: int) -> int:
+    """Bucket-width derivation for ``lsh_topk(bits="auto")``: the
+    smallest bits such that expected bucket membership n / 2^bits stays
+    ≤ target_bucket (clamped to [1, 64 // tables] — the pool packs
+    tables × bits sign bits into one 64-bit word). Keeps per-bucket
+    work CONSTANT-sized as the corpus grows: the complementary bound to
+    corpus_block tiling (which caps allocations; this caps the Arrow
+    group itself). More bits lowers per-table recall — compensate with
+    tables, which the cap ties into the same 64-bit budget."""
+    import math
+
+    want = math.ceil(math.log2(max(2.0, n / max(1, target_bucket))))
+    return max(1, min(64 // tables, want))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
     k: int = 5,
-    bits: int = 8,
+    bits: int | str = 8,
     tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -224,7 +239,12 @@ def lsh_topk(
     per-task footprint is the Arrow-deserialized group frame itself
     (inherent to cogroup applyInPandas — vectors as object cells, no
     float64/score-matrix copies); past THAT bound, scale ``bits`` with
-    log2(corpus) so bucket membership stays constant-sized."""
+    log2(corpus) so bucket membership stays constant-sized —
+    ``bits="auto"`` does exactly that (one corpus count, then
+    _auto_bits targets ``corpus_block`` members per bucket, capped at
+    64 // tables by the pool-word budget)."""
+    if bits == "auto":
+        bits = _auto_bits(corpus.count(), tables, corpus_block)
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = [p for t in range(tables) for p in planes[t]]
     mask = (1 << bits) - 1

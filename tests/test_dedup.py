@@ -660,3 +660,40 @@ def test_incremental_dedup_releases_batch_checkpoints(spark):
     assert release_batch_checkpoints(accepted, rows) == 3
     assert release_batch_checkpoints(accepted, rows) == 0  # idempotent
     assert n_cached() <= before, (before, n_cached())
+
+
+def test_simhash_refine_threshold_output_exact(spark):
+    """r9: recursive-pigeonhole refinement (simhash_near_pairs
+    refine_threshold) must be OUTPUT-EXACT at every threshold — the
+    documented escalation for census-detected hot chunk buckets,
+    proven, not just planned. The fixture plants a template corpus
+    (many docs sharing boilerplate => hot chunk buckets, like the
+    driver's documents table) plus background docs, and compares the
+    refined pair set at several thresholds (including 0 = every bucket
+    refined, and a mid value splitting hot/small paths) against the
+    plain single-join form, pairs AND distances."""
+    docs = []
+    # 12 template families x 8 members: shared boilerplate + tiny edits
+    for f in range(12):
+        base = f"contract section {f} whereas party agrees terms apply " \
+               f"generally to all schedules annex {f} conditions"
+        for m in range(8):
+            docs.append((f * 100 + m, base + (f" amendment {m}" if m else "")))
+    # background: unrelated docs
+    for i in range(60):
+        docs.append((10_000 + i, f"totally unrelated text number {i} with "
+                                 f"different words entirely {i * 7} and {i * 13}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from etl_school_spark.dedup.simhash import simhash_near_pairs
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b): r.hamming_dist
+            for r in simhash_near_pairs(df, max_hamming=3, chunks=4, **kw).collect()
+        }
+
+    base_pairs = pairs()
+    assert len(base_pairs) > 0  # template families produce near-dups
+    for thr in (0, 4, 20):
+        assert pairs(refine_threshold=thr) == base_pairs, f"thr={thr}"

@@ -101,6 +101,44 @@ def test_lsh_topk_hot_bucket_blocking_invariant(spark):
     assert blocked == unblocked and len(blocked) > 0
 
 
+def test_lsh_topk_auto_bits(spark):
+    """r9: bits="auto" derives the bucket width from one corpus count so
+    expected membership stays ≤ corpus_block as the corpus grows — the
+    complementary bound to block tiling. The derivation is a pure
+    function (unit-checked here across scales and the 64-bit pool cap),
+    and the integration run must equal the explicit-bits run exactly."""
+    from etl_school_spark.similarity.knn import _auto_bits, lsh_topk
+
+    # grows with n, targets ~target members/bucket, capped by the pool word
+    assert _auto_bits(2_000, 16, 4096) == 1
+    assert _auto_bits(100_000, 16, 4096) == 4  # 64 // 16 cap binds
+    assert _auto_bits(100_000, 8, 4096) == 5
+    assert _auto_bits(100_000_000, 8, 4096) == 8  # 64 // 8 cap binds
+    assert _auto_bits(10, 4, 4096) == 1
+
+    emb = _emb(spark)
+    n = emb.count()
+    auto = sorted(
+        map(
+            tuple,
+            lsh_topk(
+                emb, k=5, bits="auto", tables=16,
+                query_filter=F.col("vec_id") % 25 == 0,
+            ).collect(),
+        )
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            lsh_topk(
+                emb, k=5, bits=_auto_bits(n, 16, 4096), tables=16,
+                query_filter=F.col("vec_id") % 25 == 0,
+            ).collect(),
+        )
+    )
+    assert auto == explicit != []
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 
