@@ -14,7 +14,11 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 271 seeds across the ten families below (r8 adds family 10 —
+CI pins 286 seeds across the eleven families below (r9 adds family 11
+— the simhash recursive-pigeonhole refinement under random chunks /
+max_hamming / threshold on template-heavy corpora vs a pure-Python
+hamming brute force, 15 CI seeds + a 100-seed one-off sweep
+(11100-11199), all clean; r8 adds family 10 —
 the adaptive Ed-Join under a random parameter sweep of q / max_dist /
 block_cap / prefix_len / gram order vs a pure-Python brute-force
 blocked join, targeting the short-string catch-all bound; its one-off
@@ -1009,3 +1013,77 @@ def test_random_edjoin_sweep_matches_python(spark, seed):
         f"plen={prefix_len} order={gram_order}: "
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Family 11 (r9): SimHash refinement sweep vs pure-Python brute force.
+# The recursive-pigeonhole refinement (simhash.py refine_threshold)
+# carries TWO stacked exactly-once mechanisms — pair ownership by first
+# agreeing chunk (splitting hot/small paths) and first agreeing
+# SUB-chunk within a hot bucket — both word-op CASE chains that a
+# single fixture cannot corner. Each seed samples chunks/max_hamming/
+# threshold and a template-heavy corpus (shared boilerplate => hot
+# buckets, planted exact dups => hamming-0 pairs in every path), then
+# requires the refined AND plain outputs to equal an independent
+# Python hamming brute force over the collected signatures.
+# ---------------------------------------------------------------------------
+def build_simhash_refine_case(seed):
+    rng = random.Random(seed)
+    chunks = rng.choice([2, 3, 4])
+    max_hamming = rng.randrange(1, chunks)
+    threshold = rng.choice([0, 2, 6, 20])
+    words = [f"tok{i}" for i in range(40)]
+    docs = []
+    next_id = 0
+    for _f in range(rng.randrange(3, 8)):  # template families
+        base = [rng.choice(words) for _ in range(rng.randrange(8, 16))]
+        for _m in range(rng.randrange(2, 9)):
+            member = list(base)
+            for _e in range(rng.randrange(0, 3)):  # tiny edits
+                member[rng.randrange(len(member))] = rng.choice(words)
+            docs.append((next_id, " ".join(member)))
+            next_id += 1
+    for _b in range(rng.randrange(5, 25)):  # background docs
+        docs.append(
+            (next_id, " ".join(rng.choice(words) for _ in range(rng.randrange(4, 12))))
+        )
+        next_id += 1
+    for _d in range(rng.randrange(0, 4)):  # planted exact dups
+        src = rng.choice(docs)
+        docs.append((next_id, src[1]))
+        next_id += 1
+    return chunks, max_hamming, threshold, docs
+
+
+@pytest.mark.parametrize("seed", list(range(11000, 11015)))
+def test_random_simhash_refine_matches_python(spark, seed):
+    from etl_school_spark.dedup.simhash import simhash_near_pairs
+    from etl_school_spark.functions.text import simhash64_packed
+
+    chunks, max_hamming, threshold, docs = build_simhash_refine_case(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {
+        r.doc_id: r.sig & 0xFFFFFFFFFFFFFFFF
+        for r in df.select("doc_id", simhash64_packed("text").alias("sig")).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for x, i in enumerate(ids):
+        for j in ids[x + 1:]:
+            d = bin(sigs[i] ^ sigs[j]).count("1")
+            if d <= max_hamming:
+                want[(i, j)] = d
+
+    for thr in (None, threshold):
+        got = {
+            (r.id_a, r.id_b): r.hamming_dist
+            for r in simhash_near_pairs(
+                df, max_hamming=max_hamming, chunks=chunks, refine_threshold=thr
+            ).collect()
+        }
+        assert got == want, (
+            f"seed {seed} chunks={chunks} h={max_hamming} thr={thr}: "
+            f"missing={sorted(set(want) - set(got))[:5]} "
+            f"extra={sorted(set(got) - set(want))[:5]}"
+        )
