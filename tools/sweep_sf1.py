@@ -31,6 +31,26 @@ def main() -> int:
 
     spark = get_spark("etl-school-spark-sf1-sweep")
     spark.range(1000).count()  # JVM warm-up outside any query's clock
+    # same host-drift canary as bench.py (r9): sweep totals on this
+    # machine vary ±30% between back-to-back runs of identical code —
+    # print the canary so cross-round sweep comparisons can tell host
+    # noise from real regressions
+    spark.range(500_000_000).selectExpr("sum(id)").collect()  # untimed compile
+    samples = []
+    for _ in range(9):
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        samples.append(time.time() - t0)
+    samples.sort()
+    print(
+        json.dumps(
+            {
+                "canary_sec": round(samples[4], 4),
+                "canary_spread": round(samples[-1] - samples[0], 4),
+            }
+        ),
+        flush=True,
+    )
     out: dict[str, object] = {}
     for name, fn in e.queries().items():
         t0 = time.time()
