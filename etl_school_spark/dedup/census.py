@@ -23,19 +23,25 @@ written down):
   sub-chunks of those 48 bits preserves exactness (the pair must agree
   on ≥ 1 sub-chunk) while cutting the expansion to the sub-bucket
   quadratic. Applies recursively; no false negatives introduced.
-  TODAY'S DECISION: not enabled — the join form STREAMS candidate rows
-  through codegen filters (no per-bucket materialization, the r8
-  measured ~half-billion sf1 candidates complete fine), so hot buckets
-  are a throughput tax, not an OOM; the census threshold marks when
-  the tax justifies the extra blocking pass.
+  IMPLEMENTED (r9): ``simhash_near_pairs(refine_threshold=N)``,
+  output-exact (fuzz family 11). TODAY'S DECISION: not enabled for the
+  registered query — the join form STREAMS candidate rows through
+  codegen filters (no per-bucket materialization), and the measured
+  crossover (SCALING.md) shows refinement wins only when hot-bucket
+  pairs mostly FAIL the verify (boilerplate: ×0.80 at sf0.1) and loses
+  when they are true duplicates (the sf1 tiling: ×2.4) — check the
+  census max_size AND the output/candidate ratio before enabling.
 - **minhash** (hot bucket = many docs sharing one band hash — usually
   TRUE near-dup clusters): the hazard is pairs_within_groups'
   collect_list expansion materializing O(s²) pair structs in one task.
-  Refinement: route buckets past the threshold through the simhash-
-  style streaming self-join (identical pair set, no array
-  materialization) — the two shapes are measured equals at today's
-  bucket sizes (SCALING.md r8: the join wins only on dense collisions)
-  and the census tells us when a corpus crosses that line.
+  Refinement — IMPLEMENTED (r9): ``pairs_within_groups(...,
+  max_group_size=N)`` / ``minhash_lsh_pairs(hot_band_threshold=N)``
+  routes buckets past the threshold through a row-streaming self-join
+  over the re-exploded group (identical pair set, no array
+  materialization, child still evaluated once via the shared groupBy
+  exchange). The registered query keeps the default None — the two
+  shapes are measured equals at today's bucket sizes (max 40 at sf1,
+  SCALING.md) and the census tells us when a corpus crosses the line.
 """
 
 from __future__ import annotations

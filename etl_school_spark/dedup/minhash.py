@@ -133,10 +133,19 @@ def minhash_lsh_pairs(
     bands: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_band_threshold: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
 
     Returns: id_a, id_b, jaccard — same contract as ngram_jaccard_pairs.
+
+    ``hot_band_threshold`` (r9): band buckets larger than it route
+    through pairs_within_groups' streaming self-join instead of the
+    in-array pair expansion (identical candidates; see
+    operators/pairs.py). The census (dedup/census.py::minhash_census)
+    says where a corpus's buckets sit: the driver corpora max out at 40
+    members/bucket at sf1 — far under the ~10k array-materialization
+    hazard — so the registered query keeps the default None.
     """
     sets = shingle_sets(docs, id_col, text_col, n)
     signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
@@ -145,7 +154,9 @@ def minhash_lsh_pairs(
     # groupBy-bucket pair expansion, NOT a self-join: a self-join would
     # evaluate the (expensive) signature subtree once per side — this
     # shape computes signatures exactly once (operators/pairs.py)
-    cands = pairs_within_groups(banded, ["band_idx", "band_hash"], "doc")
+    cands = pairs_within_groups(
+        banded, ["band_idx", "band_hash"], "doc", max_group_size=hot_band_threshold
+    )
     return verify_jaccard_pairs(cands, sets, sets, threshold)
 
 

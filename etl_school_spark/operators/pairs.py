@@ -18,8 +18,16 @@ Group sizes are collision-bounded (an LSH bucket's membership), so the
 in-group quadratic expansion is the same work the join did — just
 JVM-side over a grouped array, with no second evaluation of the child.
 At 100 TB a genuinely hot bucket (mass-duplicated content) concentrates
-on one reducer either way; cap group size upstream (e.g. drop stop-bands)
-if that becomes real skew.
+its s·(s−1)/2 pair STRUCTS into one reducer ROW under the array
+expansion — the r8-measured failure mode (a 16,390-member bucket's
+134 M structs never finished). ``max_group_size`` (r9) routes groups
+past that bound through a streaming self-join over the group's
+re-exploded (group, id) rows instead: pair rows then flow through
+codegen with no per-group array materialization, while the expensive
+child STILL runs once (both branches consume the same groupBy exchange,
+deduplicated by ReuseExchange — asserted in test). The census
+(dedup/census.py) tells each corpus where its buckets sit relative to
+the bound.
 """
 
 from __future__ import annotations
@@ -29,16 +37,26 @@ from pyspark.sql import functions as F
 
 
 def pairs_within_groups(
-    df: DataFrame, group_cols: list[str], id_col: str
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Distinct unordered pairs (id_a < id_b) of ids sharing any group.
 
-    Output columns: id_a, id_b (the id column's type).
-    """
+    Output columns: id_a, id_b (the id column's type). With
+    ``max_group_size`` set, groups larger than it generate their pairs
+    via a row-streaming self-join instead of the in-array expansion —
+    identical output for any value (module docstring)."""
     grouped = (
         df.groupBy(*group_cols)
         .agg(F.collect_list(id_col).alias("_ids"))
         .filter(F.size("_ids") > 1)
+    )
+    small = (
+        grouped
+        if max_group_size is None
+        else grouped.filter(F.size("_ids") <= max_group_size)
     )
     ids_s = F.array_sort(F.col("_ids"))
     pairs = F.flatten(
@@ -50,11 +68,33 @@ def pairs_within_groups(
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
+    out = (
+        small.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         # array_sort makes x <= y; strict filter guards hypothetical
         # duplicate ids within one group (the join's a.id < b.id semantics)
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if max_group_size is not None:
+        hot_rows = grouped.filter(F.size("_ids") > max_group_size).select(
+            *group_cols, F.explode("_ids").alias("_id")
+        )
+        a, b = hot_rows.alias("a"), hot_rows.alias("b")
+        # NULL-SAFE group equality, for two load-bearing reasons: a
+        # null-keyed group's pairs must not vanish (the array branch
+        # keeps them — plain `=` would drop every one), and eqNullSafe
+        # prevents the isnotnull pushdown that would otherwise make the
+        # join sides' aggregation children non-identical to the small
+        # branch's — with it, ALL THREE consumers share ONE groupBy
+        # exchange via ReuseExchange (asserted in test), so the
+        # expensive upstream (signatures, codes) still runs once
+        cond = F.col("a._id") < F.col("b._id")
+        for g in group_cols:
+            cond = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) & cond
+        hot_pairs = a.join(b, cond).select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        out = out.unionByName(hot_pairs)
+    # cross-group duplicates collapse here (and, in the hybrid, the rare
+    # pair sharing both a hot and a small group)
+    return out.dropDuplicates(["id_a", "id_b"])

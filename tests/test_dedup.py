@@ -697,3 +697,65 @@ def test_simhash_refine_threshold_output_exact(spark):
     assert len(base_pairs) > 0  # template families produce near-dups
     for thr in (0, 4, 20):
         assert pairs(refine_threshold=thr) == base_pairs, f"thr={thr}"
+
+
+def test_pairs_within_groups_hybrid_routing_exact(spark):
+    """r9 hot-bucket routing (operators/pairs.py max_group_size): groups
+    past the bound stream their pairs through a self-join of re-exploded
+    rows instead of materializing the in-array quadratic. Output must be
+    IDENTICAL for every threshold (including 1 = everything routed and
+    a mid value splitting the paths), the expensive child must still run
+    once (the two branches share one ReuseExchange-deduplicated groupBy
+    exchange), and the minhash pass-through must give identical verified
+    pairs."""
+    import random
+
+    from etl_school_spark.dedup.minhash import minhash_lsh_pairs
+    from etl_school_spark.operators.pairs import pairs_within_groups
+
+    rng = random.Random(31)
+    # overlapping groups with planted hot keys and duplicate memberships
+    rows = []
+    for i in range(200):
+        for g in rng.sample(range(12), rng.choice([1, 1, 2, 3])):
+            rows.append((g if g < 3 else g + i % 4, i))  # keys 0-2 are hot
+    df = spark.createDataFrame(rows, "grp int, id long")
+
+    # a null-keyed hot group: the array branch pairs these ids, so the
+    # join branch must too (eqNullSafe — plain `=` silently drops them)
+    for i in range(40):
+        rows.append((None, 1000 + i))
+    df = spark.createDataFrame(rows, "grp int, id long")
+
+    base = {(r.id_a, r.id_b) for r in pairs_within_groups(df, ["grp"], "id").collect()}
+    assert len(base) > 0
+    for thr in (1, 25, 10**6):
+        hyb = pairs_within_groups(df, ["grp"], "id", max_group_size=thr)
+        got = {(r.id_a, r.id_b) for r in hyb.collect()}
+        assert got == base, f"max_group_size={thr}"
+    # child runs once: in the FINAL adaptive plan all three consumers
+    # (small-branch aggregate, both join sides) read ONE groupBy
+    # exchange — two ReusedExchange nodes, no second aggregation child
+    hyb = pairs_within_groups(df, ["grp"], "id", max_group_size=25)
+    hyb.collect()
+    final = (
+        hyb._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    grp_exch = [
+        l for l in final.splitlines()
+        if "Exchange hashpartitioning(grp" in l and "ReusedExchange" not in l
+    ]
+    assert len(grp_exch) == 1, final
+    assert final.count("ReusedExchange") == 2, final
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 7} shares shingles with family {i % 7} member {i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    plain = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    routed = {(r.id_a, r.id_b): r.jaccard
+              for r in minhash_lsh_pairs(docs, threshold=0.5, hot_band_threshold=2).collect()}
+    assert plain == routed and len(plain) > 0

@@ -601,6 +601,12 @@ def test_stream_corpus_with_index_two_generations(spark, tmp_path):
         q = stream_corpus_with_index(stream, corpus, index, ck, **lax)
         assert q.awaitTermination(180)
 
+    # r9: the loop releases each micro-batch's stage-boundary checkpoint
+    # blocks after its writes commit (release_batch_checkpoints) — the
+    # cached-RDD census across both generations must return to baseline,
+    # not grow by 3 block sets per processed batch
+    n_cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
     run()
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == set(range(6))
 
@@ -622,6 +628,8 @@ def test_stream_corpus_with_index_two_generations(spark, tmp_path):
     # the index grew by exactly the accepted generation-1 docs
     idx = spark.read.parquet(index)
     assert {r.doc for r in idx.collect()} == set(range(6)) | {102, 104}
+    n_cached_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n_cached_after <= n_cached_before, (n_cached_before, n_cached_after)
 
 
 def test_stream_corpus_ppl_gate_matches_batch(spark, tmp_path):
