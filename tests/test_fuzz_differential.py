@@ -14,7 +14,12 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 286 seeds across the eleven families below (r9 adds family 11
+CI pins 296 seeds across the twelve families below (r9 adds family 12
+— the incremental-dedup acceptance replay under random n / num_perm /
+bands / threshold on planted multi-edge-case corpora vs a pure-Python
+sequential reference that recomputes fingerprints, signatures, banding,
+and the four-stage acceptance order from scratch, 10 CI seeds + a
+50-seed one-off sweep (12010-12059), all clean; r9 also adds family 11
 — the simhash recursive-pigeonhole refinement under random chunks /
 max_hamming / threshold on template-heavy corpora vs a pure-Python
 hamming brute force, 15 CI seeds + a 100-seed one-off sweep
@@ -1087,3 +1092,202 @@ def test_random_simhash_refine_matches_python(spark, seed):
             f"missing={sorted(set(want) - set(got))[:5]} "
             f"extra={sorted(set(got) - set(want))[:5]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Family 12 (r9): incremental-dedup acceptance replay vs a pure-Python
+# sequential reference. The registered `incremental_dedup_accepted`
+# oracle pins ONE parameter point (n=3, 128 perms, 32 bands, t=0.8);
+# this family sweeps n / num_perm / bands / threshold over corpora
+# planted with every acceptance-order edge the pipeline defines:
+# exact-vs-history copies (including case/whitespace variants whose
+# fingerprints match but whose case-sensitive shingles do not),
+# near-vs-history edits, within-batch exact dup chains (lowest-id
+# canonical), within-batch near-dup components (transitive closure),
+# sub-n-word docs (NULL sig — exact-only participants), empty-string
+# docs, and NULL-text docs (NULL fp — bypass the canonical pass
+# entirely). The Python twin recomputes fingerprints, shingles, minhash
+# signatures (same md5-affine family via perm_constants), band hashes,
+# and the four-stage acceptance order from scratch — no Spark state is
+# reused, so a divergence in ANY stage's semantics fails the seed.
+# ---------------------------------------------------------------------------
+import hashlib
+import re
+
+_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+_P31 = 2147483647
+
+
+def build_incremental_case(seed):
+    """(params, gen0_rows, batch_rows) for one acceptance-replay seed."""
+    rng = random.Random(seed)
+    n = rng.choice([1, 2, 3])
+    num_perm = rng.choice([8, 16])
+    bands = rng.choice([2, 4, 8])
+    threshold = rng.choice([0.3, 0.5, 0.8])
+    words = [f"w{i}" for i in range(25)]
+
+    def mk(ln):
+        return " ".join(rng.choice(words) for _ in range(ln))
+
+    gen0 = [(i, mk(rng.randrange(max(n, 1), 14))) for i in range(rng.randrange(8, 20))]
+    batch, bid = [], 1000
+    for _ in range(rng.randrange(4, 10)):  # fresh docs
+        batch.append((bid, mk(rng.randrange(1, 14)))); bid += 1
+    for _ in range(rng.randrange(1, 5)):  # exact copies of history
+        src = rng.choice(gen0)[1]
+        # half re-spaced/cased: same fingerprint, different shingles
+        t = src if rng.random() < 0.5 else " " + src.upper().replace(" ", " \t") + "  "
+        batch.append((bid, t)); bid += 1
+    for _ in range(rng.randrange(1, 5)):  # near-copies of history
+        toks = rng.choice(gen0)[1].split()
+        if rng.random() < 0.5:
+            toks.append(rng.choice(words))
+        else:
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        batch.append((bid, " ".join(toks))); bid += 1
+    for _ in range(rng.randrange(1, 4)):  # within-batch exact dups
+        batch.append((bid, rng.choice(batch)[1])); bid += 1
+    for _ in range(rng.randrange(1, 4)):  # within-batch near dups
+        toks = _WS_RE.split(rng.choice(batch)[1].strip())
+        toks.append(rng.choice(words))
+        batch.append((bid, " ".join(toks))); bid += 1
+    if n > 1:  # sub-n-word doc: NULL sig, exact-only participant
+        batch.append((bid, mk(n - 1))); bid += 1
+    if rng.random() < 0.5:  # empty text: tokens == [""], fp == md5("")
+        batch.append((bid, "")); bid += 1
+    if rng.random() < 0.5:  # NULL text: NULL fp, bypasses canonical pass
+        batch.append((bid, None)); bid += 1
+    return (n, num_perm, bands, threshold), gen0, batch
+
+
+def _py_incremental_accept(gen0, batch, n, num_perm, bands, threshold):
+    """Sequential-replay reference of dedup_batch_against_index —
+    fingerprints, shingles, signatures, banding, and the four-stage
+    acceptance order recomputed in pure Python."""
+    from etl_school_spark.dedup.minhash import perm_constants
+
+    perms = perm_constants(num_perm)
+    rpb = num_perm // bands
+
+    def fp(t):
+        if t is None:
+            return None
+        return hashlib.md5(_WS_RE.sub(" ", t.strip()).lower().encode()).hexdigest()
+
+    def shingles(t):
+        if t is None:
+            return frozenset()
+        toks = _WS_RE.split(t.strip())
+        if len(toks) < n:
+            return frozenset()
+        return frozenset(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+    def sig(sh):
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P31 for s in sh]
+        return [min((a * h + b) % _P31 for h in hs) for a, b in perms]
+
+    def band_keys(sg):
+        return [
+            (bi, hashlib.md5(
+                ",".join(str(v) for v in sg[bi * rpb:(bi + 1) * rpb]).encode()
+            ).hexdigest())
+            for bi in range(bands)
+        ]
+
+    def jac(a, b):
+        i = len(a & b)
+        return i / (len(a) + len(b) - i)
+
+    g0 = {d: (fp(t), shingles(t)) for d, t in gen0}
+    hist_fp = {f for f, _ in g0.values() if f is not None}
+    hist_buckets: dict = {}
+    for d, (_f, sh) in g0.items():
+        sg = sig(sh)
+        if sg is None:
+            continue
+        for key in band_keys(sg):
+            hist_buckets.setdefault(key, set()).add(d)
+
+    rows = [(d, fp(t), shingles(t)) for d, t in batch]
+    # 1a: exact vs history (NULL fp never matches)
+    s1 = [(d, f, sh) for d, f, sh in rows if f is None or f not in hist_fp]
+    # 1b: within-batch exact — lowest id per fp; NULL-fp docs bypass
+    canon: dict = {}
+    for d, f, _sh in s1:
+        if f is not None:
+            canon[f] = min(canon.get(f, d), d)
+    s1c = [(d, f, sh) for d, f, sh in s1 if f is None or canon[f] == d]
+    # 2: near vs history — band collisions, exact-Jaccard verify
+    s2 = []
+    for d, f, sh in s1c:
+        sg = sig(sh)
+        hit = False
+        if sg is not None:
+            olds = set()
+            for key in band_keys(sg):
+                olds |= hist_buckets.get(key, set())
+            hit = any(jac(sh, g0[o][1]) >= threshold for o in olds)
+        if not hit:
+            s2.append((d, f, sh))
+    # 3: within-batch near-dup — buckets, verify, components, min-id
+    buckets: dict = {}
+    sh_of = {d: sh for d, _f, sh in s2}
+    for d, _f, sh in s2:
+        sg = sig(sh)
+        if sg is None:
+            continue
+        for key in band_keys(sg):
+            buckets.setdefault(key, set()).add(d)
+    edges = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                edges.add((ds[x], ds[y]))
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if jac(sh_of[a], sh_of[b]) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    losers = {x for x in parent if find(x) != x}
+    return {(d, f) for d, f, _sh in s2 if d not in losers}
+
+
+@pytest.mark.parametrize("seed", list(range(12000, 12010)))
+def test_random_incremental_dedup_matches_python(spark, seed):
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        release_batch_checkpoints,
+    )
+
+    (n, num_perm, bands, threshold), gen0, batch = build_incremental_case(seed)
+    g0df = spark.createDataFrame(gen0, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    index = build_dedup_index(g0df, n=n, num_perm=num_perm).localCheckpoint(
+        eager=False
+    )
+    accepted, idx_rows = dedup_batch_against_index(
+        bdf, index, threshold=threshold, n=n, num_perm=num_perm, bands=bands
+    )
+    got = {(r.doc, r.fp) for r in idx_rows.select("doc", "fp").collect()}
+    want = _py_incremental_accept(gen0, batch, n, num_perm, bands, threshold)
+    release_batch_checkpoints(accepted, idx_rows)
+    assert got == want, (
+        f"seed {seed} n={n} perms={num_perm} bands={bands} t={threshold}: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
