@@ -44,12 +44,54 @@ def _release_plan_blocks(df: DataFrame) -> None:
         pass
 
 
+def _collected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find over an ALREADY-MATERIALIZED edge leaf —
+    the collect_cap fast path of connected_components. Caller has
+    verified the edge count is under the cap. Returns the same
+    (node, component = min reachable id) contract, or None when an
+    endpoint is NULL (exotic input — keep the distributed loop's legacy
+    null semantics rather than redefining them here)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select(src, dst).collect():
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            return None
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root: the root of a set is always its minimum
+            # member (induction over unions), so find(n) IS the
+            # component's canonical label — identical to the loop's
+            # min-propagation fixpoint
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ntype = edges.schema[src].dataType
+    out_schema = StructType(
+        [StructField("node", ntype), StructField("component", ntype)]
+    )
+    labels = [(x, find(x)) for x in list(parent)]
+    return edges.sparkSession.createDataFrame(labels, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 15,
     checkpoint_dir: str | None = None,
+    collect_cap: int | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
@@ -67,6 +109,23 @@ def connected_components(
     is swept; the default (None) keeps the cheaper localCheckpoint,
     whose superseded block sets ARE released explicitly each time a
     newer truncation materializes (see _release_plan_blocks).
+
+    ``collect_cap`` (r9): when set and the edge count is ≤ it, skip the
+    iterative loop entirely — collect the edges and label them with a
+    driver-side union-find (bit-identical labels: both forms compute the
+    unique min-reachable-id fixpoint; pinned by the hypothesis
+    differential and an equality test). Near-dup edge sets are usually
+    MUCH smaller than the corpora they come from (true duplicates are
+    the minority), so at every measured scale the label-propagation
+    loop's ~2 jobs/round × diameter rounds cost more than one collect of
+    the (already-materialized) edge leaf. The probe is one count on that
+    leaf; over the cap — mass-duplicated corpora at 100 TB — the
+    distributed loop proceeds unchanged. Cap sizing: edges are two ids,
+    ~100-150 B/row collected; the 1M cap at call sites is ~100-150 MB of
+    transient driver heap. Measured (dedup_clusters end to end, medians
+    of 3, noop sink): sf0.1 4.88 → 3.28 s (×0.67, 256 edges); sf1
+    23.5 → 22.0 s (×0.94, 250.6k edges — the PPJoin pair pipeline
+    dominates there).
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -87,6 +146,11 @@ def connected_components(
     # over a truncated one. Eager: the loop's first action needs the
     # data anyway, and a materialized leaf is what makes the plans small.
     edges = _truncate(edges, True)
+    if collect_cap is not None and edges.count() <= collect_cap:
+        small = _collected_components(edges, src, dst)
+        if small is not None:
+            _release_plan_blocks(edges)
+            return small
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

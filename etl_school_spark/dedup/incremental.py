@@ -211,7 +211,11 @@ def dedup_batch_against_index(
     pairs = verify_jaccard_pairs(pcands, surv, surv, threshold).select(
         "id_a", "id_b"
     )
-    labels = connected_components(pairs)
+    # batch-sized edge sets are far under the cap in any sane ingestion
+    # config, so the within-batch components resolve driver-side in one
+    # collect; a mass-duplicated batch past the cap falls back to the
+    # distributed loop (cluster.py collect_cap docstring)
+    labels = connected_components(pairs, collect_cap=1_000_000)
     losers = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc")
     )

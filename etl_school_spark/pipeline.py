@@ -60,7 +60,10 @@ def drop_near_duplicates(
     from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col)
-    labels = connected_components(pairs)
+    # near-dup edges are the minority of any healthy corpus — under the
+    # cap they resolve in one driver-side union-find; past it the
+    # distributed loop proceeds (cluster.py collect_cap docstring)
+    labels = connected_components(pairs, collect_cap=1_000_000)
     q = docs.select(F.col(id_col).alias("node"), quality_score(text_col).alias("_q"))
     w = Window.partitionBy("component").orderBy(F.desc("_q"), "node")
     losers = (

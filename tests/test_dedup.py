@@ -81,6 +81,55 @@ def test_connected_components_chain_clique_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_collect_cap_paths(spark):
+    """The r9 collect_cap fast path (driver-side union-find) must return
+    exactly the distributed loop's labels — under the cap, OVER the cap
+    (fallback to the loop), and on string node ids (binary vs code-point
+    ordering must agree)."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    want = {r.node: r.component for r in connected_components(edges).collect()}
+    for cap in (10**6, 1):  # capped path, then over-cap fallback
+        got = {
+            r.node: r.component
+            for r in connected_components(edges, collect_cap=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+    sedges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("É", "Z")],
+        "id_a string, id_b string",
+    )
+    swant = {r.node: r.component for r in connected_components(sedges).collect()}
+    sgot = {
+        r.node: r.component
+        for r in connected_components(sedges, collect_cap=10**6).collect()
+    }
+    assert sgot == swant
+
+
+def test_connected_components_collect_cap_null_fallback(spark):
+    """A NULL endpoint routes the capped call to the distributed loop
+    (legacy null semantics preserved, not redefined driver-side)."""
+    from etl_school_spark.dedup.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (3, 4)], "id_a long, id_b long"
+    )
+    want = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, collect_cap=10**6).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_warns_on_nonconvergence(spark):
     """A chain whose diameter exceeds the round budget must not return
     silently-split components without a warning (ADVICE r1)."""

@@ -302,6 +302,12 @@ def test_connected_components_match_union_find(spark, edges):
     got = {r.node: r.component for r in connected_components(df, max_iterations=50).collect()}
     want = _py_components(edges)
     assert got == want
+    # r9 collect_cap fast path: same labels via the driver-side union-find
+    capped = {
+        r.node: r.component
+        for r in connected_components(df, collect_cap=10**6).collect()
+    }
+    assert capped == want
 
 
 # ---------------------------------------------------------------------------
