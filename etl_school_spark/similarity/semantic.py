@@ -1,0 +1,151 @@
+"""Semantic deduplication (SemDeDup): embedding-space near-duplicate
+removal via cluster-then-dedup — the published method for pruning
+semantically redundant training data (Abbas et al. 2023,
+arXiv:2303.09540), composed from this engine's measured blocks:
+
+1. deterministic Lloyd's k-means (ivf.train_centroids — the exact
+   fixed-point form the `ann_topk_ivf` driver oracle replays
+   move-for-move in SQL, so training needs no new trust argument);
+2. one scan assigns every vector its nearest cell and precomputes the
+   double-cast array + L2 norm (the ivf_topk projection pattern — the
+   pair join below then pays only the product fold per candidate);
+3. within-cell pairwise cosine ≥ threshold → duplicate edges. The join
+   is a declarative cell equi-join (id_a < id_b) — candidate volume is
+   Σ |cell|²/2, governed by the n_cells ≈ √corpus sizing rule, and the
+   rows stream through codegen filters with no per-task group
+   materialization (the ivf "sql" verify form). Cross-cell
+   near-duplicates are NOT examined — that is SemDeDup's defining
+   approximation (dedup within clusters only), stated in the paper and
+   inherited here verbatim;
+4. connected components over the edges (cluster.connected_components
+   with its capped driver-side union-find — duplicate edges are the
+   minority of any healthy corpus) and ONE survivor per component:
+   ``keep="min_id"`` (deterministic canonical, the engine's dedup
+   convention) or ``keep="farthest"`` (the paper's rule: keep the
+   member with the LOWEST cosine similarity to its cluster centroid —
+   the least prototypical example preserves the most diversity).
+
+Reference analog: none (the reference has no embedding surface); this
+extends the dedup family the same way dedup/contamination.py extends
+exact dedup. Correctness: differential tests pin assignment, pair
+detection, components, and both keep rules against an independent
+pure-Python reference with the same sequential fold order
+(tests/test_similarity.py); training itself is pinned by the
+`ann_topk_ivf` driver oracle.
+
+At 100 TB: training cost is the ivf contract (n_cells × dim collect of
+fixed-point sums per iteration); the assignment scan is linear; the
+pair join shuffles one skinny row per vector on the cell key and its
+output is quadratic only WITHIN cells (size the cell count to the
+corpus: n_cells ≈ √n keeps E[|cell|²·n_cells] ≈ n^1.5 — the documented
+SemDeDup cost — and a genuinely hot cell is visible in one
+groupBy-count census, same instrument as dedup/census.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_school_spark.functions.vectors import as_double, dot, l2_norm
+from etl_school_spark.similarity.ivf import _nearest_cell, _sq_dist, train_centroids
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+    collect_cap: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup over an embedding frame.
+
+    Returns one row per input vector:
+    (``id_col``, cell, component, keep) — ``component`` is the duplicate
+    group's canonical min id (singletons: the vector's own id), ``keep``
+    marks the group's one survivor under the chosen rule. Filtering on
+    ``keep`` yields the deduplicated corpus.
+
+    ``keep="min_id"``: lowest id per component survives.
+    ``keep="farthest"``: the member farthest from its cell centroid
+    (squared-L2, id tiebreak) survives — the paper's
+    keep-least-prototypical rule. Every component lies within one cell
+    by construction (edges never cross cells), so the member-to-own-
+    centroid distance ranks within a single centroid's geometry.
+    """
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
+
+    vd = as_double(F.col(vec_col))
+    assigned = embs.select(
+        F.col(id_col).alias("vid"),
+        vd.alias("v"),
+        l2_norm(vd).alias("_n"),
+        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+
+    a = assigned.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("_n").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
+        "cell",
+    )
+    edges = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    from etl_school_spark.dedup.cluster import connected_components
+
+    labels = connected_components(edges, collect_cap=collect_cap)
+    out = assigned.select("vid", "cell").join(
+        labels.withColumnRenamed("node", "vid"), "vid", "left"
+    )
+    out = out.withColumn("component", F.coalesce("component", "vid"))
+
+    if keep == "min_id":
+        return out.select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "component",
+            (F.col("vid") == F.col("component")).alias("keep"),
+        )
+
+    # farthest-from-centroid: rank members of each component by squared
+    # distance to their (shared) cell's centroid, descending, id tiebreak
+    from pyspark.sql.window import Window
+
+    # per-cell constant-centroid distance, selected by the cell id — the
+    # centroids are plan literals (ivf.py broadcast-lifecycle note), so
+    # this is one codegen'd CASE chain, no join
+    expr = None
+    for ci, cvec in enumerate(centroids):
+        branch = _sq_dist(F.col("v"), cvec)
+        expr = (
+            F.when(F.col("cell") == ci, branch)
+            if expr is None
+            else expr.when(F.col("cell") == ci, branch)
+        )
+    with_d = assigned.select("vid", "cell", expr.alias("_d")).join(
+        out.select("vid", "component"), "vid"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_d"), "vid")
+    ranked = with_d.withColumn("_r", F.row_number().over(w))
+    return ranked.select(
+        F.col("vid").alias(id_col),
+        "cell",
+        "component",
+        (F.col("_r") == 1).alias("keep"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -597,3 +598,128 @@ def test_destroy_broadcasts_releases_blocks_on_request(spark):
     assert destroy_broadcasts(emb) == 0
     with _pytest.raises(Exception):
         out.collect()  # destroyed blocks cannot be re-fetched
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (similarity/semantic.py): cluster-then-dedup differential vs
+# an independent pure-Python reference with the same sequential fold
+# order — pins assignment (first-min cell), within-cell pair detection
+# at the threshold boundary, capped-components labeling, and BOTH keep
+# rules. Training (train_centroids) is pinned separately by the
+# ann_topk_ivf driver oracle, so the reference consumes the trained
+# centroids as given.
+# ---------------------------------------------------------------------------
+def _py_semantic_dedup(rows, centroids, threshold, keep):
+    import math
+
+    def sqd(v, c):
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def dotf(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cell, nrm = {}, {}
+    vec = dict(rows)
+    for vid, v in rows:
+        ds = [sqd(v, c) for c in centroids]
+        cell[vid] = ds.index(min(ds))  # first min = array_position
+        nrm[vid] = norm(v)
+    ids = sorted(vec)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            if dotf(vec[a], vec[b]) / (nrm[a] * nrm[b]) >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in ids}
+    out = {}
+    if keep == "min_id":
+        for i in ids:
+            out[i] = (cell[i], comp[i], comp[i] == i)
+    else:  # farthest from own-cell centroid, id tiebreak
+        best = {}
+        for i in ids:
+            d = sqd(vec[i], centroids[cell[i]])
+            c = comp[i]
+            if c not in best or (d, -i) > (best[c][0], -best[c][1]):
+                best[c] = (d, i)
+        for i in ids:
+            out[i] = (cell[i], comp[i], best[comp[i]][1] == i)
+    return out
+
+
+@pytest.mark.parametrize("threshold,keep", [
+    (0.95, "min_id"), (0.8, "min_id"), (0.95, "farthest"), (0.8, "farthest"),
+])
+def test_semantic_dedup_matches_python(spark, threshold, keep):
+    from etl_school_spark.similarity.ivf import train_centroids
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 150)
+    got = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=threshold, n_cells=4, keep=keep
+        ).collect()
+    }
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    centroids = train_centroids(emb, n_cells=4)
+    want = _py_semantic_dedup(rows, centroids, threshold, keep)
+    assert got == want
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted exact copies form one component whose min id survives
+    under min_id; under farthest, exactly one member survives and
+    every component keeps exactly one."""
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    base = _emb(spark).filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(copies)
+    out = semantic_dedup(emb, threshold=0.999999, n_cells=4).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 45
+    for i in range(5):  # each copy pairs with its source; min id wins
+        assert by_id[i + 1000].component == by_id[i].component == i
+        assert by_id[i].keep and not by_id[i + 1000].keep
+    far = semantic_dedup(emb, threshold=0.999999, n_cells=4, keep="farthest")
+    kept_per_comp = {}
+    for r in far.collect():
+        kept_per_comp.setdefault(r.component, 0)
+        kept_per_comp[r.component] += int(r.keep)
+    assert all(v == 1 for v in kept_per_comp.values())
+
+
+def test_semantic_dedup_rejects_bad_keep(spark):
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    with pytest.raises(ValueError):
+        semantic_dedup(_emb(spark), keep="best")
