@@ -14,7 +14,11 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 296 seeds across the twelve families below (r9 adds family 12
+CI pins 304 seeds across the thirteen families below (r9 adds family
+13 — the SemDeDup sweep under random n_cells / threshold / keep-rule
+on synthetic clustered corpora with planted exact copies vs the
+pure-Python same-fold-order reference, 8 CI seeds + a 30-seed one-off
+sweep (13008-13037), all clean; r9 adds family 12
 — the incremental-dedup acceptance replay under random n / num_perm /
 bands / threshold on planted multi-edge-case corpora vs a pure-Python
 sequential reference that recomputes fingerprints, signatures, banding,
@@ -1291,3 +1295,64 @@ def test_random_incremental_dedup_matches_python(spark, seed):
         f"seed {seed} n={n} perms={num_perm} bands={bands} t={threshold}: "
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Family 13 (r9): SemDeDup sweep vs the pure-Python reference. The fixed
+# parametrized tests (test_similarity.py) pin two thresholds on the real
+# embeddings table; this family sweeps n_cells / threshold / keep-rule
+# over synthetic corpora with planted structure — exact copies (the
+# cosine≈1 boundary), perturbed cluster members, singleton cells — so
+# the cell-assignment ties, threshold boundary, and both survivor rules
+# are exercised across random geometries. Training (train_centroids) is
+# consumed as given per the semantic.py layering (it is oracle-pinned
+# through ann_topk_ivf); everything downstream — assignment, pair
+# detection, components, keep — is recomputed independently in Python
+# with the same sequential fold order.
+# ---------------------------------------------------------------------------
+def build_semantic_case(seed):
+    rng = random.Random(seed)
+    n_cells = rng.choice([2, 4, 8])
+    threshold = rng.choice([0.7, 0.9, 0.999999])
+    keep = rng.choice(["min_id", "farthest"])
+    dim = rng.choice([4, 8])
+    rows, nid = [], 0
+    for _c in range(rng.randrange(2, 6)):  # clusters
+        center = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for _m in range(rng.randrange(1, 6)):
+            vec = [round(x + rng.uniform(-0.05, 0.05), 3) for x in center]
+            rows.append((nid, vec)); nid += 1
+    for _ in range(rng.randrange(0, 4)):  # planted exact copies
+        rows.append((nid, list(rng.choice(rows)[1]))); nid += 1
+    while len(rows) < n_cells:  # train contract: corpus >= n_cells
+        rows.append((nid, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]))
+        nid += 1
+    return n_cells, threshold, keep, rows
+
+
+@pytest.mark.parametrize("seed", list(range(13000, 13008)))
+def test_random_semantic_dedup_matches_python(spark, seed):
+    from etl_school_spark.similarity.ivf import train_centroids
+    from etl_school_spark.similarity.semantic import semantic_dedup
+    from tests.test_similarity import _py_semantic_dedup
+
+    n_cells, threshold, keep, rows = build_semantic_case(seed)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(
+            df, threshold=threshold, n_cells=n_cells, keep=keep
+        ).collect()
+    }
+    # the reference consumes the FLOAT32-rounded vectors, exactly as the
+    # engine's as_double cast sees them
+    f32 = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in df.select("vec_id", "embedding").collect()
+    }
+    centroids = train_centroids(df, n_cells=n_cells)
+    want = _py_semantic_dedup(sorted(f32.items()), centroids, threshold, keep)
+    assert got == want, f"seed {seed} cells={n_cells} t={threshold} keep={keep}"
