@@ -65,6 +65,11 @@ def train_centroids(
         corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    # a corpus smaller than n_cells seeds fewer centroids — clamp rather
+    # than index past the seed list (registered queries never hit this;
+    # semantic_dedup callers with tiny frames do). Downstream is
+    # consistent: every consumer iterates the returned list.
+    n_cells = len(centroids)
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = corpus.select(

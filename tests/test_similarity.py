@@ -723,3 +723,17 @@ def test_semantic_dedup_rejects_bad_keep(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup(_emb(spark), keep="best")
+
+
+def test_train_centroids_clamps_to_corpus_size(spark):
+    """A corpus smaller than n_cells trains one centroid per row instead
+    of indexing past the seed list; semantic_dedup over it still labels
+    every vector."""
+    from etl_school_spark.similarity.ivf import train_centroids
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 3)
+    cents = train_centroids(emb, n_cells=16)
+    assert len(cents) == 3
+    out = semantic_dedup(emb, threshold=0.95, n_cells=16).collect()
+    assert len(out) == 3 and all(r.keep is not None for r in out)
