@@ -92,6 +92,30 @@ def simhash_census(
     )
 
 
+def semantic_census(
+    embs: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Cell-size census of exactly the assignment frame semantic_dedup
+    self-joins (similarity/semantic.py) — its pair stage is
+    cell-quadratic the same way the band joins are bucket-quadratic, so
+    the same instrument applies: ``pair_expansion`` here is the exact
+    candidate-row count the within-cell join emits. A hot cell (mass of
+    near-identical embeddings) calls for more cells (n_cells ≈ √corpus)
+    or a re-clustering pass of that cell — visible here before it costs
+    anything."""
+    from etl_school_spark.similarity.ivf import _nearest_cell, train_centroids
+
+    centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
+    assigned = embs.select(
+        _nearest_cell(F.col(vec_col), centroids).alias("cell")
+    )
+    return bucket_size_stats(assigned, ["cell"])
+
+
 def minhash_census(
     docs: DataFrame,
     n: int = 3,

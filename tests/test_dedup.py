@@ -808,3 +808,31 @@ def test_pairs_within_groups_hybrid_routing_exact(spark):
     routed = {(r.id_a, r.id_b): r.jaccard
               for r in minhash_lsh_pairs(docs, threshold=0.5, hot_band_threshold=2).collect()}
     assert plain == routed and len(plain) > 0
+
+
+def test_semantic_census_matches_direct_count(spark):
+    """r9: the semantic-cell census reports exactly the cell distribution
+    of the assignment frame semantic_dedup self-joins, and its
+    pair_expansion is the exact candidate count of the within-cell
+    join."""
+    from collections import Counter
+
+    from etl_school_spark.dedup.census import semantic_census
+    from etl_school_spark.similarity.ivf import _nearest_cell, train_centroids
+    from etl_school_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    got = semantic_census(embs, n_cells=8)
+    cents = train_centroids(embs, n_cells=8)
+    cells = [
+        r.cell
+        for r in embs.select(
+            _nearest_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    ]
+    sizes = Counter(cells)
+    assert got["rows"] == len(cells)
+    assert got["n_buckets"] == len(sizes)
+    assert got["max_size"] == max(sizes.values())
+    assert got["pair_expansion"] == sum(s * (s - 1) // 2 for s in sizes.values())

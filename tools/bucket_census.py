@@ -20,7 +20,11 @@ def main() -> int:
         d for d in ("/root/testdata/sf0.1", "/root/repo/.sf1") if os.path.isdir(d)
     ]
 
-    from etl_school_spark.dedup.census import minhash_census, simhash_census
+    from etl_school_spark.dedup.census import (
+        minhash_census,
+        semantic_census,
+        simhash_census,
+    )
     from etl_school_spark.session import get_spark
     from etl_school_spark.tables import fan_out, load_table
 
@@ -32,6 +36,13 @@ def main() -> int:
                 json.dumps({"sf_dir": sf_dir, "operator": name, **fn(docs)}),
                 flush=True,
             )
+        embs = fan_out(load_table(spark, sf_dir, "embeddings"))
+        print(
+            json.dumps(
+                {"sf_dir": sf_dir, "operator": "semantic", **semantic_census(embs)}
+            ),
+            flush=True,
+        )
     return 0
 
 
