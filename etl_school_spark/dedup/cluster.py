@@ -10,8 +10,11 @@ expressed as DataFrame joins:
 iterated to fixpoint. Each round is one join + one aggregate (both
 shuffle on the node key); rounds needed = graph diameter, and near-dup
 graphs are shallow (small cliques/chains), so a handful of rounds
-suffices. The driver loop only evaluates a scalar convergence count per
-round — no data is collected.
+suffices. In the distributed loop the driver only evaluates a scalar
+convergence count per round; with ``collect_cap`` set (r9) an edge set
+under the cap is instead collected once and labeled by a driver-side
+union-find — a measured dispatch with an explicit memory bound, not an
+unbounded collect (see the connected_components docstring).
 """
 
 from __future__ import annotations
