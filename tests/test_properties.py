@@ -575,3 +575,59 @@ def test_bigram_lm_ranks_fluent_below_gibberish(spark):
     )
     got = {r.i: r.ppl for r in perplexity_scores(docs, lm, "i", "t").collect()}
     assert got[1] < got[2]
+
+
+# ---------------------------------------------------------------------------
+# blocked_shortlist_scores (gemm.py, the r9 per-bucket tiling kernel) vs
+# a brute-force numpy reference on random geometries — the planted
+# hot-bucket integration test pins two block sizes end to end; this
+# fuzzes the BLOCK BOUNDARIES (block = 1, block = |corpus|, block
+# straddling the group, duplicate vectors at the local-k cut) on the
+# pure pandas function directly. The kernel's contract: its output is a
+# SUPERSET of every query's true top-local_k (ties included), and every
+# emitted score is the exact sequential fold. The caller's rank window
+# does the final cut, so supersets are correct by construction.
+# ---------------------------------------------------------------------------
+_vec_lists = st.lists(
+    st.lists(st.integers(-3, 3).map(float), min_size=3, max_size=3),
+    min_size=1,
+    max_size=12,
+).filter(lambda vs: all(any(x != 0.0 for x in v) for v in vs))
+
+
+@settings(max_examples=25, deadline=None)
+@given(qs=_vec_lists, cs=_vec_lists, k=st.integers(1, 4), block=st.integers(1, 14))
+def test_blocked_shortlist_covers_topk_any_block(qs, cs, k, block):
+    import numpy as np
+    import pandas as pd
+
+    from etl_school_spark.similarity.gemm import (
+        _seq_fold_sum,
+        blocked_shortlist_scores,
+    )
+
+    qdf = pd.DataFrame(
+        {"query_id": range(len(qs)), "qv": qs,
+         "_nq": [float(np.sqrt(_seq_fold_sum((np.array([v]) ** 2))[0])) for v in qs]}
+    )
+    cdf = pd.DataFrame(
+        {"neighbor_id": range(len(cs)), "cv": cs,
+         "_nc": [float(np.sqrt(_seq_fold_sum((np.array([v]) ** 2))[0])) for v in cs]}
+    )
+    out = blocked_shortlist_scores(qdf, cdf, k, block)
+    got = {(int(r.query_id), int(r.neighbor_id)): r.score_raw for r in out.itertuples()}
+
+    # brute-force exact scores, same fold order
+    for qi, qv in enumerate(qs):
+        scores = {}
+        for ci, cv in enumerate(cs):
+            P = np.array([[a * b for a, b in zip(qv, cv)]])
+            d = _seq_fold_sum(P)[0]
+            scores[ci] = d / (qdf["_nq"][qi] * cdf["_nc"][ci])
+        cut = sorted(scores.values(), reverse=True)[min(k, len(cs)) - 1]
+        for ci, s in scores.items():
+            if s >= cut:  # every true top-k member (ties included)...
+                assert (qi, ci) in got, (qi, ci, s, cut, block)
+        for (gq, gc), gs in got.items():
+            if gq == qi:  # ...and every emitted score is exact
+                assert gs == scores[gc]
