@@ -115,6 +115,23 @@ def main() -> None:
     canary_sec = round(canary_samples[len(canary_samples) // 2], 4)
     canary_spread = round(canary_samples[-1] - canary_samples[0], 4)
 
+    # Second canary flavor (r9): the codegen probe missed a real drift
+    # mode — on 2026-08-15 untouched queries ran +13-15% while the pure
+    # in-memory sum moved only +2% — so scan-shaped drift (page cache,
+    # I/O scheduler, file-listing latency) gets its own probe: a full
+    # count of documents.parquet via spark.read directly (no repo code).
+    # Same data across rounds at the same sf ⇒ cross-round comparable.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    spark.read.parquet(doc_path).count()  # untimed: codegen/footer warmup
+    io_samples = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.read.parquet(doc_path).count()
+        io_samples.append(time.time() - t0)
+    io_samples.sort()
+    canary_io_sec = round(io_samples[len(io_samples) // 2], 4)
+    canary_io_spread = round(io_samples[-1] - io_samples[0], 4)
+
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
     # included, so planning-time regressions are visible. passes 2..n+1 =
@@ -154,6 +171,8 @@ def main() -> None:
                 "warm_iters": 0 if cold_only else warm_iters,
                 "canary_sec": canary_sec,
                 "canary_spread": canary_spread,
+                "canary_io_sec": canary_io_sec,
+                "canary_io_spread": canary_io_spread,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
