@@ -42,11 +42,23 @@ def main() -> int:
         spark.range(500_000_000).selectExpr("sum(id)").collect()
         samples.append(time.time() - t0)
     samples.sort()
+    # second flavor (r9, mirrors bench.py): scan-shaped drift probe —
+    # the codegen canary missed a +13-15% I/O-mode drift day
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    spark.read.parquet(doc_path).count()
+    io_samples = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.read.parquet(doc_path).count()
+        io_samples.append(time.time() - t0)
+    io_samples.sort()
     print(
         json.dumps(
             {
                 "canary_sec": round(samples[4], 4),
                 "canary_spread": round(samples[-1] - samples[0], 4),
+                "canary_io_sec": round(io_samples[2], 4),
+                "canary_io_spread": round(io_samples[-1] - io_samples[0], 4),
             }
         ),
         flush=True,
