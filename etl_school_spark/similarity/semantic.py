@@ -78,6 +78,11 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    from etl_school_spark.tables import fan_out
+
+    # assignment + the cell self-join are fold-heavy pre-shuffle work; a
+    # single-file scan would serialize them (train_centroids docstring)
+    embs = fan_out(embs)
     centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
 
     vd = as_double(F.col(vec_col))
