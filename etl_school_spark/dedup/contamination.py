@@ -47,8 +47,12 @@ def contaminated_docs(
     Returns (id_col, overlap_grams) — overlap_grams = number of DISTINCT
     shared n-grams. The benchmark gram set is explicitly broadcast.
     """
+    from etl_school_spark.tables import fan_out
+
     grams = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
-    exploded = docs.select(
+    # the corpus-side shingle explode is the map-side cost; parallelize a
+    # narrow scan up front (no-op when already parallel)
+    exploded = fan_out(docs).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
     )
     return (

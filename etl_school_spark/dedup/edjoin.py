@@ -227,6 +227,9 @@ def blocked_edit_distance_pairs(
     blocking prefix with levenshtein(name_a, name_b) ≤ max_dist — the
     same contract as the fixed-key blocked join, with candidates bounded
     per block (see module docstring)."""
+    from etl_school_spark.tables import fan_out
+
+    df = fan_out(df)  # q-gram signature scan is pre-shuffle fold work
     cand = edit_blocked_candidates(
         df, id_col, name_col, prefix_len, max_dist, q, block_cap, gram_order
     )

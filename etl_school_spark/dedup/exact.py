@@ -22,8 +22,11 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     Downstream, keeping ``canonical_id`` rows implements dedup; group_n > 1
     rows are the duplicates report.
     """
+    from etl_school_spark.tables import fan_out
+
     return (
-        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        fan_out(docs)  # md5 scan is pre-shuffle work; no-op when parallel
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("canonical_id"),

@@ -36,6 +36,14 @@ from etl_school_spark.functions.text import word_shingles
 
 
 def shingle_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # the shared scan entry of the Jaccard family (ngram, minhash,
+    # incremental index): shingling + downstream md5 signatures are
+    # fold-heavy PRE-shuffle work, so restore parallelism here once —
+    # a single-file scan otherwise runs it all on one core (no-op when
+    # the scan is already parallel; tables.fan_out)
+    from etl_school_spark.tables import fan_out
+
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col).alias("doc"),
         word_shingles(text_col, n).alias("shingles"),

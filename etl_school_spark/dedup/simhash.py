@@ -69,7 +69,11 @@ def simhash_chunk_rows(
     frame of ``simhash_near_pairs``, exposed so the skew census
     (dedup/census.py) measures exactly the bucket distribution the
     candidate self-join will see."""
-    signed = docs.select(
+    from etl_school_spark.tables import fan_out
+
+    # signature scan is fold-heavy pre-shuffle work — parallelize a
+    # narrow scan up front (no-op when already parallel)
+    signed = fan_out(docs).select(
         F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
     )
     buckets = F.array(

@@ -102,6 +102,12 @@ def train_bigram_lm(
     """Train on the trusted reference corpus. Deterministic: the vocab is
     the top ``vocab_size`` types by (count desc, token) — ties break
     lexicographically, so retraining reproduces the same model."""
+    from etl_school_spark.tables import fan_out
+
+    # tokenize+explode is the pre-shuffle cost of both passes; the model
+    # is invariant to partitioning (_rid values change but stay unique
+    # per row, and all aggregations key on tokens, not _rid)
+    ref_docs = fan_out(ref_docs)
     with_id = ref_docs.withColumn("_rid", F.monotonically_increasing_id())
     uni = (
         with_id.select(F.explode(tokens(text_col)).alias("w"))
@@ -126,7 +132,9 @@ def perplexity_scores(
     documents have no bigram evidence and are absent — callers left-join
     and decide their fate). Lower ppl = closer to the reference corpus.
     """
-    bg = _mapped_bigrams(docs, id_col, text_col, lm.vocab)
+    from etl_school_spark.tables import fan_out
+
+    bg = _mapped_bigrams(fan_out(docs), id_col, text_col, lm.vocab)
     joined = (
         bg.join(lm.bigrams, ["w1", "w2"], "left")
         .join(lm.contexts, "w1", "left")

@@ -167,6 +167,11 @@ def gemm_topk(
     emitted score is the exact sequential-fold value, so this operator
     answers the identical oracle as the relational baseline.
     """
+    from etl_school_spark.tables import fan_out
+
+    # a single-file scan would stream the whole corpus through ONE
+    # mapInPandas task (one core of BLAS); no-op when already parallel
+    corpus = fan_out(corpus)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
@@ -255,6 +260,9 @@ def cosine_pairs_dense(
     per-block job loop (the previous shape paid ⌈n/block⌉ collect jobs
     plus as many scans; measured ~1 s of pure scheduling at sf0.1).
     """
+    from etl_school_spark.tables import fan_out
+
+    emb = fan_out(emb)  # the streamed side feeds mapInPandas BLAS tasks
     rows = emb.select(id_col, vec_col).limit(block * max_blocks + 1).collect()
     n = len(rows)
     if n > block * max_blocks:

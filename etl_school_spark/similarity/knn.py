@@ -68,11 +68,15 @@ def brute_force_topk(
     value-identical to ``cosine`` (same fold order), so oracles need no
     special casing.
     """
+    from etl_school_spark.tables import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(as_double(F.col(vec_col))).alias("_nq"),
     )
+    # the corpus-side fold work dominates; parallelize a narrow scan
+    corpus = fan_out(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -243,6 +247,9 @@ def lsh_topk(
     ``bits="auto"`` does exactly that (one corpus count, then
     _auto_bits targets ``corpus_block`` members per bucket, capped at
     64 // tables by the pool-word budget)."""
+    from etl_school_spark.tables import fan_out
+
+    corpus = fan_out(corpus)  # hyperplane-code scan is pre-shuffle fold work
     if bits == "auto":
         bits = _auto_bits(corpus.count(), tables, corpus_block)
     planes = _hyperplanes(dim, bits, tables, seed)
@@ -527,6 +534,9 @@ def cosine_pairs_bucketed(
     colliding buckets — that is the 100 TB path, with ``bits`` scaled up
     to match the threshold (see the clustered-fixture test).
     """
+    from etl_school_spark.tables import fan_out
+
+    emb = fan_out(emb)  # pool-code scan is pre-shuffle fold work
     cand = lsh_candidate_pairs(emb, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed)
     # double-cast arrays and norms precomputed ONCE per vector (not per
     # candidate pair); the score expression dot/(na·nb) is

@@ -64,6 +64,11 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     is not semantically meaningful to any caller (all registered queries
     end in an explicit sort), and round-robin repartition is
     retry-deterministic (Spark sorts within partitions before dealing)."""
+    if df.isStreaming:
+        # streaming frames have no static partition count to inspect and
+        # micro-batch parallelism is the trigger's concern — pass through
+        # so batch/stream-shared operators can apply the guard blindly
+        return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
