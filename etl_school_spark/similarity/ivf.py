@@ -28,8 +28,20 @@ from etl_school_spark.functions.vectors import as_double, dot, l2_norm
 
 
 def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
-    """Exact-order-independent squared L2 distance to a constant centroid."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    """Exact-order-independent squared L2 distance to a constant centroid.
+
+    The centroid ships as ONE compact array literal (F.lit of a 1-D
+    numpy array = a single Catalyst Literal leaf), not per-element
+    F.lit calls — the same representation lesson as knn.pool_code: the
+    per-element form put n_cells × dim Literal nodes into every
+    assignment expression, and the analyzer/optimizer re-walked them on
+    each of the training loop's per-iteration plans (measured below in
+    train_centroids' docstring). Arithmetic unchanged: the zip_with
+    fold order is identical, so distances — and therefore cell
+    assignments and the trained centroids — are bit-identical."""
+    import numpy as np
+
+    c = F.lit(np.array([float(x) for x in centroid], dtype=np.float64))
     return F.aggregate(
         F.zip_with(vec_col.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
