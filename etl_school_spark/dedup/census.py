@@ -69,6 +69,18 @@ def bucket_size_stats(buckets: DataFrame, keys: list[str]) -> dict:
         F.expr("percentile(sz, 0.99)").alias("p99"),
         F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("pair_expansion"),
     ).first()
+    if row["rows"] is None:
+        # empty blocking frame (e.g. every signature NULL, or an empty
+        # table): the global agg row holds NULL max/percentiles — report
+        # zeros instead of crashing on int(None) (r10 ADVICE item)
+        return {
+            "rows": 0,
+            "n_buckets": 0,
+            "max_size": 0,
+            "p50": 0.0,
+            "p99": 0.0,
+            "pair_expansion": 0,
+        }
     return {
         "rows": int(row["rows"]),
         "n_buckets": int(row["n_buckets"]),
@@ -94,7 +106,7 @@ def simhash_census(
 
 def semantic_census(
     embs: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -106,9 +118,14 @@ def semantic_census(
     candidate-row count the within-cell join emits. A hot cell (mass of
     near-identical embeddings) calls for more cells (n_cells ≈ √corpus)
     or a re-clustering pass of that cell — visible here before it costs
-    anything."""
+    anything. ``n_cells="auto"`` (default, matching semantic_dedup's
+    r10 default) applies the ⌈√n⌉ sizing rule so the census measures
+    the posture a defaults caller actually gets."""
     from etl_school_spark.similarity.ivf import _nearest_cell, train_centroids
+    from etl_school_spark.similarity.semantic import _auto_cells
 
+    if n_cells == "auto":
+        n_cells = _auto_cells(embs.count())
     centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
     assigned = embs.select(
         _nearest_cell(F.col(vec_col), centroids).alias("cell")

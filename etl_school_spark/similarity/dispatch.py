@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from etl_school_spark.similarity.gemm import cosine_pairs_dense
+from etl_school_spark.similarity.gemm import DenseCapExceeded, cosine_pairs_dense
 from etl_school_spark.similarity.knn import (
     cosine_pairs_bucketed,
     lsh_candidate_density,
@@ -81,12 +81,12 @@ def cosine_pairs_auto(
     exceeds its dense_block × max_dense_blocks cap at EXECUTION time —
     so a stale memoized n (content grew past the cap under an unchanged
     analyzed plan, or a semanticHash collision) could route a
-    now-oversized corpus into cosine_pairs_dense's ValueError, a
+    now-oversized corpus into cosine_pairs_dense's DenseCapExceeded, a
     session-persistent hard failure a fresh probe would have avoided.
     Two escapes close that hole: (a) callers that mutate table content
     under an unchanged plan can pass ``force_reprobe=True`` to bypass
     and overwrite the memo entry; (b) when the DENSE branch raises its
-    cap ValueError while dispatch believed the corpus fit, the stale
+    cap DenseCapExceeded while dispatch believed the corpus fit, the stale
     entry is EVICTED and the dispatch re-probes once — the refreshed
     count then routes to the bucketed branch (or re-raises if the
     corpus genuinely is dense-regime-degenerate AND over the cap, which
@@ -123,10 +123,12 @@ def cosine_pairs_auto(
                 block=dense_block,
                 max_blocks=max_dense_blocks,
             )
-        except ValueError:
+        except DenseCapExceeded:
             # memoized n said "fits" but the cap check inside the dense
             # branch (which counts the REAL corpus) disagreed — the memo
-            # entry is stale; evict, re-probe once, re-dispatch
+            # entry is stale; evict, re-probe once, re-dispatch. Catching
+            # the dedicated type (not ValueError) keeps any future
+            # unrelated failure inside the dense branch loud (r10 ADVICE)
             n, density = probed(fresh=True)
             if n <= cap and density >= dense_cutoff:
                 raise  # genuinely dense-degenerate AND over the cap

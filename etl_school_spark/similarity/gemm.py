@@ -66,6 +66,14 @@ from pyspark.sql.window import Window
 _SELECT_MARGIN = 1e-9
 
 
+class DenseCapExceeded(ValueError):
+    """cosine_pairs_dense's collected-corpus bound was exceeded at
+    execution time. A dedicated type so dispatch.cosine_pairs_auto's
+    stale-memo eviction catches exactly the cap overflow — any other
+    ValueError from the dense branch propagates unmasked instead of
+    being silently rerouted to the bucketed plan (r10 ADVICE item)."""
+
+
 def _seq_fold_sum(P: np.ndarray) -> np.ndarray:
     """Row-wise sum of a (m × dim) matrix in strict LEFT-TO-RIGHT column
     order: acc ← acc + P[:,k] for k = 0..dim-1, each step one IEEE-754
@@ -266,7 +274,7 @@ def cosine_pairs_dense(
     rows = emb.select(id_col, vec_col).limit(block * max_blocks + 1).collect()
     n = len(rows)
     if n > block * max_blocks:
-        raise ValueError(
+        raise DenseCapExceeded(
             f"cosine_pairs_dense capped at {max_blocks} × {block} "
             f"collected rows (corpus exceeds {block * max_blocks}); this "
             "corpus is out of the dense regime — use "

@@ -21,9 +21,14 @@ arXiv:2303.09540), composed from this engine's measured blocks:
    with its capped driver-side union-find — duplicate edges are the
    minority of any healthy corpus) and ONE survivor per component:
    ``keep="min_id"`` (deterministic canonical, the engine's dedup
-   convention) or ``keep="farthest"`` (the paper's rule: keep the
-   member with the LOWEST cosine similarity to its cluster centroid —
-   the least prototypical example preserves the most diversity).
+   convention) or ``keep="farthest"`` (keep the least prototypical
+   member — ranked here by GREATEST SQUARED-L2 DISTANCE to the cell
+   centroid, a deliberate proxy for the paper's lowest-cosine rule:
+   for L2-normalized embeddings the two orders coincide exactly
+   (‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c is monotone-decreasing in cos when
+   ‖v‖ is constant), while on unnormalized inputs the survivor may
+   differ from the literal paper rule — the Python differential twin
+   mirrors the same squared-L2 choice, so the proxy is what tests pin).
 
 Reference analog: none (the reference has no embedding surface); this
 extends the dedup family the same way dedup/contamination.py extends
@@ -51,10 +56,26 @@ from etl_school_spark.functions.vectors import as_double, dot, l2_norm
 from etl_school_spark.similarity.ivf import _nearest_cell, _sq_dist, train_centroids
 
 
+def _auto_cells(n: int) -> int:
+    """Cell-count derivation for ``semantic_dedup(n_cells="auto")``:
+    ⌈√n⌉ (exact integer math), clamped ≥ 1 — the SemDeDup sizing rule
+    the module docstring and the census prescribe. Keeps the within-cell
+    pair stage at E[Σ|cell|²/2] ≈ n^1.5/2 as the corpus grows, instead
+    of the O(n²/n_cells) a FIXED cell count degrades to (the r9
+    semantic_census measured Σ pairs ×100 for ×10 data at n_cells=16).
+    The same derivation pattern as knn._auto_bits: one corpus count,
+    then a closed-form parameter."""
+    if n <= 1:
+        return 1
+    import math
+
+    return math.isqrt(n - 1) + 1  # ceil(sqrt(n)) in exact integer math
+
+
 def semantic_dedup(
     embs: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -72,9 +93,15 @@ def semantic_dedup(
     ``keep="min_id"``: lowest id per component survives.
     ``keep="farthest"``: the member farthest from its cell centroid
     (squared-L2, id tiebreak) survives — the paper's
-    keep-least-prototypical rule. Every component lies within one cell
-    by construction (edges never cross cells), so the member-to-own-
-    centroid distance ranks within a single centroid's geometry.
+    keep-least-prototypical rule via the squared-L2 proxy (module
+    docstring). Every component lies within one cell by construction
+    (edges never cross cells), so the member-to-own-centroid distance
+    ranks within a single centroid's geometry.
+
+    ``n_cells="auto"`` (the default since r10) derives ⌈√n⌉ from one
+    corpus count (_auto_cells) so the within-cell quadratic tracks the
+    documented n^1.5 SemDeDup cost at any scale; pass an int to pin the
+    cell count (the oracle-replayed registered shape does).
     """
     if keep not in ("min_id", "farthest"):
         raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
@@ -83,6 +110,8 @@ def semantic_dedup(
     # assignment + the cell self-join are fold-heavy pre-shuffle work; a
     # single-file scan would serialize them (train_centroids docstring)
     embs = fan_out(embs)
+    if n_cells == "auto":
+        n_cells = _auto_cells(embs.count())
     centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
 
     vd = as_double(F.col(vec_col))

@@ -836,3 +836,41 @@ def test_semantic_census_matches_direct_count(spark):
     assert got["n_buckets"] == len(sizes)
     assert got["max_size"] == max(sizes.values())
     assert got["pair_expansion"] == sum(s * (s - 1) // 2 for s in sizes.values())
+
+
+def test_semantic_census_auto_applies_sqrt_rule(spark):
+    """r10: semantic_census(n_cells="auto") measures the posture of
+    semantic_dedup's r10 default — cell count ⌈√n⌉ derived from one
+    corpus count, identical to passing it explicitly."""
+    from etl_school_spark.dedup.census import semantic_census
+    from etl_school_spark.similarity.semantic import _auto_cells
+    from etl_school_spark.tables import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    want_cells = _auto_cells(embs.count())
+    auto = semantic_census(embs)
+    explicit = semantic_census(embs, n_cells=want_cells)
+    assert auto == explicit
+    assert auto["n_buckets"] <= want_cells  # empty cells don't appear
+
+
+def test_bucket_size_stats_empty_frame_returns_zeros(spark):
+    """r10 ADVICE: an empty blocking frame (every signature NULL, or an
+    empty table) must census to zeros, not crash on int(None) from the
+    NULL global-agg row."""
+    from etl_school_spark.dedup.census import bucket_size_stats, minhash_census
+
+    empty = spark.createDataFrame([], "t int, key long")
+    assert bucket_size_stats(empty, ["t", "key"]) == {
+        "rows": 0,
+        "n_buckets": 0,
+        "max_size": 0,
+        "p50": 0.0,
+        "p99": 0.0,
+        "pair_expansion": 0,
+    }
+    # the motivating end-to-end case: a corpus where every doc is shorter
+    # than the shingle width signs to NULL, leaving zero band rows
+    docs = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id long, text string")
+    got = minhash_census(docs, n=9)
+    assert got["rows"] == 0 and got["pair_expansion"] == 0

@@ -725,6 +725,76 @@ def test_semantic_dedup_rejects_bad_keep(spark):
         semantic_dedup(_emb(spark), keep="best")
 
 
+def test_auto_cells_is_ceil_sqrt():
+    """r10: the n_cells="auto" derivation is exactly ⌈√n⌉ (integer math,
+    no float edge at perfect squares), clamped ≥ 1."""
+    from etl_school_spark.similarity.semantic import _auto_cells
+
+    assert _auto_cells(0) == 1
+    assert _auto_cells(1) == 1
+    assert _auto_cells(2) == 2
+    assert _auto_cells(4) == 2
+    assert _auto_cells(5) == 3
+    assert _auto_cells(16) == 4
+    assert _auto_cells(17) == 5
+    assert _auto_cells(10_000) == 100
+    assert _auto_cells(10_001) == 101
+    assert _auto_cells(20_000) == 142  # the census's "20k vectors want ~141"
+
+
+def test_semantic_dedup_auto_cells_matches_explicit(spark):
+    """r10: semantic_dedup's default n_cells="auto" must be row-identical
+    to passing the ⌈√n⌉ count explicitly — auto changes the PARAMETER
+    derivation, never the computation."""
+    from etl_school_spark.similarity.semantic import _auto_cells, semantic_dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 150)
+    n = emb.count()
+    want_cells = _auto_cells(n)
+    assert want_cells == 13  # 150 vectors → ⌈√150⌉
+    auto = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(emb, threshold=0.8).collect()
+    }
+    explicit = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(emb, threshold=0.8, n_cells=want_cells).collect()
+    }
+    assert auto == explicit
+    assert {c for c, _, _ in auto.values()} <= set(range(want_cells))
+
+
+def test_cosine_pairs_auto_does_not_swallow_unrelated_valueerror(spark):
+    """r10 ADVICE: the stale-memo eviction catches only DenseCapExceeded.
+    Any OTHER ValueError raised inside the dense branch must propagate
+    unmasked — no silent reroute to the bucketed plan, no extra probe."""
+    from etl_school_spark.similarity import dispatch as dsp
+
+    emb = _emb(spark)
+    calls = {"n": 0}
+    real_probe = dsp.lsh_candidate_density
+    real_dense = dsp.cosine_pairs_dense
+
+    def dense_probe(*a, **kw):
+        calls["n"] += 1
+        return (20, 1.0)  # routes to the dense branch
+
+    def broken_dense(*a, **kw):
+        raise ValueError("unrelated failure inside the dense branch")
+
+    if hasattr(spark, "_esp_density_memo"):
+        del spark._esp_density_memo
+    dsp.lsh_candidate_density = dense_probe
+    dsp.cosine_pairs_dense = broken_dense
+    try:
+        with pytest.raises(ValueError, match="unrelated failure"):
+            dsp.cosine_pairs_auto(emb, 0.4)
+        assert calls["n"] == 1  # no eviction re-probe for a foreign error
+    finally:
+        dsp.lsh_candidate_density = real_probe
+        dsp.cosine_pairs_dense = real_dense
+
+
 def test_train_centroids_clamps_to_corpus_size(spark):
     """A corpus smaller than n_cells trains one centroid per row instead
     of indexing past the seed list; semantic_dedup over it still labels
