@@ -52,7 +52,7 @@ PIPELINE = [
     # (rewritten after the sf1 session-kill) — new driver-visible work
     # gets wall-time tracking from the round it lands
     "sampling_counts_suite",
-    "embedding_stats",
+    "embedding_suite",
     "dedup_simhash",
     # r4 addition: the adaptive Ed-Join entity matcher (rewritten after
     # the sf1 fixed-blocking-key audit) — tracked from the round it lands

@@ -97,14 +97,21 @@ def semantic_dedup(
     docstring). Every component lies within one cell by construction
     (edges never cross cells), so the member-to-own-centroid distance
     ranks within a single centroid's geometry.
+    ``keep="both"`` (r10): one pass, BOTH flags — train, assignment,
+    pairs, and components are rule-independent, so a caller wanting
+    both rules (the embedding_suite driver query) pays the pipeline
+    once; output columns are ``keep_min`` and ``keep_far``, each
+    bit-identical to the corresponding single-rule run (test-pinned).
 
     ``n_cells="auto"`` (the default since r10) derives ⌈√n⌉ from one
     corpus count (_auto_cells) so the within-cell quadratic tracks the
     documented n^1.5 SemDeDup cost at any scale; pass an int to pin the
     cell count (the oracle-replayed registered shape does).
     """
-    if keep not in ("min_id", "farthest"):
-        raise ValueError(f"keep must be 'min_id' or 'farthest', got {keep!r}")
+    if keep not in ("min_id", "farthest", "both"):
+        raise ValueError(
+            f"keep must be 'min_id', 'farthest' or 'both', got {keep!r}"
+        )
     from etl_school_spark.tables import fan_out
 
     # assignment + the cell self-join are fold-heavy pre-shuffle work; a
@@ -177,6 +184,14 @@ def semantic_dedup(
     )
     w = Window.partitionBy("component").orderBy(F.desc("_d"), "vid")
     ranked = with_d.withColumn("_r", F.row_number().over(w))
+    if keep == "both":
+        return ranked.select(
+            F.col("vid").alias(id_col),
+            "cell",
+            "component",
+            (F.col("vid") == F.col("component")).alias("keep_min"),
+            (F.col("_r") == 1).alias("keep_far"),
+        )
     return ranked.select(
         F.col("vid").alias(id_col),
         "cell",

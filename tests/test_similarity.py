@@ -725,6 +725,37 @@ def test_semantic_dedup_rejects_bad_keep(spark):
         semantic_dedup(_emb(spark), keep="best")
 
 
+def test_semantic_dedup_both_matches_single_rule_runs(spark):
+    """r10: keep="both" (one pipeline pass, two flags — the
+    embedding_suite physical form) is bit-identical to the two
+    single-rule runs on every column."""
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 120)
+    both = {
+        r.vec_id: (r.cell, r.component, r.keep_min, r.keep_far)
+        for r in semantic_dedup(
+            emb, threshold=0.8, n_cells=4, keep="both"
+        ).collect()
+    }
+    mins = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=0.8, n_cells=4, keep="min_id"
+        ).collect()
+    }
+    fars = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=0.8, n_cells=4, keep="farthest"
+        ).collect()
+    }
+    assert set(both) == set(mins) == set(fars)
+    for vid, (cell, comp, kmin, kfar) in both.items():
+        assert mins[vid] == (cell, comp, kmin)
+        assert fars[vid] == (cell, comp, kfar)
+
+
 def test_auto_cells_is_ceil_sqrt():
     """r10: the n_cells="auto" derivation is exactly ⌈√n⌉ (integer math,
     no float edge at perfect squares), clamped ≥ 1."""
