@@ -87,13 +87,65 @@ def simhash_chunk_rows(
     )
 
 
+def _hot_bucket_pass_rate(
+    ids: DataFrame,
+    hot_threshold: int,
+    max_hamming: int,
+    probe_rows: int = 256,
+) -> float | None:
+    """MEASURE the refinement enable signal (r10): the fraction of
+    hot-bucket candidate pairs that would PASS the hamming verify.
+
+    The r9 crossover measurement (SCALING.md) showed refinement wins
+    exactly when hot buckets are boilerplate (pairs mostly FAIL the
+    verify — sub-chunk re-blocking prunes them) and loses when they are
+    true duplicate clusters (pairs pass; the explode is pure overhead).
+    This probe samples hot-bucket members with a deterministic hash gate
+    (the knn.lsh_candidate_density pattern — no RNG, same sample every
+    run), collects ≤ ~4×probe_rows skinny (bucket, signature) rows, and
+    computes the pairwise pass-rate driver-side (≤ probe_rows² word ops).
+    Returns None when no bucket exceeds ``hot_threshold`` (nothing to
+    refine) or the gated sample yields no within-bucket pair."""
+    sizes = ids.groupBy("t", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+    hot = sizes.filter(F.col("_bsz") > hot_threshold)
+    total = hot.agg(F.sum("_bsz")).first()[0]
+    if total is None:
+        return None
+    rate = min(1.0, probe_rows / float(total))
+    gate = (F.abs(F.hash("doc")) % 1_000_000) < F.lit(int(rate * 1_000_000))
+    sample = (
+        ids.join(hot.select("t", "key"), ["t", "key"])
+        .filter(gate)
+        .select("t", "key", "_sig")
+        .limit(4 * probe_rows)
+        .collect()
+    )
+    groups: dict = {}
+    for r in sample:
+        groups.setdefault((r.t, r.key), []).append(r._sig)
+    mask = (1 << 64) - 1
+    tot = hits = 0
+    for sigs in groups.values():
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                tot += 1
+                if ((sigs[i] ^ sigs[j]) & mask).bit_count() <= max_hamming:
+                    hits += 1
+    if tot == 0:
+        return None
+    return hits / tot
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     chunks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-    refine_threshold: int | None = None,
+    refine_threshold: int | str | None = None,
+    hot_threshold: int = 2000,
+    refine_pass_cutoff: float = 0.2,
+    probe_rows: int = 256,
 ) -> DataFrame:
     """All pairs (i < j) with SimHash hamming distance ≤ max_hamming.
 
@@ -128,11 +180,45 @@ def simhash_near_pairs(
     reject anyway (differentially tested; measured crossover in
     SCALING.md). Cost: one extra groupBy-count + size join on the
     skinny bucket rows. None (default) keeps the single-join plan.
+
+    ``refine_threshold="auto"`` (r10): the census-driven dispatch the
+    r9 SCALING entry left manual. One bucket-size census finds buckets
+    past ``hot_threshold``; if any exist, a deterministic bounded
+    sample of their members measures the verify PASS-RATE
+    (_hot_bucket_pass_rate). Pass-rate < ``refine_pass_cutoff`` means
+    the hot mass is boilerplate (the regime where refinement measured
+    ×0.80 at sf0.1) → refine at ``hot_threshold``; otherwise
+    (true-duplicate hot buckets — the regime where it measured ×2.4
+    WORSE at sf1) or no hot buckets at all → the plain single-join
+    plan. The probe is memoized per (input plan, params) for the
+    session — the dispatch.cosine_pairs_auto pattern — so repeated
+    runs pay it once. Either choice is output-exact (the refinement
+    exactness argument above), so the dispatch changes the PLAN, never
+    the answer — same oracle either way.
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
     masks = _chunk_masks(chunks)
     ids = simhash_chunk_rows(docs, chunks, id_col, text_col)
+    if refine_threshold == "auto":
+        spark = docs.sparkSession
+        memo = getattr(spark, "_esp_simhash_refine_memo", None)
+        if memo is None:
+            memo = {}
+            spark._esp_simhash_refine_memo = memo
+        key = (
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            max_hamming, chunks, id_col, text_col,
+            hot_threshold, probe_rows,
+        )
+        if key not in memo:
+            memo[key] = _hot_bucket_pass_rate(
+                ids, hot_threshold, max_hamming, probe_rows
+            )
+        rate = memo[key]
+        refine_threshold = (
+            hot_threshold if rate is not None and rate < refine_pass_cutoff else None
+        )
     # exactly-once emission WITHOUT a dedup shuffle (the knn.py
     # first-collision pattern): a pair is kept only at the first chunk
     # on which the two signatures agree — pure word ops per pair row

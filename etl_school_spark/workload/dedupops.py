@@ -174,7 +174,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4)
+    # census-driven dispatch (r10): on today's corpora no bucket crosses
+    # hot_threshold at sf0.01–0.1 and the sf1 tiling's hot buckets are
+    # TRUE duplicates (high verify pass-rate), so the chosen plan is the
+    # plain single join at every measured scale — the dispatch exists
+    # for the 100× boilerplate corpus where refinement measured ×0.80.
+    # Either choice is output-exact (same oracle); the probe is
+    # memoized per plan, so warm runs pay nothing.
+    pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4, refine_threshold="auto")
     # BIGINT on both engines (suite-wide integer-slot convention)
     return sorted_single(
         pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long")),

@@ -748,6 +748,78 @@ def test_simhash_refine_threshold_output_exact(spark):
         assert pairs(refine_threshold=thr) == base_pairs, f"thr={thr}"
 
 
+def test_simhash_auto_refine_census_dispatch(spark):
+    """r10: refine_threshold="auto" implements the census-driven enable
+    the r9 SCALING entry left manual. A planted BOILERPLATE corpus (hot
+    chunk buckets whose pairs fail the hamming verify — measured
+    pass-rate ~0.05) must dispatch to the refined plan; a planted
+    TRUE-DUP corpus (hot buckets of near-identical template docs,
+    pass-rate ~0.7) must keep the plain single-join plan. Both choices
+    stay output-exact vs the plain form, and the probe is memoized per
+    input plan."""
+    from etl_school_spark.dedup import simhash as sh
+
+    # boilerplate: heavy shared base + a few unique tokens per doc →
+    # docs agree on whole chunks (hot buckets) but pairwise hamming > 3
+    boiler = []
+    for f in range(3):
+        base = " ".join(f"boiler{f}tok{i}" for i in range(40))
+        for m in range(40):
+            uniq = " ".join(f"u{f}x{m}y{j}" for j in range(3))
+            boiler.append((f * 1000 + m, base + " " + uniq))
+    boiler_df = spark.createDataFrame(boiler, "doc_id long, text string")
+
+    # true duplicates: template families with tiny (or no) edits →
+    # hot buckets whose pairs PASS the verify
+    truedup = []
+    for f in range(3):
+        base = " ".join(f"contract{f}w{i}" for i in range(30))
+        for m in range(40):
+            truedup.append((f * 1000 + m, base + (f" amendment{m}" if m % 2 else "")))
+    truedup_df = spark.createDataFrame(truedup, "doc_id long, text string")
+
+    def run(df, **kw):
+        q = sh.simhash_near_pairs(
+            df, max_hamming=3, chunks=4, hot_threshold=10, **kw
+        )
+        plan = q._jdf.queryExecution().analyzed().toString()
+        got = {(r.id_a, r.id_b): r.hamming_dist for r in q.collect()}
+        return got, "_bsz" in plan  # the size join marks the refined plan
+
+    if hasattr(spark, "_esp_simhash_refine_memo"):
+        del spark._esp_simhash_refine_memo
+
+    plain_b, refined = run(boiler_df)
+    assert not refined and len(plain_b) > 0
+    auto_b, refined = run(boiler_df, refine_threshold="auto")
+    assert refined, "boilerplate hot buckets (low pass-rate) must refine"
+    assert auto_b == plain_b
+
+    plain_t, _ = run(truedup_df)
+    auto_t, refined = run(truedup_df, refine_threshold="auto")
+    assert not refined, "true-duplicate hot buckets must keep the plain plan"
+    assert auto_t == plain_t and len(plain_t) > 0
+
+    # memoized per (plan, params): a repeat dispatch must not re-probe
+    calls = {"n": 0}
+    real = sh._hot_bucket_pass_rate
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    sh._hot_bucket_pass_rate = counting
+    try:
+        run(boiler_df, refine_threshold="auto")
+        assert calls["n"] == 0  # memo hit from the run above
+        if hasattr(spark, "_esp_simhash_refine_memo"):
+            del spark._esp_simhash_refine_memo
+        run(boiler_df, refine_threshold="auto")
+        assert calls["n"] == 1  # fresh session state → one probe
+    finally:
+        sh._hot_bucket_pass_rate = real
+
+
 def test_pairs_within_groups_hybrid_routing_exact(spark):
     """r9 hot-bucket routing (operators/pairs.py max_group_size): groups
     past the bound stream their pairs through a self-join of re-exploded
