@@ -114,6 +114,7 @@ def dedup_batch_against_index(
     bands: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_clock: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Accept the subset of ``new_docs`` that duplicates neither the
     accepted corpus (``index``) nor an earlier-accepted member of the
@@ -154,10 +155,26 @@ def dedup_batch_against_index(
     release rely on driver GC + ContextCleaner, which eventually
     reclaims the (batch-sized, never corpus-sized) sets once the
     frames are collected.
+
+    ``stage_clock`` (r10, diagnosis-only): when a dict is passed, each
+    stage-boundary checkpoint is FORCED (one count) and its wall time
+    recorded under the stage's name — the per-stage instrument for
+    chasing sweep-to-sweep variance (SCALING.md r10). Forcing changes
+    only WHEN the lazy checkpoints materialize, not what they hold, so
+    the output is identical; leave None in production paths.
     """
+    import time as _time
+
+    def _tick(df: DataFrame, name: str) -> None:
+        if stage_clock is not None:
+            t0 = _time.time()
+            df.count()
+            stage_clock[name] = round(_time.time() - t0, 3)
+
     new_idx = build_dedup_index(
         new_docs, id_col, text_col, n, num_perm
     ).localCheckpoint(eager=False)
+    _tick(new_idx, "s1_batch_index")
 
     # 1a. exact vs history: fingerprint anti-join
     surv = new_idx.join(index.select("fp"), "fp", "left_anti")
@@ -183,6 +200,7 @@ def dedup_batch_against_index(
     # boundary keeps the tree additive. The checkpointed frame is
     # batch-sized (never corpus-sized) state the stage computed anyway.
     surv = surv.localCheckpoint(eager=False)
+    _tick(surv, "s2_exact")
 
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
     # exact-Jaccard verify on stored shingle sets; any verified match
@@ -196,6 +214,7 @@ def dedup_batch_against_index(
         .distinct()
     )
     surv2 = surv.join(matched, "doc", "left_anti").localCheckpoint(eager=False)
+    _tick(surv2, "s3_history_near")
     ckpts = [new_idx, surv, surv2]
     surv = surv2
 

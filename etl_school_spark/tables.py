@@ -48,6 +48,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: logical nodes whose presence means the plan already crosses an
+#: exchange (or an explicit repartition) — downstream of one, the frame's
+#: parallelism is the exchange's concern, not the scan's, so fan_out's
+#: narrow-scan guard does not apply. Union is deliberately absent (it is
+#: not a shuffle); coalesce (Repartition with shuffle=false) is handled
+#: separately because it NARROWS parallelism.
+_SHUFFLE_NODES = {
+    "Repartition",
+    "RepartitionByExpression",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Deduplicate",
+}
+
+
+def _has_shuffle_boundary(jplan) -> bool:
+    """Walk the ANALYZED logical plan (py4j node traversal — a few
+    hundred μs even on wide plans, since it visits nodes, not the
+    literal-heavy expression trees) looking for any _SHUFFLE_NODES
+    member. A coalesce (Repartition(shuffle=false)) does not count —
+    it narrows parallelism, exactly what the guard exists to undo."""
+    name = jplan.nodeName()
+    if name in _SHUFFLE_NODES and not (
+        name == "Repartition" and not jplan.shuffle()
+    ):
+        return True
+    ch = jplan.children()
+    for i in range(ch.size()):
+        if _has_shuffle_boundary(ch.apply(i)):
+            return True
+    return False
+
+
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Restore parallelism after a scan of few-row-group files, for
     pipelines whose PRE-shuffle work is expensive (hyperplane codes,
@@ -63,11 +97,25 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     cluster's parallelism, where it is a skinny one-time cost. Row order
     is not semantically meaningful to any caller (all registered queries
     end in an explicit sort), and round-robin repartition is
-    retry-deterministic (Spark sorts within partitions before dealing)."""
+    retry-deterministic (Spark sorts within partitions before dealing).
+
+    Probe cost (r10, measured): ``df.rdd.getNumPartitions()`` runs full
+    physical planning — free on a scan (~0.2 s once, memoized per
+    DataFrame object) but 2.1–7.1 s on deep multi-join plans. Plans
+    that already contain a shuffle boundary (join/aggregate/window/
+    explicit repartition — _has_shuffle_boundary, an analyzed-plan node
+    walk costing well under a millisecond) skip the probe entirely and
+    pass through: downstream of an exchange the frame's parallelism is
+    the exchange's (≥ spark.sql.shuffle.partitions at scale; a
+    small-data AQE coalesce below that is exactly the case where a
+    forced repartition buys nothing). Coalesce does NOT skip — it
+    narrows parallelism, which is what this guard exists to undo."""
     if df.isStreaming:
         # streaming frames have no static partition count to inspect and
         # micro-batch parallelism is the trigger's concern — pass through
         # so batch/stream-shared operators can apply the guard blindly
+        return df
+    if _has_shuffle_boundary(df._jdf.queryExecution().analyzed()):
         return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:

@@ -51,3 +51,32 @@ def test_event_gaps_first_event_null_then_monotonic(spark):
     assert out.filter("gap_us < 0").count() == 0  # ordered window → non-negative
     per_user_nulls = out.filter("gap_us IS NULL").groupBy("user_id").count()
     assert per_user_nulls.filter("count != 1").count() == 0  # exactly one first event each
+
+
+def test_fan_out_skips_probe_past_shuffle_boundary(spark):
+    """r10: fan_out's partition probe (df.rdd — full physical planning,
+    measured 2.1-7.1 s on deep plans) is skipped when the analyzed plan
+    already crosses a shuffle boundary: the frame passes through
+    IDENTICALLY (same object). Scans still fan out, an explicit coalesce
+    still triggers the repartition (it narrows parallelism — the exact
+    condition the guard exists to undo), and a second fan_out of an
+    already-fanned frame is an identity."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.tables import fan_out, load_table
+
+    docs = load_table(spark, SF, "documents")
+    fanned = fan_out(docs)
+    n = spark.sparkContext.defaultParallelism
+    assert fanned.rdd.getNumPartitions() == n  # single-row-group scan widened
+    assert fan_out(fanned) is fanned  # Repartition node → no probe, identity
+
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    assert fan_out(agg) is agg  # post-aggregate → exchange owns parallelism
+
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert fan_out(joined) is joined  # post-join
+
+    coalesced = docs.coalesce(1)
+    assert fan_out(coalesced) is not coalesced
+    assert fan_out(coalesced).rdd.getNumPartitions() == n

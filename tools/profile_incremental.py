@@ -1,0 +1,92 @@
+"""Per-stage wall-time profile of the registered incremental_dedup_accepted
+shape — the r10 instrument for the sf1 sweep-to-sweep variance chase
+(r9 observed 20.6–31.4 s across same-code sweeps; SCALING.md records
+which stage swings).
+
+Replays exactly the registered query's construction (workload/dedupops
+.incremental_dedup_accepted) with dedup_batch_against_index's
+stage_clock hook: each lazy stage-boundary checkpoint is forced and
+timed, then the final within-batch stage + output sort is timed as the
+remainder. Runs the whole profile ``--runs`` times (default 2) in ONE
+session so the numbers are same-session comparable (this host's
+cross-run drift is ±30%; see SCALING.md).
+
+Usage: python tools/profile_incremental.py [sf_dir] [--runs N]
+Default sf_dir: /root/repo/.sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/repo/.sf1"
+    runs = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--runs"):
+            runs = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        release_batch_checkpoints,
+    )
+    from etl_school_spark.session import get_spark
+    from etl_school_spark.tables import load_table
+    from etl_school_spark.workload._suite import sorted_single
+    from etl_school_spark.workload.dedupops import _planted_batch
+
+    spark = get_spark("incremental-profile")
+    spark.range(1000).count()
+
+    for run in range(runs):
+        docs = load_table(spark, sf_dir, "documents")
+        gen0 = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ).filter(F.col("doc_id") % 2 == 0)
+        batch = _planted_batch(docs)
+
+        clock: dict = {}
+        t0 = time.time()
+        index = build_dedup_index(gen0).localCheckpoint(eager=False)
+        index.count()
+        clock["s0_history_index"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        _accepted, rows = dedup_batch_against_index(
+            batch, index, threshold=0.8, stage_clock=clock
+        )
+        t_stages = time.time() - t0
+        # the function call's remainder beyond the forced checkpoints:
+        # plan construction + the within-batch pair/components jobs that
+        # connected_components executes eagerly (count + capped collect)
+        clock["s3b_pairs_components_build"] = round(
+            t_stages
+            - clock["s1_batch_index"]
+            - clock["s2_exact"]
+            - clock["s3_history_near"],
+            3,
+        )
+        t0 = time.time()
+        out = sorted_single(rows.select(F.col("doc").alias("doc_id"), "fp"), "doc_id")
+        out.write.format("noop").mode("overwrite").save()
+        clock["s4_within_batch_and_sort"] = round(time.time() - t0, 3)
+        clock["total"] = round(
+            clock["s0_history_index"] + t_stages + clock["s4_within_batch_and_sort"], 3
+        )
+        release_batch_checkpoints(_accepted, rows)
+        print(json.dumps({"run": run, **clock}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
