@@ -91,46 +91,12 @@ def main() -> None:
     # smallest table pays it up front without warming any query's plan.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).limit(1).collect()
 
-    # Environment canary: a CODE-INDEPENDENT probe (pure JVM codegen sum
-    # over a synthetic range — no I/O, no Python, no repo code in the hot
-    # path) timed on every run. Cross-round bench deltas divide out host
-    # drift by comparing against canary_sec: r4-r6 showed uniform ±15%
-    # machine variance on rounds with no plan changes, which this probe
-    # makes measurable instead of guessable. r9: the r8 3-sample median
-    # still wandered 0.20-0.29 s across back-to-back runs of identical
-    # code, too wide to normalize ±5% deltas — now the MEDIAN OF 9
-    # samples, with the spread (max-min) reported next to the point
-    # value so a reader can judge how much normalization the canary
-    # actually supports on this run.
-    # one untimed run first: the probe's own codegen compile otherwise
-    # lands in sample 1 and inflates the spread with a constant that
-    # says nothing about host variance
-    spark.range(500_000_000).selectExpr("sum(id)").collect()
-    canary_samples = []
-    for _ in range(9):
-        t0 = time.time()
-        spark.range(500_000_000).selectExpr("sum(id)").collect()
-        canary_samples.append(time.time() - t0)
-    canary_samples.sort()
-    canary_sec = round(canary_samples[len(canary_samples) // 2], 4)
-    canary_spread = round(canary_samples[-1] - canary_samples[0], 4)
+    # Environment canary pair (codegen + scan-shaped drift probes) —
+    # one shared definition with tools/sweep_sf1.py so the two stay
+    # definitionally identical; full rationale in etl_school_spark/canary.py
+    from etl_school_spark.canary import run_canaries
 
-    # Second canary flavor (r9): the codegen probe missed a real drift
-    # mode — on 2026-08-15 untouched queries ran +13-15% while the pure
-    # in-memory sum moved only +2% — so scan-shaped drift (page cache,
-    # I/O scheduler, file-listing latency) gets its own probe: a full
-    # count of documents.parquet via spark.read directly (no repo code).
-    # Same data across rounds at the same sf ⇒ cross-round comparable.
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    spark.read.parquet(doc_path).count()  # untimed: codegen/footer warmup
-    io_samples = []
-    for _ in range(5):
-        t0 = time.time()
-        spark.read.parquet(doc_path).count()
-        io_samples.append(time.time() - t0)
-    io_samples.sort()
-    canary_io_sec = round(io_samples[len(io_samples) // 2], 4)
-    canary_io_spread = round(io_samples[-1] - io_samples[0], 4)
+    canaries = run_canaries(spark, sf_dir)
 
     # pass 1 = COLD lane: first run of each query in this session — plan
     # analysis, codegen compilation, file listing, cold page cache all
@@ -169,10 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": main_timings,
                 "warm_iters": 0 if cold_only else warm_iters,
-                "canary_sec": canary_sec,
-                "canary_spread": canary_spread,
-                "canary_io_sec": canary_io_sec,
-                "canary_io_spread": canary_io_spread,
+                **canaries,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -31,38 +31,14 @@ def main() -> int:
 
     spark = get_spark("etl-school-spark-sf1-sweep")
     spark.range(1000).count()  # JVM warm-up outside any query's clock
-    # same host-drift canary as bench.py (r9): sweep totals on this
-    # machine vary ±30% between back-to-back runs of identical code —
-    # print the canary so cross-round sweep comparisons can tell host
-    # noise from real regressions
-    spark.range(500_000_000).selectExpr("sum(id)").collect()  # untimed compile
-    samples = []
-    for _ in range(9):
-        t0 = time.time()
-        spark.range(500_000_000).selectExpr("sum(id)").collect()
-        samples.append(time.time() - t0)
-    samples.sort()
-    # second flavor (r9, mirrors bench.py): scan-shaped drift probe —
-    # the codegen canary missed a +13-15% I/O-mode drift day
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    spark.read.parquet(doc_path).count()
-    io_samples = []
-    for _ in range(5):
-        t0 = time.time()
-        spark.read.parquet(doc_path).count()
-        io_samples.append(time.time() - t0)
-    io_samples.sort()
-    print(
-        json.dumps(
-            {
-                "canary_sec": round(samples[4], 4),
-                "canary_spread": round(samples[-1] - samples[0], 4),
-                "canary_io_sec": round(io_samples[2], 4),
-                "canary_io_spread": round(io_samples[-1] - io_samples[0], 4),
-            }
-        ),
-        flush=True,
-    )
+    # host-drift canary pair, shared definition with bench.py (r10 —
+    # previously hand-mirrored): sweep totals on this machine vary ±30%
+    # between back-to-back runs of identical code — print the canaries
+    # so cross-round sweep comparisons can tell host noise from real
+    # regressions (rationale in etl_school_spark/canary.py)
+    from etl_school_spark.canary import run_canaries
+
+    print(json.dumps(run_canaries(spark, sf_dir)), flush=True)
     out: dict[str, object] = {}
     for name, fn in e.queries().items():
         t0 = time.time()
