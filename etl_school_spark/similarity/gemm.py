@@ -159,6 +159,66 @@ def blocked_shortlist_scores(
     return pd.concat(parts, ignore_index=True)
 
 
+def blocked_pair_edges(
+    pdf: pd.DataFrame, threshold: float, block: int
+) -> pd.DataFrame:
+    """Per-group all-pairs-≥-threshold scorer (r10): one pandas group of
+    (vid, v, _n) rows — semantic_dedup's cell, or any blocking group —
+    scored against itself with an upper-triangle blocked gemm.
+
+    Same exactness contract as blocked_shortlist_scores, threshold form:
+    each block pair's approximate BLAS scores select candidates at
+    ``threshold − _SELECT_MARGIN`` (reassociation error is orders below
+    the margin, so no qualifying pair is missed), then the exact
+    sequential-fold cosine decides — emitted pairs are EXACTLY the pairs
+    the declarative HOF-fold join emits, for any ``block``. Rows are
+    sorted by vid first so position order is id order: block pairs
+    (bi ≤ bj) with a strict upper-triangle mask on the diagonal emit
+    each unordered pair once as (id_a < id_b). Peak numpy allocation is
+    O(block²) plus the float64 copy of the group's vectors; the group
+    frame itself is cell-sized (inherent to groupBy-applyInPandas —
+    bounded by the caller's cell sizing, ⌈√n⌉ cells at the
+    semantic_dedup default)."""
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+        }
+    )
+    if len(pdf) < 2:
+        return empty
+    pdf = pdf.sort_values("vid")
+    V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+    ids = pdf["vid"].to_numpy(dtype=np.int64)
+    norms = pdf["_n"].to_numpy(dtype=np.float64)
+    Vn = V / norms[:, None]
+    cut = threshold - _SELECT_MARGIN
+    parts = []
+    n = len(pdf)
+    for lo_a in range(0, n, block):
+        hi_a = min(lo_a + block, n)
+        for lo_b in range(lo_a, n, block):
+            hi_b = min(lo_b + block, n)
+            S = Vn[lo_a:hi_a] @ Vn[lo_b:hi_b].T
+            ai, bi = np.nonzero(S >= cut)
+            if lo_a == lo_b:
+                keep = ai < bi  # strict upper triangle on the diagonal
+                ai, bi = ai[keep], bi[keep]
+            if len(ai) == 0:
+                continue
+            ga, gb = ai + lo_a, bi + lo_b
+            exact = _seq_fold_sum(V[ga] * V[gb]) / (norms[ga] * norms[gb])
+            ok = exact >= threshold
+            if not ok.any():
+                continue
+            parts.append(
+                pd.DataFrame({"id_a": ids[ga[ok]], "id_b": ids[gb[ok]]})
+            )
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True)
+
+
 def gemm_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -81,6 +81,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "min_id",
     collect_cap: int = 1_000_000,
+    pair_form: str = "sql",
+    cell_block: int = 4096,
 ) -> DataFrame:
     """SemDeDup over an embedding frame.
 
@@ -107,11 +109,30 @@ def semantic_dedup(
     corpus count (_auto_cells) so the within-cell quadratic tracks the
     documented n^1.5 SemDeDup cost at any scale; pass an int to pin the
     cell count (the oracle-replayed registered shape does).
+
+    ``pair_form`` picks the PHYSICAL form of the within-cell pair stage
+    — the edge set is identical either way (same oracle):
+
+    - "sql" (default): the declarative cell equi-join + per-candidate
+      HOF fold. No per-group memory contract at all; streams through
+      codegen. Each candidate pays an interpreted dim-wide fold.
+    - "gemm": per-cell groupBy-applyInPandas with an upper-triangle
+      blocked BLAS product (gemm.blocked_pair_edges — the ivf/lsh
+      physical form): approximate scores SHORTLIST at threshold −
+      margin, the exact sequential fold DECIDES, so the emitted pairs
+      are bit-identically the SQL form's (differential-tested,
+      boundary pairs included). The group frame is cell-sized
+      (inherent to applyInPandas; bounded by ⌈√n⌉ cell sizing), numpy
+      allocations are O(cell_block²). Measured crossover in SCALING.md
+      r10 — candidate-heavy cells (pinned small n_cells, large corpora)
+      are where BLAS wins by an order of magnitude.
     """
     if keep not in ("min_id", "farthest", "both"):
         raise ValueError(
             f"keep must be 'min_id', 'farthest' or 'both', got {keep!r}"
         )
+    if pair_form not in ("sql", "gemm"):
+        raise ValueError(f"pair_form must be 'sql' or 'gemm', got {pair_form!r}")
     from etl_school_spark.tables import fan_out
 
     # assignment + the cell self-join are fold-heavy pre-shuffle work; a
@@ -129,24 +150,37 @@ def semantic_dedup(
         _nearest_cell(F.col(vec_col), centroids).alias("cell"),
     )
 
-    a = assigned.select(
-        F.col("vid").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("_n").alias("na"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("vid").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("_n").alias("nb"),
-        "cell",
-    )
-    edges = (
-        a.join(b, ["cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= threshold)
-        .select("id_a", "id_b")
-    )
+    if pair_form == "gemm":
+        from etl_school_spark.similarity.gemm import blocked_pair_edges
+
+        def _score(pdf):
+            return blocked_pair_edges(pdf, float(threshold), cell_block)
+
+        edges = assigned.groupBy("cell").applyInPandas(
+            _score, schema="id_a long, id_b long"
+        )
+    else:
+        a = assigned.select(
+            F.col("vid").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("_n").alias("na"),
+            "cell",
+        )
+        b = assigned.select(
+            F.col("vid").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("_n").alias("nb"),
+            "cell",
+        )
+        edges = (
+            a.join(b, ["cell"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
 
     from etl_school_spark.dedup.cluster import connected_components
 

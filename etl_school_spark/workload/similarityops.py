@@ -553,8 +553,12 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") % 2 == 0
     )
+    # pair_form="gemm": measured ×0.79 at sf1 on this exact shape
+    # (same-session A/B, medians of 3 — SCALING.md r10); identical edge
+    # set by the shortlist-margin + exact-rescore contract, so the
+    # oracle is untouched
     both = semantic_dedup(
-        emb, threshold=0.4, n_cells=8, keep="both"
+        emb, threshold=0.4, n_cells=8, keep="both", pair_form="gemm"
     ).localCheckpoint(eager=False)
     for which, keep_col in (
         ("semantic:min_id", "keep_min"),

@@ -1315,6 +1315,12 @@ def build_semantic_case(seed):
     n_cells = rng.choice([2, 4, 8])
     threshold = rng.choice([0.7, 0.9, 0.999999])
     keep = rng.choice(["min_id", "farthest"])
+    # r10: the BLAS pair stage alternates in — same Python twin, so a
+    # shortlist-margin or triangle-mask bug in blocked_pair_edges fails
+    # the seed exactly like a join bug would. Tiny cell_block forces
+    # multi-block tiling on these small corpora.
+    pair_form = rng.choice(["sql", "gemm"])
+    cell_block = rng.choice([2, 3, 4096]) if pair_form == "gemm" else 4096
     dim = rng.choice([4, 8])
     rows, nid = [], 0
     for _c in range(rng.randrange(2, 6)):  # clusters
@@ -1327,7 +1333,7 @@ def build_semantic_case(seed):
     while len(rows) < n_cells:  # train contract: corpus >= n_cells
         rows.append((nid, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]))
         nid += 1
-    return n_cells, threshold, keep, rows
+    return n_cells, threshold, keep, pair_form, cell_block, rows
 
 
 @pytest.mark.parametrize("seed", list(range(13000, 13008)))
@@ -1336,7 +1342,7 @@ def test_random_semantic_dedup_matches_python(spark, seed):
     from etl_school_spark.similarity.semantic import semantic_dedup
     from tests.test_similarity import _py_semantic_dedup
 
-    n_cells, threshold, keep, rows = build_semantic_case(seed)
+    n_cells, threshold, keep, pair_form, cell_block, rows = build_semantic_case(seed)
     df = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in rows],
         "vec_id long, embedding array<float>",
@@ -1344,7 +1350,12 @@ def test_random_semantic_dedup_matches_python(spark, seed):
     got = {
         r.vec_id: (r.cell, r.component, r.keep)
         for r in semantic_dedup(
-            df, threshold=threshold, n_cells=n_cells, keep=keep
+            df,
+            threshold=threshold,
+            n_cells=n_cells,
+            keep=keep,
+            pair_form=pair_form,
+            cell_block=cell_block,
         ).collect()
     }
     # the reference consumes the FLOAT32-rounded vectors, exactly as the
@@ -1355,4 +1366,7 @@ def test_random_semantic_dedup_matches_python(spark, seed):
     }
     centroids = train_centroids(df, n_cells=n_cells)
     want = _py_semantic_dedup(sorted(f32.items()), centroids, threshold, keep)
-    assert got == want, f"seed {seed} cells={n_cells} t={threshold} keep={keep}"
+    assert got == want, (
+        f"seed {seed} cells={n_cells} t={threshold} keep={keep} "
+        f"form={pair_form} block={cell_block}"
+    )

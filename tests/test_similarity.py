@@ -756,6 +756,36 @@ def test_semantic_dedup_both_matches_single_rule_runs(spark):
         assert fars[vid] == (cell, comp, kfar)
 
 
+def test_semantic_pair_form_gemm_matches_sql(spark):
+    """r10: the BLAS within-cell pair stage (pair_form="gemm",
+    gemm.blocked_pair_edges — shortlist at threshold − margin, exact
+    sequential-fold decide) must produce a row-identical result to the
+    declarative HOF-fold join at every threshold and block size,
+    including single-row blocks that force maximal tiling."""
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    emb = _emb(spark).filter(F.col("vec_id") < 150)
+
+    def rows(**kw):
+        return {
+            r.vec_id: (r.cell, r.component, r.keep_min, r.keep_far)
+            for r in semantic_dedup(emb, n_cells=4, keep="both", **kw).collect()
+        }
+
+    for threshold in (0.4, 0.95):
+        base = rows(threshold=threshold, pair_form="sql")
+        for block in (3, 4096):
+            got = rows(threshold=threshold, pair_form="gemm", cell_block=block)
+            assert got == base, f"t={threshold} block={block}"
+
+
+def test_semantic_dedup_rejects_bad_pair_form(spark):
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    with pytest.raises(ValueError, match="pair_form"):
+        semantic_dedup(_emb(spark), pair_form="blas")
+
+
 def test_auto_cells_is_ceil_sqrt():
     """r10: the n_cells="auto" derivation is exactly ⌈√n⌉ (integer math,
     no float edge at perfect squares), clamped ≥ 1."""
