@@ -121,14 +121,14 @@ def semantic_census(
     anything. ``n_cells="auto"`` (default, matching semantic_dedup's
     r10 default) applies the ⌈√n⌉ sizing rule so the census measures
     the posture a defaults caller actually gets."""
-    from etl_school_spark.similarity.ivf import _nearest_cell, train_centroids
+    from etl_school_spark.similarity.ivf import _nearest_cell_arrow, train_centroids
     from etl_school_spark.similarity.semantic import _auto_cells
 
     if n_cells == "auto":
         n_cells = _auto_cells(embs.count())
     centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
     assigned = embs.select(
-        _nearest_cell(F.col(vec_col), centroids).alias("cell")
+        _nearest_cell_arrow(centroids)(F.col(vec_col)).alias("cell")
     )
     return bucket_size_stats(assigned, ["cell"])
 

@@ -53,7 +53,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_school_spark.functions.vectors import as_double, dot, l2_norm
-from etl_school_spark.similarity.ivf import _nearest_cell, _sq_dist, train_centroids
+from etl_school_spark.similarity.ivf import (
+    _nearest_cell_arrow,
+    _sq_dist,
+    train_centroids,
+)
 
 
 def _auto_cells(n: int) -> int:
@@ -147,7 +151,7 @@ def semantic_dedup(
         F.col(id_col).alias("vid"),
         vd.alias("v"),
         l2_norm(vd).alias("_n"),
-        _nearest_cell(F.col(vec_col), centroids).alias("cell"),
+        _nearest_cell_arrow(centroids)(F.col(vec_col)).alias("cell"),
     )
 
     if pair_form == "gemm":

@@ -23,8 +23,18 @@ _MATERIALIZED: set[str] = set()
 # the image feature kernel, and (r4) the dense-regime similarity plans —
 # ann_topk_cosine runs the block-gemm exact ANN, embedding_neardup_pairs
 # auto-dispatches to block gemm on this corpus (LSH blocking degenerates
-# at threshold 0.4 on near-uniform vectors; see similarity/dispatch.py)
-_ARROW_OK = {"mm_image_features", "ann_topk_cosine", "embedding_neardup_pairs"}
+# at threshold 0.4 on near-uniform vectors; see similarity/dispatch.py).
+# r10: ann_topk_ivf and embedding_suite carry the vectorized Arrow cell
+# assignment (ivf._nearest_cell_arrow — HOFs never codegen, measured
+# ×0.26 at sf1) and embedding_suite the blocked-BLAS pair stage
+# (gemm.blocked_pair_edges) — all deliberate Arrow, never row Python.
+_ARROW_OK = {
+    "mm_image_features",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "ann_topk_ivf",
+    "embedding_suite",
+}
 
 
 def _all_queries():

@@ -756,6 +756,46 @@ def test_semantic_dedup_both_matches_single_rule_runs(spark):
         assert fars[vid] == (cell, comp, kfar)
 
 
+def test_nearest_cell_arrow_matches_hof(spark):
+    """r10: the vectorized Arrow assignment (_nearest_cell_arrow) must
+    assign every vector to EXACTLY the cell the interpreted HOF form
+    picks — same squared-distance fold order, same first-min tie rule —
+    on the real embeddings and on planted exact-tie geometries."""
+    from etl_school_spark.similarity.ivf import (
+        _nearest_cell,
+        _nearest_cell_arrow,
+        train_centroids,
+    )
+
+    emb = _emb(spark)
+    for n_cells in (4, 13):
+        cents = train_centroids(emb, n_cells=n_cells)
+        both = emb.select(
+            "vec_id",
+            _nearest_cell(F.col("embedding"), cents).alias("hof"),
+            _nearest_cell_arrow(cents)(F.col("embedding")).alias("arrow"),
+        ).collect()
+        assert len(both) > 0
+        mism = [(r.vec_id, r.hof, r.arrow) for r in both if r.hof != r.arrow]
+        assert mism == [], mism[:5]
+
+    # exact ties: two identical centroids → first index must win in both
+    tie_cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = df.select(
+        "vec_id",
+        _nearest_cell(F.col("embedding"), tie_cents).alias("hof"),
+        _nearest_cell_arrow(tie_cents)(F.col("embedding")).alias("arrow"),
+    ).collect()
+    for r in rows:
+        assert r.hof == r.arrow
+    assert {r.vec_id: r.arrow for r in rows}[1] == 0  # first of the tied pair
+    assert {r.vec_id: r.arrow for r in rows}[3] in (0, 1, 2)
+
+
 def test_semantic_pair_form_gemm_matches_sql(spark):
     """r10: the BLAS within-cell pair stage (pair_form="gemm",
     gemm.blocked_pair_edges — shortlist at threshold − margin, exact
