@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,26 +63,82 @@ def base_hash(shingle) -> F.Column:
     return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MERSENNE_31
 
 
+def _sig_arrow_udf(num_perm: int):
+    """Vectorized Arrow form of the signature stage (r10): the base-hash
+    arrays (still computed JVM-side — md5 stays in codegen) cross to
+    Python once per row, and all ``num_perm`` affine mins are computed
+    with numpy: per permutation, (a·H + b) mod p over the CONCATENATED
+    hash values, then `np.minimum.reduceat` takes each document's
+    segment min. Arithmetic is exact and engine-identical: h < 2^31 and
+    a < 2^31 keep a·h + b < 2^62 inside int64, and numpy's % on
+    non-negative int64 equals the JVM's — so sig values are
+    bit-identical to the HOF form (test-pinned). Empty shingle sets
+    return NULL, matching the when(size > 0) guard."""
+    from pyspark.sql.functions import pandas_udf
+
+    perms = perm_constants(num_perm)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        arrs = [np.asarray(x, dtype=np.int64) for x in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        nonzero = np.nonzero(lens)[0]
+        out = [None] * n
+        if len(nonzero) == 0:
+            return pd.Series(out, dtype="object")
+        H = np.concatenate([arrs[i] for i in nonzero])
+        starts = np.zeros(len(nonzero), dtype=np.int64)
+        np.cumsum(lens[nonzero][:-1], out=starts[1:])
+        sigs = np.empty((len(nonzero), len(perms)), dtype=np.int64)
+        for i, (a, b) in enumerate(perms):
+            vals = (a * H + b) % MERSENNE_31
+            sigs[:, i] = np.minimum.reduceat(vals, starts)
+        for row, i in enumerate(nonzero):
+            out[i] = sigs[row].tolist()
+        return pd.Series(out, dtype="object")
+
+    return sig
+
+
 def minhash_signatures(
-    sets: DataFrame, num_perm: int = 128
+    sets: DataFrame, num_perm: int = 128, sig_form: str = "arrow"
 ) -> DataFrame:
     """Add a `sig` array<long> column: per-permutation min of
     (a_i·base_hash + b_i) mod p over the shingle set. The base hashes are
     materialized once per row (`_hs` column) so the md5 work is not
     repeated per permutation.
 
-    The per-row HOF form is KEPT by measurement (r8): an explode +
-    groupBy(doc) alternative — base hashes and all 128 mins as
-    codegen'd hash-aggregate columns, skinny map-side-combined
-    exchange — benched ~60% SLOWER at both scales (sf1 minhash query
-    11.3 vs 6.9 s warm; sf0.1 3.7 vs 2.3): per exploded row the hash
-    agg pays group lookup plus 128 buffer-update expressions, which
-    costs more than interpreting the same arithmetic inside one
-    in-memory array pass per document. Interpreted HOFs are not
-    automatically the bottleneck — see the opposite outcome for the
-    per-BIT string ops in functions/text._simhash_bit_sums."""
+    ``sig_form`` picks the physical form of the affine-min stage — sig
+    values are bit-identical either way (same oracle; equality
+    test-pinned with NULL-for-empty included):
+
+    - "arrow" (default since r10, by measurement): numpy affine mins
+      over the Arrow-shipped base-hash arrays (_sig_arrow_udf) —
+      vectorized reduceat segment mins instead of num_perm interpreted
+      transform+array_min passes. Same-session A/B: ×0.55 at sf1,
+      tie at sf0.1 (SCALING.md r10); also damps the host-sensitivity
+      of the interpreted scan (the incremental pipeline's swinging
+      stage, SCALING.md r10 profile).
+    - "hof": the per-row HOF expression — the r2–r9 form. Kept as the
+      no-Python-stage fallback; note the r8 measurement that rejected
+      an explode + groupBy alternative (~60% slower at both scales)
+      still stands — interpreted HOFs are not automatically the
+      bottleneck (see the opposite outcome for the per-BIT string ops
+      in functions/text._simhash_bit_sums); the ARROW form wins here
+      because it vectorizes the same per-document pass, not because it
+      re-shapes the plan.
+    """
+    if sig_form not in ("hof", "arrow"):
+        raise ValueError(f"sig_form must be 'hof' or 'arrow', got {sig_form!r}")
     perms = perm_constants(num_perm)
     with_hs = sets.withColumn("_hs", F.transform(F.col("shingles"), base_hash))
+    if sig_form == "arrow":
+        return with_hs.withColumn(
+            "sig", _sig_arrow_udf(num_perm)(F.col("_hs"))
+        ).drop("_hs")
     # one JVM-side-parsed expression for all permutations — the same tree
     # built via the Column API would cost thousands of py4j round-trips
     sig_sql = "array(" + ", ".join(

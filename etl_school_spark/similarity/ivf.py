@@ -112,6 +112,60 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
 SCALE = 1_000_000
 
 
+def _fixed_point_partials(centroids: list[list[float]]):
+    """One-pass Arrow kernel for a Lloyd iteration (r10): per input
+    batch, assign every vector its nearest cell (the _nearest_cell_arrow
+    arithmetic — identical fold order and tie rule) and emit PARTIAL
+    fixed-point sums (cell, pos, s, n). Integer partials are exact and
+    associative, so summing them downstream reproduces the previous
+    posexplode → groupBy-sum result bit for bit, while the shuffle
+    carries ~cells × dim rows per batch instead of rows × dim exploded
+    rows (sf1: 32k vs 1.28M per iteration).
+
+    Rounding replays Spark's round() (HALF_UP on the double) EXACTLY:
+    for |t| < 2^52, frac = |t| − floor(|t|) is an exact IEEE subtraction,
+    so ``floor(|t|) + (frac ≥ 0.5)`` is true binary half-away-from-zero
+    — no ``t + 0.5`` trick (which mis-rounds values one ulp below a .5
+    boundary), and Java's BigDecimal HALF_UP agrees with the binary
+    comparison because shortest-repr decimal strings round-trip.
+    |x·SCALE| here is ≤ ~2^25 (float32-ranged embeddings), far inside
+    both the 2^52 exactness bound and int64."""
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 — doc symmetry
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf.iloc[:, 0]])
+            D = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+            for k in range(C.shape[0]):
+                P = V - C[k]
+                P *= P
+                acc = np.zeros(V.shape[0], dtype=np.float64)
+                for j in range(P.shape[1]):  # strict left-to-right fold
+                    acc = acc + P[:, j]
+                D[:, k] = acc
+            cells = np.argmin(D, axis=1)
+            T = V * SCALE
+            A = np.abs(T)
+            R = np.floor(A)
+            R = R + ((A - R) >= 0.5)  # exact HALF_UP on the binary value
+            R = np.where(T < 0, -R, R).astype(np.int64)
+            out = {"cell": [], "pos": [], "s": [], "n": []}
+            dim = V.shape[1]
+            for cell in np.unique(cells):
+                mask = cells == cell
+                out["cell"].extend([int(cell)] * dim)
+                out["pos"].extend(range(dim))
+                out["s"].extend(R[mask].sum(axis=0).tolist())
+                out["n"].extend([int(mask.sum())] * dim)
+            yield pd.DataFrame(out)
+
+    return partials
+
+
 def train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -128,7 +182,16 @@ def train_centroids(
     257 s vs ~16 s for 2 iterations over 20k × 64-dim vectors at sf1.
     fan_out is a no-op when the scan is already parallel, and training
     is partition-order independent (fixed-point sums; pinned by test),
-    so the result is unchanged."""
+    so the result is unchanged.
+
+    r10: each iteration is ONE Arrow pass (_fixed_point_partials —
+    assignment + per-batch integer partial sums fused in numpy, exact
+    HALF_UP rounding), replacing the interpreted-HOF assignment +
+    posexplode + row-level groupBy of earlier rounds. The collected
+    (cell, pos, s, n) totals are bit-identical (integer partials are
+    associative; the assignment kernel and rounding are replayed
+    exactly — equality pinned by the ann_topk_ivf / embedding_suite
+    oracles, which retrain from raw parquet in SQL)."""
     from etl_school_spark.tables import fan_out
 
     corpus = fan_out(corpus)
@@ -142,19 +205,15 @@ def train_centroids(
     # consistent: every consumer iterates the returned list.
     n_cells = len(centroids)
     dim = len(centroids[0])
+    vecs = corpus.select(F.col(vec_col))
     for _ in range(iters):
-        # Arrow assignment (r10): bit-identical to the HOF form (test-
-        # pinned), ~10× the scan throughput — see _nearest_cell_arrow
-        assigned = corpus.select(
-            _nearest_cell_arrow(centroids)(F.col(vec_col)).alias("cell"),
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+        parts = vecs.mapInPandas(
+            _fixed_point_partials(centroids),
+            schema="cell int, pos int, s long, n long",
         )
         sums = (
-            assigned.groupBy("cell", "pos")
-            .agg(
-                F.sum(F.round(F.col("x") * SCALE).cast("bigint")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            parts.groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new: dict[int, list[float]] = {}

@@ -748,6 +748,37 @@ def test_simhash_refine_threshold_output_exact(spark):
         assert pairs(refine_threshold=thr) == base_pairs, f"thr={thr}"
 
 
+def test_minhash_sig_arrow_matches_hof(spark):
+    """r10: the Arrow signature form (numpy affine mins + reduceat
+    segment mins) must produce bit-identical sig arrays to the HOF
+    expression, NULL-for-empty included."""
+    from etl_school_spark.dedup.minhash import minhash_signatures
+    from etl_school_spark.dedup.ngram import shingle_sets
+    from etl_school_spark.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    short = spark.createDataFrame(
+        [(90_001, "a b"), (90_002, ""), (90_003, None)],
+        "doc_id long, text string",
+    )
+    sets = shingle_sets(docs.unionByName(short), "doc_id", "text", 3)
+    hof = {
+        r.doc: (list(r.sig) if r.sig is not None else None)
+        for r in minhash_signatures(sets).select("doc", "sig").collect()
+    }
+    arrow = {
+        r.doc: (list(r.sig) if r.sig is not None else None)
+        for r in minhash_signatures(sets, sig_form="arrow").select("doc", "sig").collect()
+    }
+    assert hof == arrow
+    assert arrow[90_001] is None  # shorter than the shingle width → NULL
+    assert sum(v is not None for v in arrow.values()) > 100
+
+
 def test_simhash_auto_refine_census_dispatch(spark):
     """r10: refine_threshold="auto" implements the census-driven enable
     the r9 SCALING entry left manual. A planted BOILERPLATE corpus (hot
