@@ -104,7 +104,7 @@ def _sig_arrow_udf(num_perm: int):
 
 
 def minhash_signatures(
-    sets: DataFrame, num_perm: int = 128, sig_form: str = "arrow"
+    sets: DataFrame, num_perm: int = 128, sig_form: str = "hof"
 ) -> DataFrame:
     """Add a `sig` array<long> column: per-permutation min of
     (a_i·base_hash + b_i) mod p over the shingle set. The base hashes are
@@ -115,21 +115,24 @@ def minhash_signatures(
     values are bit-identical either way (same oracle; equality
     test-pinned with NULL-for-empty included):
 
-    - "arrow" (default since r10, by measurement): numpy affine mins
-      over the Arrow-shipped base-hash arrays (_sig_arrow_udf) —
-      vectorized reduceat segment mins instead of num_perm interpreted
-      transform+array_min passes. Same-session A/B: ×0.55 at sf1,
-      tie at sf0.1 (SCALING.md r10); also damps the host-sensitivity
-      of the interpreted scan (the incremental pipeline's swinging
-      stage, SCALING.md r10 profile).
-    - "hof": the per-row HOF expression — the r2–r9 form. Kept as the
-      no-Python-stage fallback; note the r8 measurement that rejected
-      an explode + groupBy alternative (~60% slower at both scales)
-      still stands — interpreted HOFs are not automatically the
-      bottleneck (see the opposite outcome for the per-BIT string ops
-      in functions/text._simhash_bit_sums); the ARROW form wins here
-      because it vectorizes the same per-document pass, not because it
-      re-shapes the plan.
+    - "hof" (default — KEPT by the r10 full-query measurement): the
+      per-row HOF expression. The r8 measurement that rejected an
+      explode + groupBy alternative (~60% slower at both scales) also
+      stands. Interpreted HOFs are not automatically the bottleneck —
+      see the opposite outcome for the per-BIT string ops in
+      functions/text._simhash_bit_sums, and contrast ivf.py, where the
+      Arrow form DID win ×10.
+    - "arrow" (r10): numpy affine mins over the Arrow-shipped
+      base-hash arrays (_sig_arrow_udf), reduceat segment mins. Wins
+      the scan IN ISOLATION (×0.55 at sf1, same-session A/B) and the
+      COLD first build (the 128-perm expression costs ~4–5 s of
+      one-time analysis the UDF avoids) — but LOSES ×1.4 at sf1 inside
+      the registered minhash_lsh_pairs plan, where the signature frame
+      is referenced by both the banding and the verify lookup and the
+      Arrow stage's ship-out/ship-in is paid per reference while the
+      HOF fuses into each consumer's stage. Crossover documented in
+      SCALING.md r10; use for single-materialization builds
+      (checkpointed indexes) when cold analysis matters.
     """
     if sig_form not in ("hof", "arrow"):
         raise ValueError(f"sig_form must be 'hof' or 'arrow', got {sig_form!r}")

@@ -34,9 +34,6 @@ _ARROW_OK = {
     "embedding_neardup_pairs",
     "ann_topk_ivf",
     "embedding_suite",
-    # r10: the minhash signature stage's affine mins are numpy-vectorized
-    # (minhash._sig_arrow_udf, ×0.55 at sf1, bit-identical sig values)
-    "dedup_minhash_lsh",
 }
 
 
