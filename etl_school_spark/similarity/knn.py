@@ -356,6 +356,19 @@ def _pool_code_sql(vec: str, planes: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
+def _pool_geometry(
+    pool_bits: int, n_subsets: int, bits: int, dim: int, seed: int
+) -> tuple[list[list[float]], list[list[int]]]:
+    """The seeded hyperplane pool + subset bit lists — one definition
+    shared by the Spark expression path (_pool_subsets) and the
+    driver-side density probe (lsh_candidate_density), so the two can
+    never disagree on the geometry."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
+    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
+    return planes, subsets
+
+
 def _pool_subsets(
     emb: DataFrame,
     id_col: str,
@@ -371,9 +384,7 @@ def _pool_subsets(
     collision-density estimation (lsh_collision_stats): one seeded
     hyperplane pool, one BIGINT sign code per vector, ``n_subsets``
     ``bits``-bit overlapping subsets of the pool as hash tables."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(pool_bits)]
-    subsets = [sorted(rng.sample(range(pool_bits), bits)) for _ in range(n_subsets)]
+    planes, subsets = _pool_geometry(pool_bits, n_subsets, bits, dim, seed)
     masks = [_signed64(sum(1 << b for b in s)) for s in subsets]
     coded = emb.select(
         F.col(id_col).alias("id"),
@@ -411,20 +422,53 @@ def lsh_candidate_density(
     clustered one (≈0.003) at the 0.25 cutoff, while keeping the probe's
     bucket join ≤ ~400 k rows even at density 1 (at 1 024 sample rows
     the same join measured ~10 M rows — the probe was the dominant cost
-    of the dispatched query at sf0.1)."""
+    of the dispatched query at sf0.1).
+
+    r10: the probe runs DRIVER-SIDE on the collected sample. The old
+    form ran lsh_candidate_pairs over the sample frame, whose pool-code
+    expression (pool_bits × dim unrolled literals) cost ~7 s of pure
+    data-independent driver ANALYSIS per cold session — the dominant
+    cold cost of the dispatched query at sf1. The sample is ≤
+    ~sample_rows rows by construction, so collecting it and replaying
+    the identical arithmetic in numpy (sign of the strict left-to-right
+    product fold per plane — gemm._seq_fold_sum, the engine's proven
+    JVM-double twin; distinct pair counting = the first-collision
+    form's distinct semantics) yields the SAME density value for
+    milliseconds of driver time. Sample membership is unchanged (the
+    same xxhash64 gate evaluates in Spark), so memoized dispatch
+    decisions are identical."""
+    from etl_school_spark.similarity.gemm import _seq_fold_sum
+
+    import numpy as np
+
     n = emb.count()
     stride = max(1, n // sample_rows)
     idc = F.col(id_col)
     sample = emb if stride == 1 else emb.filter(
         F.pmod(F.xxhash64(idc), F.lit(stride)) == 0
     )
-    n_s = sample.count()
+    rows = sample.select(vec_col).collect()
+    n_s = len(rows)
     if n_s < 2:
         return n, 0.0
-    cand = lsh_candidate_pairs(
-        sample, id_col, vec_col, pool_bits, n_subsets, bits, dim, seed
-    ).count()
-    return n, cand / (n_s * (n_s - 1) / 2)
+    V = np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    planes, subsets = _pool_geometry(pool_bits, n_subsets, bits, dim, seed)
+    sign = np.empty((n_s, pool_bits), dtype=bool)
+    for i, p in enumerate(planes):
+        # CAST(x AS DOUBLE) * y then acc + x left-to-right — the exact
+        # JVM fold (float32→float64 is exact; column fold = zip_with order)
+        sign[:, i] = _seq_fold_sum(V * np.array(p, dtype=np.float64)) >= 0
+    pairs: set = set()
+    for s in subsets:
+        buckets: dict = {}
+        for r in range(n_s):
+            key = tuple(sign[r, b] for b in s)
+            buckets.setdefault(key, []).append(r)
+        for members in buckets.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pairs.add((members[i], members[j]))
+    return n, len(pairs) / (n_s * (n_s - 1) / 2)
 
 
 def lsh_candidate_pairs(
