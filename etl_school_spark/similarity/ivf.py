@@ -112,6 +112,42 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
 SCALE = 1_000_000
 
 
+def _cell_dist_arrow(centroids: list[list[float]]):
+    """Squared-L2 distance of each vector to ITS OWN assigned cell's
+    centroid, vectorized over Arrow batches (r10) — the semantic_dedup
+    keep="farthest" ranking distance. Same exactness contract as
+    _nearest_cell_arrow: per cell, squared diffs accumulated
+    column-by-column in the _sq_dist zip_with fold order, so emitted
+    doubles are bit-identical to the per-cell CASE chain of _sq_dist
+    literals this replaces — which grew one branch + one array literal
+    per cell and at the ⌈√n⌉ auto sizing became a plan-size hazard
+    (1000-branch CASE at 1M vectors) on top of the HOF interpretation
+    tax."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+    @pandas_udf("double")
+    def dist(v: pd.Series, cell: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        cells = cell.to_numpy(dtype=np.int64)
+        out = np.empty(n, dtype=np.float64)
+        for k in np.unique(cells):
+            mask = cells == k
+            P = V[mask] - C[k]
+            P *= P
+            acc = np.zeros(int(mask.sum()), dtype=np.float64)
+            for j in range(P.shape[1]):  # strict left-to-right fold
+                acc = acc + P[:, j]
+            out[mask] = acc
+        return pd.Series(out)
+
+    return dist
+
+
 def _fixed_point_partials(centroids: list[list[float]]):
     """One-pass Arrow kernel for a Lloyd iteration (r10): per input
     batch, assign every vector its nearest cell (the _nearest_cell_arrow

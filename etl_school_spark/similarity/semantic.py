@@ -55,7 +55,6 @@ from pyspark.sql import functions as F
 from etl_school_spark.functions.vectors import as_double, dot, l2_norm
 from etl_school_spark.similarity.ivf import (
     _nearest_cell_arrow,
-    _sq_dist,
     train_centroids,
 )
 
@@ -206,20 +205,17 @@ def semantic_dedup(
     # distance to their (shared) cell's centroid, descending, id tiebreak
     from pyspark.sql.window import Window
 
-    # per-cell constant-centroid distance, selected by the cell id — the
-    # centroids are plan literals (ivf.py broadcast-lifecycle note), so
-    # this is one codegen'd CASE chain, no join
-    expr = None
-    for ci, cvec in enumerate(centroids):
-        branch = _sq_dist(F.col("v"), cvec)
-        expr = (
-            F.when(F.col("cell") == ci, branch)
-            if expr is None
-            else expr.when(F.col("cell") == ci, branch)
-        )
-    with_d = assigned.select("vid", "cell", expr.alias("_d")).join(
-        out.select("vid", "component"), "vid"
-    )
+    from etl_school_spark.similarity.ivf import _cell_dist_arrow
+
+    # distance to the OWN cell's centroid via the Arrow kernel (r10) —
+    # bit-identical to the per-cell _sq_dist CASE chain it replaces,
+    # without the √n-branch plan growth under n_cells="auto" (see
+    # _cell_dist_arrow's docstring)
+    with_d = assigned.select(
+        "vid",
+        "cell",
+        _cell_dist_arrow(centroids)(F.col("v"), F.col("cell")).alias("_d"),
+    ).join(out.select("vid", "component"), "vid")
     w = Window.partitionBy("component").orderBy(F.desc("_d"), "vid")
     ranked = with_d.withColumn("_r", F.row_number().over(w))
     if keep == "both":
