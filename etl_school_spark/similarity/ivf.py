@@ -148,6 +148,37 @@ def _cell_dist_arrow(centroids: list[list[float]]):
     return dist
 
 
+def _all_dists_arrow(centroids: list[list[float]]):
+    """All n_cells squared-L2 distances per vector as one array<double>
+    (r10) — the probe-ranking front end of ivf_topk. Same exactness
+    contract as _nearest_cell_arrow / _cell_dist_arrow (column-fold
+    order per centroid), so the posexploded (cell, dist) rows rank
+    probes identically to the per-cell _sq_dist array this replaces —
+    which grew one HOF fold + one array literal per cell per QUERY
+    row."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def dists(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        D = np.empty((n, C.shape[0]), dtype=np.float64)
+        for k in range(C.shape[0]):
+            P = V - C[k]
+            P *= P
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(P.shape[1]):  # strict left-to-right fold
+                acc = acc + P[:, j]
+            D[:, k] = acc
+        return pd.Series(list(D))
+
+    return dists
+
+
 def _fixed_point_partials(centroids: list[list[float]]):
     """One-pass Arrow kernel for a Lloyd iteration (r10): per input
     batch, assign every vector its nearest cell (the _nearest_cell_arrow
@@ -325,7 +356,9 @@ def ivf_topk(
         _nearest_cell_arrow(centroids)(F.col(vec_col)).alias("cell"),
     )
     # nprobe nearest cells per query: rank the n_cells distances
-    ds = F.array(*[_sq_dist(F.col("qv"), cc) for cc in centroids])
+    # (Arrow distance array — bit-identical to the _sq_dist array form,
+    # see _all_dists_arrow)
+    ds = _all_dists_arrow(centroids)(F.col("qv"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         cvd.alias("qv"),
