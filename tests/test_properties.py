@@ -631,3 +631,46 @@ def test_blocked_shortlist_covers_topk_any_block(qs, cs, k, block):
         for (gq, gc), gs in got.items():
             if gq == qi:  # ...and every emitted score is exact
                 assert gs == scores[gc]
+
+
+# ---------------------------------------------------------------------------
+# blocked_pair_edges (gemm.py, the r10 per-cell threshold-pair kernel) vs
+# a brute-force numpy reference on random geometries — same house rule as
+# the shortlist kernel above, threshold form. Contract: the emitted pair
+# set EQUALS the exact-fold all-pairs result (shortlist at threshold −
+# margin can only over-select; the exact rescore decides), for any block
+# size including 1 and |group|, duplicate vectors and exact-boundary
+# thresholds included (thresholds are drawn FROM the exact pair scores,
+# so >= boundary hits occur by construction).
+# ---------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    vs=_vec_lists,
+    block=st.integers(1, 14),
+    pick=st.integers(0, 10_000),
+)
+def test_blocked_pair_edges_exact_any_block(vs, block, pick):
+    import numpy as np
+    import pandas as pd
+
+    from etl_school_spark.similarity.gemm import _seq_fold_sum, blocked_pair_edges
+
+    norms = [float(np.sqrt(_seq_fold_sum(np.array([v]) ** 2)[0])) for v in vs]
+    exact = {}
+    for i in range(len(vs)):
+        for j in range(i + 1, len(vs)):
+            P = np.array([[a * b for a, b in zip(vs[i], vs[j])]])
+            exact[(i, j)] = _seq_fold_sum(P)[0] / (norms[i] * norms[j])
+    if exact:
+        # half the examples pin an EXACT boundary (threshold == a score)
+        scores = sorted(exact.values())
+        threshold = (
+            scores[pick % len(scores)] if pick % 2 == 0 else 0.25 + (pick % 100) / 200.0
+        )
+    else:
+        threshold = 0.5
+    pdf = pd.DataFrame({"vid": range(len(vs)), "v": vs, "_n": norms})
+    out = blocked_pair_edges(pdf, float(threshold), block)
+    got = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
+    want = {p for p, s in exact.items() if s >= threshold}
+    assert got == want, (threshold, block, got ^ want)
