@@ -126,7 +126,9 @@ def semantic_dedup(
       are bit-identically the SQL form's (differential-tested,
       boundary pairs included). The group frame is cell-sized
       (inherent to applyInPandas; bounded by ⌈√n⌉ cell sizing), numpy
-      allocations are O(cell_block²). Measured crossover in SCALING.md
+      allocations are O(cell_block²). Requires INTEGER ids (the edge
+      schema is long/long) — string-id corpora take the "sql" form,
+      which is id-type-agnostic. Measured crossover in SCALING.md
       r10 — candidate-heavy cells (pinned small n_cells, large corpora)
       are where BLAS wins by an order of magnitude.
     """
