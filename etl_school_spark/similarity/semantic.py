@@ -158,6 +158,15 @@ def semantic_dedup(
     if pair_form == "gemm":
         from etl_school_spark.similarity.gemm import blocked_pair_edges
 
+        id_type = dict(assigned.dtypes)["vid"]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            # fail loud at plan time, not as an opaque numpy cast error
+            # inside the Arrow worker (the edge schema is long/long)
+            raise ValueError(
+                f"pair_form='gemm' requires an integer {id_col} "
+                f"(got {id_type}); use pair_form='sql' for string ids"
+            )
+
         def _score(pdf):
             return blocked_pair_edges(pdf, float(threshold), cell_block)
 

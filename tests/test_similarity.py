@@ -826,6 +826,25 @@ def test_semantic_dedup_rejects_bad_pair_form(spark):
         semantic_dedup(_emb(spark), pair_form="blas")
 
 
+def test_semantic_gemm_rejects_string_ids_loudly(spark):
+    """r10: the gemm pair form's long/long edge schema cannot carry
+    string ids — the guard must fail at plan time with a pointer to the
+    sql form, not as an opaque numpy cast error inside the worker. The
+    sql form itself handles string ids fine."""
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    emb = (
+        _emb(spark)
+        .filter(F.col("vec_id") < 40)
+        .select(F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="pair_form='sql'"):
+        semantic_dedup(emb, n_cells=4, pair_form="gemm")
+    out = semantic_dedup(emb, threshold=0.999999, n_cells=4, pair_form="sql")
+    rows = out.collect()
+    assert len(rows) == 40 and all(isinstance(r.vec_id, str) for r in rows)
+
+
 def test_auto_cells_is_ceil_sqrt():
     """r10: the n_cells="auto" derivation is exactly ⌈√n⌉ (integer math,
     no float edge at perfect squares), clamped ≥ 1."""
