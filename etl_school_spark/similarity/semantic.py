@@ -75,6 +75,30 @@ def _auto_cells(n: int) -> int:
     return math.isqrt(n - 1) + 1  # ceil(sqrt(n)) in exact integer math
 
 
+def _resolve_pair_form(
+    embs: DataFrame,
+    id_col: str,
+    n_cells: int,
+    gemm_cell_bound: int,
+    n: int | None,
+) -> tuple[str, int | None]:
+    """The pair_form="auto" decision (unit-tested directly — the pair
+    stage executes eagerly inside connected_components, so the choice
+    is not visible in the output plan): gemm when ids are integral AND
+    the EXPECTED cell size n/n_cells is within the Arrow group-frame
+    bound, else sql. Reuses the n_cells="auto" count when available
+    (one extra count job only for pinned-n_cells integral-id callers)."""
+    integral = dict(embs.dtypes).get(id_col) in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if not integral:
+        return "sql", n
+    if n is None:
+        n = embs.count()
+    form = "gemm" if n / max(1, n_cells) <= gemm_cell_bound else "sql"
+    return form, n
+
+
 def semantic_dedup(
     embs: DataFrame,
     threshold: float = 0.95,
@@ -84,8 +108,9 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "min_id",
     collect_cap: int = 1_000_000,
-    pair_form: str = "sql",
+    pair_form: str = "auto",
     cell_block: int = 4096,
+    gemm_cell_bound: int = 65_536,
 ) -> DataFrame:
     """SemDeDup over an embedding frame.
 
@@ -116,7 +141,18 @@ def semantic_dedup(
     ``pair_form`` picks the PHYSICAL form of the within-cell pair stage
     — the edge set is identical either way (same oracle):
 
-    - "sql" (default): the declarative cell equi-join + per-candidate
+    - "auto" (default since r10): gemm when its contracts hold —
+      integer ids AND expected cell size n/n_cells ≤
+      ``gemm_cell_bound`` (the Arrow group-frame bound; at the
+      n_cells="auto" default this is ⌈√n⌉ by construction, so auto
+      corpora pick gemm up to ~4B vectors) — else sql. Derived from
+      the corpus count already taken for n_cells="auto" (one extra
+      count job only when n_cells is pinned). Expected size, not a
+      census: a skewed hot cell can exceed it — semantic_census is the
+      instrument, and the block tiling caps numpy allocations at
+      O(cell_block²) regardless (the group frame itself is the
+      residual, the same applyInPandas caveat as knn.lsh_topk).
+    - "sql": the declarative cell equi-join + per-candidate
       HOF fold. No per-group memory contract at all; streams through
       codegen. Each candidate pays an interpreted dim-wide fold.
     - "gemm": per-cell groupBy-applyInPandas with an upper-triangle
@@ -136,15 +172,23 @@ def semantic_dedup(
         raise ValueError(
             f"keep must be 'min_id', 'farthest' or 'both', got {keep!r}"
         )
-    if pair_form not in ("sql", "gemm"):
-        raise ValueError(f"pair_form must be 'sql' or 'gemm', got {pair_form!r}")
+    if pair_form not in ("auto", "sql", "gemm"):
+        raise ValueError(
+            f"pair_form must be 'auto', 'sql' or 'gemm', got {pair_form!r}"
+        )
     from etl_school_spark.tables import fan_out
 
     # assignment + the cell self-join are fold-heavy pre-shuffle work; a
     # single-file scan would serialize them (train_centroids docstring)
     embs = fan_out(embs)
+    n = None
     if n_cells == "auto":
-        n_cells = _auto_cells(embs.count())
+        n = embs.count()
+        n_cells = _auto_cells(n)
+    if pair_form == "auto":
+        pair_form, n = _resolve_pair_form(
+            embs, id_col, n_cells, gemm_cell_bound, n
+        )
     centroids = train_centroids(embs, n_cells, iters, id_col, vec_col)
 
     vd = as_double(F.col(vec_col))

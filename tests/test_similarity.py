@@ -826,6 +826,34 @@ def test_semantic_dedup_rejects_bad_pair_form(spark):
         semantic_dedup(_emb(spark), pair_form="blas")
 
 
+def test_semantic_pair_form_auto_dispatch(spark):
+    """r10: pair_form="auto" (the default) picks gemm when its
+    contracts hold (integer ids, expected cell ≤ gemm_cell_bound) and
+    sql otherwise; the decision helper is unit-tested directly (the
+    pair stage executes eagerly inside connected_components, so the
+    choice is invisible in the output plan) and the full default-params
+    run completes under each decision. Edge-set identity across forms
+    is pinned by the explicit-form differential tests."""
+    from etl_school_spark.similarity.semantic import (
+        _resolve_pair_form,
+        semantic_dedup,
+    )
+
+    emb = _emb(spark).filter(F.col("vec_id") < 60)
+    form, n = _resolve_pair_form(emb, "vec_id", 4, 65_536, None)
+    assert form == "gemm" and n == 60
+    # tiny bound → expected cell exceeds it → sql (count reused)
+    assert _resolve_pair_form(emb, "vec_id", 4, 2, 60) == ("sql", 60)
+    # string ids → sql, and NO count job is spent on the decision
+    s = emb.select(
+        F.concat(F.lit("d-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    assert _resolve_pair_form(s, "vec_id", 4, 65_536, None) == ("sql", None)
+    # full default-params runs land on each branch without error
+    assert semantic_dedup(emb, threshold=0.999999).count() == 60
+    assert semantic_dedup(s, threshold=0.999999).count() == 60
+
+
 def test_semantic_gemm_rejects_string_ids_loudly(spark):
     """r10: the gemm pair form's long/long edge schema cannot carry
     string ids — the guard must fail at plan time with a pointer to the
