@@ -66,15 +66,19 @@ def main() -> int:
             batch, index, threshold=0.8, stage_clock=clock
         )
         t_stages = time.time() - t0
-        # the function call's remainder beyond the forced checkpoints:
-        # plan construction + the within-batch pair/components jobs that
-        # connected_components executes eagerly (count + capped collect)
-        clock["s3b_pairs_components_build"] = round(
-            t_stages
-            - clock["s1_batch_index"]
-            - clock["s2_exact"]
-            - clock["s3_history_near"],
-            3,
+        # the function call's remainder beyond every timed stage: this is
+        # pure DRIVER-side cost — analyzer runs on each DataFrame
+        # construction plus physical planning at each localCheckpoint
+        # call (Dataset.checkpoint plans toRdd immediately even with
+        # eager=False). The r10 split proved the point: pair/verify
+        # EXECUTION is ~0.2-0.3 s and components ~0.2-0.4 s at sf1,
+        # while this remainder holds the ~9 s steady floor (SCALING.md).
+        in_call = (
+            "s1_batch_index", "s2_exact", "s3_history_near",
+            "s3b_pairs_verify", "s3c_components",
+        )
+        clock["s_driver_plan_build"] = round(
+            t_stages - sum(clock.get(k, 0.0) for k in in_call), 3
         )
         t0 = time.time()
         out = sorted_single(rows.select(F.col("doc").alias("doc_id"), "fp"), "doc_id")
