@@ -83,7 +83,13 @@ def _sig_arrow_udf(num_perm: int):
         n = len(hs)
         if n == 0:
             return pd.Series([], dtype="object")
-        arrs = [np.asarray(x, dtype=np.int64) for x in hs]
+        # a NULL _hs row (NULL shingles upstream) behaves like the empty
+        # set: NULL sig — matching the HOF form's when(size > 0) guard
+        # instead of crashing the task on np.asarray(None) (r10 review)
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hs
+        ]
         lens = np.array([len(a) for a in arrs], dtype=np.int64)
         nonzero = np.nonzero(lens)[0]
         out = [None] * n

@@ -112,7 +112,15 @@ def _hot_bucket_pass_rate(
     if total is None:
         return None
     rate = min(1.0, probe_rows / float(total))
-    gate = (F.abs(F.hash("doc")) % 1_000_000) < F.lit(int(rate * 1_000_000))
+    # clamp the gate ≥ 1: at extreme hot-bucket mass (total >
+    # probe_rows × 1e6 — the massive-boilerplate regime the dispatch
+    # exists for) an unclamped int(rate × 1e6) truncates to 0 and the
+    # sample goes empty, silently disabling refinement where it matters
+    # most (r10 review). The limit below keeps the sample bounded even
+    # when the clamped gate over-admits.
+    gate = (F.abs(F.hash("doc")) % 1_000_000) < F.lit(
+        max(1, int(rate * 1_000_000))
+    )
     sample = (
         ids.join(hot.select("t", "key"), ["t", "key"])
         .filter(gate)
@@ -146,6 +154,7 @@ def simhash_near_pairs(
     hot_threshold: int = 2000,
     refine_pass_cutoff: float = 0.2,
     probe_rows: int = 256,
+    force_reprobe: bool = False,
 ) -> DataFrame:
     """All pairs (i < j) with SimHash hamming distance ≤ max_hamming.
 
@@ -211,7 +220,13 @@ def simhash_near_pairs(
             max_hamming, chunks, id_col, text_col,
             hot_threshold, probe_rows,
         )
-        if key not in memo:
+        # force_reprobe: the staleness escape the memoized-probe pattern
+        # prescribes (dispatch.cosine_pairs_auto) — callers that mutate
+        # table content under an unchanged analyzed plan bypass and
+        # overwrite the entry. (No automatic eviction path is needed
+        # here: unlike the dense cap, BOTH refinement choices are
+        # output-exact, so a stale entry can only mis-price, never fail.)
+        if force_reprobe or key not in memo:
             memo[key] = _hot_bucket_pass_rate(
                 ids, hot_threshold, max_hamming, probe_rows
             )

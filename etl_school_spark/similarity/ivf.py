@@ -57,6 +57,37 @@ def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
+def _sq_dists_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n × k) squared-L2 distances in the EXACT _sq_dist fold order:
+    per centroid, squared diffs accumulated column-by-column
+    (acc ← acc + P[:, j], each step one IEEE binary64 add — precisely
+    the zip_with left fold). The ONE definition all four Arrow kernels
+    share (r10 review: the fold was pasted four times; a future change
+    missing one copy would silently break the bit-identical contract
+    for only some consumers)."""
+    D = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+    for k in range(C.shape[0]):
+        P = V - C[k]
+        P *= P
+        acc = np.zeros(V.shape[0], dtype=np.float64)
+        for j in range(P.shape[1]):  # strict left-to-right column fold
+            acc = acc + P[:, j]
+        D[:, k] = acc
+    return D
+
+
+def _vectors_and_mask(v: pd.Series) -> tuple["np.ndarray", "np.ndarray"]:
+    """float64 matrix of the non-NULL rows + the row validity mask.
+    NULL embeddings produced NULL outputs in the HOF expression forms
+    (and contributed nothing to training sums, since posexplode of a
+    NULL array emits no rows); the Arrow kernels preserve that contract
+    instead of crashing on an inhomogeneous np.array (r10 review)."""
+    mask = np.array([x is not None for x in v], dtype=bool)
+    rows = [np.asarray(x, dtype=np.float64) for x, ok in zip(v, mask) if ok]
+    V = np.array(rows) if rows else np.empty((0, 0), dtype=np.float64)
+    return V, mask
+
+
 def _nearest_cell_arrow(centroids: list[list[float]]):
     """Arrow/BLAS form of _nearest_cell — BIT-IDENTICAL assignments,
     ~10× the scan throughput (r10).
@@ -89,16 +120,11 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
     def nearest(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        D = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
-        for k in range(C.shape[0]):
-            P = V - C[k]
-            P *= P
-            acc = np.zeros(V.shape[0], dtype=np.float64)
-            for j in range(P.shape[1]):  # strict left-to-right column fold
-                acc = acc + P[:, j]
-            D[:, k] = acc
-        return pd.Series(np.argmin(D, axis=1).astype("int32"))
+        V, mask = _vectors_and_mask(v)
+        out = np.full(len(v), None, dtype=object)
+        if V.shape[0]:
+            out[mask] = list(np.argmin(_sq_dists_matrix(V, C), axis=1))
+        return pd.Series(out, dtype="object")
 
     return nearest
 
@@ -132,18 +158,31 @@ def _cell_dist_arrow(centroids: list[list[float]]):
         n = len(v)
         if n == 0:
             return pd.Series([], dtype="float64")
-        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        cells = cell.to_numpy(dtype=np.int64)
-        out = np.empty(n, dtype=np.float64)
-        for k in np.unique(cells):
-            mask = cells == k
-            P = V[mask] - C[k]
-            P *= P
-            acc = np.zeros(int(mask.sum()), dtype=np.float64)
-            for j in range(P.shape[1]):  # strict left-to-right fold
-                acc = acc + P[:, j]
-            out[mask] = acc
-        return pd.Series(out)
+        V, mask = _vectors_and_mask(v)
+        # NULL cells arrive as None OR NaN (pandas widens int-with-null
+        # to float) — both mean "no assignment"
+        cells_all = np.array(
+            [-1 if pd.isna(c) else int(c) for c in cell], dtype=np.int64
+        )
+        mask &= cells_all >= 0  # NULL vector or NULL cell → NULL distance
+        out = np.full(n, None, dtype=object)
+        if mask.any():
+            # re-pack the valid rows so V (built from vector-valid rows)
+            # aligns with the combined mask
+            valid_rows = [
+                np.asarray(x, dtype=np.float64)
+                for x, ok in zip(v, mask)
+                if ok
+            ]
+            Vv = np.array(valid_rows)
+            cells = cells_all[mask]
+            vals = np.empty(Vv.shape[0], dtype=np.float64)
+            for k in np.unique(cells):
+                m = cells == k
+                D = _sq_dists_matrix(Vv[m], C[k : k + 1])
+                vals[m] = D[:, 0]
+            out[mask] = list(vals)
+        return pd.Series(out, dtype="object")
 
     return dist
 
@@ -165,16 +204,15 @@ def _all_dists_arrow(centroids: list[list[float]]):
         n = len(v)
         if n == 0:
             return pd.Series([], dtype="object")
-        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
-        D = np.empty((n, C.shape[0]), dtype=np.float64)
-        for k in range(C.shape[0]):
-            P = V - C[k]
-            P *= P
-            acc = np.zeros(n, dtype=np.float64)
-            for j in range(P.shape[1]):  # strict left-to-right fold
-                acc = acc + P[:, j]
-            D[:, k] = acc
-        return pd.Series(list(D))
+        V, mask = _vectors_and_mask(v)
+        out = np.full(n, None, dtype=object)
+        if V.shape[0]:
+            D = _sq_dists_matrix(V, C)
+            # per-index assignment: a masked 2-D assignment would try to
+            # broadcast the row structure into the object array
+            for i, row in zip(np.nonzero(mask)[0], D):
+                out[i] = row.tolist()
+        return pd.Series(out, dtype="object")
 
     return dists
 
@@ -205,16 +243,12 @@ def _fixed_point_partials(centroids: list[list[float]]):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf.iloc[:, 0]])
-            D = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
-            for k in range(C.shape[0]):
-                P = V - C[k]
-                P *= P
-                acc = np.zeros(V.shape[0], dtype=np.float64)
-                for j in range(P.shape[1]):  # strict left-to-right fold
-                    acc = acc + P[:, j]
-                D[:, k] = acc
-            cells = np.argmin(D, axis=1)
+            # NULL vectors contribute nothing — exactly the old
+            # posexplode-of-NULL behavior (zero exploded rows)
+            V, mask = _vectors_and_mask(pdf.iloc[:, 0])
+            if not V.shape[0]:
+                continue
+            cells = np.argmin(_sq_dists_matrix(V, C), axis=1)
             T = V * SCALE
             A = np.abs(T)
             R = np.floor(A)

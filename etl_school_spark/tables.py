@@ -48,16 +48,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: logical nodes whose presence means the plan already crosses an
-#: exchange (or an explicit repartition) — downstream of one, the frame's
+#: logical nodes whose presence GUARANTEES the plan crosses an exchange
+#: (or an explicit repartition) — downstream of one, the frame's
 #: parallelism is the exchange's concern, not the scan's, so fan_out's
 #: narrow-scan guard does not apply. Union is deliberately absent (it is
 #: not a shuffle); coalesce (Repartition with shuffle=false) is handled
-#: separately because it NARROWS parallelism.
+#: separately because it NARROWS parallelism. Join is ALSO deliberately
+#: absent (r10 review): a broadcast-hash join leaves the streamed
+#: side's partitioning untouched, so a 1-partition scan joined to a
+#: tiny dim is still the serialized-fold case the guard exists to undo
+#: — joined frames keep the partition probe (its physical-planning
+#: cost is memoized per DataFrame object, and the library's hot
+#: fan_out sites wrap scans or already-fanned frames anyway).
 _SHUFFLE_NODES = {
     "Repartition",
     "RepartitionByExpression",
-    "Join",
     "Aggregate",
     "Window",
     "Deduplicate",
@@ -102,13 +107,15 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     Probe cost (r10, measured): ``df.rdd.getNumPartitions()`` runs full
     physical planning — free on a scan (~0.2 s once, memoized per
     DataFrame object) but 2.1–7.1 s on deep multi-join plans. Plans
-    that already contain a shuffle boundary (join/aggregate/window/
-    explicit repartition — _has_shuffle_boundary, an analyzed-plan node
-    walk costing well under a millisecond) skip the probe entirely and
-    pass through: downstream of an exchange the frame's parallelism is
-    the exchange's (≥ spark.sql.shuffle.partitions at scale; a
-    small-data AQE coalesce below that is exactly the case where a
-    forced repartition buys nothing). Coalesce does NOT skip — it
+    that already contain a GUARANTEED shuffle boundary (aggregate/
+    window/deduplicate/explicit repartition — _has_shuffle_boundary, an
+    analyzed-plan node walk costing well under a millisecond) skip the
+    probe entirely and pass through: downstream of an exchange the
+    frame's parallelism is the exchange's (≥
+    spark.sql.shuffle.partitions at scale; a small-data AQE coalesce
+    below that is exactly the case where a forced repartition buys
+    nothing). Joins do NOT skip (a broadcast-hash join preserves the
+    streamed side's partitioning), and neither does coalesce — it
     narrows parallelism, which is what this guard exists to undo."""
     if df.isStreaming:
         # streaming frames have no static partition count to inspect and

@@ -74,8 +74,11 @@ def test_fan_out_skips_probe_past_shuffle_boundary(spark):
     agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     assert fan_out(agg) is agg  # post-aggregate → exchange owns parallelism
 
-    joined = docs.join(docs.select("doc_id"), "doc_id")
-    assert fan_out(joined) is joined  # post-join
+    # a JOIN is NOT a guaranteed exchange: a broadcast-hash join keeps
+    # the streamed side's (here: single-partition) layout, so joined
+    # frames keep the probe and a narrow one still fans out (r10 review)
+    joined = docs.join(F.broadcast(docs.select("doc_id").limit(10)), "doc_id")
+    assert fan_out(joined).rdd.getNumPartitions() == n
 
     coalesced = docs.coalesce(1)
     assert fan_out(coalesced) is not coalesced

@@ -796,6 +796,49 @@ def test_nearest_cell_arrow_matches_hof(spark):
     assert {r.vec_id: r.arrow for r in rows}[3] in (0, 1, 2)
 
 
+def test_arrow_kernels_tolerate_null_vectors(spark):
+    """r10 review: the Arrow kernels must preserve the HOF forms' NULL
+    contract — a NULL embedding gets a NULL cell/distance (and
+    contributes nothing to training sums, like posexplode of NULL) —
+    instead of crashing the task on an inhomogeneous np.array."""
+    from etl_school_spark.similarity.ivf import (
+        _all_dists_arrow,
+        _cell_dist_arrow,
+        _nearest_cell_arrow,
+        train_centroids,
+    )
+
+    base = _emb(spark).filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    with_null = base.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    cents = train_centroids(base, n_cells=4)
+    # training ignores the NULL row entirely
+    assert train_centroids(with_null, n_cells=4) == cents
+
+    got = with_null.select(
+        "vec_id",
+        _nearest_cell_arrow(cents)(F.col("embedding")).alias("cell"),
+        _all_dists_arrow(cents)(F.col("embedding")).alias("ds"),
+    ).collect()
+    by_id = {r.vec_id: r for r in got}
+    assert by_id[999].cell is None and by_id[999].ds is None
+    assert all(r.cell is not None for r in got if r.vec_id != 999)
+
+    d = with_null.select(
+        "vec_id",
+        _cell_dist_arrow(cents)(
+            F.col("embedding").cast("array<double>"),
+            _nearest_cell_arrow(cents)(F.col("embedding")),
+        ).alias("d"),
+    ).collect()
+    dd = {r.vec_id: r.d for r in d}
+    assert dd[999] is None
+    assert all(v is not None for k, v in dd.items() if k != 999)
+
+
 def test_semantic_pair_form_gemm_matches_sql(spark):
     """r10: the BLAS within-cell pair stage (pair_form="gemm",
     gemm.blocked_pair_edges — shortlist at threshold − margin, exact

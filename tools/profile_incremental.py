@@ -26,12 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/repo/.sf1"
+    # consume "--runs N" / "--runs=N" BEFORE positional parsing, so the
+    # space-separated form's N is not mistaken for sf_dir (r10 review)
+    argv = sys.argv[1:]
     runs = 2
-    for a in sys.argv[1:]:
+    pos: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                runs = int(argv[i + 1])
+                i += 1
+        else:
+            pos.append(a)
+        i += 1
+    sf_dir = pos[0] if pos else "/root/repo/.sf1"
 
     from pyspark.sql import functions as F
 
