@@ -248,6 +248,9 @@ def dedup_batch_against_index(
         # components stage reuses the materialization instead of
         # re-executing) vs the components labeling itself
         pairs = pairs.localCheckpoint(eager=False)
+        # register the diagnostic checkpoint so release_batch_checkpoints
+        # frees it with the batch (r11: it previously leaked to GC)
+        ckpts.append(pairs)
         _tick(pairs, "s3b_pairs_verify")
     # batch-sized edge sets are far under the cap in any sane ingestion
     # config, so the within-batch components resolve driver-side in one

@@ -121,10 +121,24 @@ def _hot_bucket_pass_rate(
     gate = (F.abs(F.hash("doc")) % 1_000_000) < F.lit(
         max(1, int(rate * 1_000_000))
     )
+    # Deterministic cap (r11): an unordered .limit() is partition-order
+    # dependent, so the memoized dispatch decision could flip between
+    # sessions. Ordering by the hash residue (the gate value) before the
+    # limit makes the sample a pure function of the data — and spreads
+    # the cap across hot buckets proportionally instead of letting
+    # whichever bucket a task scanned first crowd out the rest
+    # (TakeOrderedAndProject: top-K per partition, no full sort).
     sample = (
         ids.join(hot.select("t", "key"), ["t", "key"])
         .filter(gate)
-        .select("t", "key", "_sig")
+        .select(
+            "t",
+            "key",
+            "_sig",
+            (F.abs(F.hash("doc")) % 1_000_000).alias("_r"),
+            "doc",
+        )
+        .orderBy("_r", "doc", "t", "key")
         .limit(4 * probe_rows)
         .collect()
     )

@@ -185,6 +185,10 @@ def blocked_pair_edges(
             "id_b": pd.Series(dtype="int64"),
         }
     )
+    # NULL embeddings can never form an edge (cosine undefined) — drop
+    # them up front; the sql pair_form tolerates them the same way
+    # (NULL join keys never match).
+    pdf = pdf[pdf["v"].notna()]
     if len(pdf) < 2:
         return empty
     pdf = pdf.sort_values("vid")

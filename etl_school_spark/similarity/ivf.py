@@ -257,11 +257,12 @@ def _fixed_point_partials(centroids: list[list[float]]):
             out = {"cell": [], "pos": [], "s": [], "n": []}
             dim = V.shape[1]
             for cell in np.unique(cells):
-                mask = cells == cell
+                sel = cells == cell  # per-cell selector (distinct from the
+                # NULL-validity mask above — r10 review flagged the shadow)
                 out["cell"].extend([int(cell)] * dim)
                 out["pos"].extend(range(dim))
-                out["s"].extend(R[mask].sum(axis=0).tolist())
-                out["n"].extend([int(mask.sum())] * dim)
+                out["s"].extend(R[sel].sum(axis=0).tolist())
+                out["n"].extend([int(sel.sum())] * dim)
             yield pd.DataFrame(out)
 
     return partials

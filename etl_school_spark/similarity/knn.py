@@ -448,6 +448,9 @@ def lsh_candidate_density(
         F.pmod(F.xxhash64(idc), F.lit(stride)) == 0
     )
     rows = sample.select(vec_col).collect()
+    # NULL vectors carry no pool code — the Spark-side probe's NULL join
+    # keys never matched, so skip them here too (and exclude from n_s).
+    rows = [r for r in rows if r[0] is not None]
     n_s = len(rows)
     if n_s < 2:
         return n, 0.0

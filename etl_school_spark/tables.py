@@ -69,20 +69,24 @@ _SHUFFLE_NODES = {
 }
 
 
-def _has_shuffle_boundary(jplan) -> bool:
+def _has_shuffle_boundary(jplan, parallelism: int) -> bool:
     """Walk the ANALYZED logical plan (py4j node traversal — a few
     hundred μs even on wide plans, since it visits nodes, not the
     literal-heavy expression trees) looking for any _SHUFFLE_NODES
     member. A coalesce (Repartition(shuffle=false)) does not count —
-    it narrows parallelism, exactly what the guard exists to undo."""
+    it narrows parallelism, exactly what the guard exists to undo —
+    and neither does an explicit NARROWING repartition(k < parallelism)
+    (r11: repartition(1), the sorted_single output shape, is a shuffle
+    that narrows exactly like coalesce; both keep the probe)."""
     name = jplan.nodeName()
     if name in _SHUFFLE_NODES and not (
-        name == "Repartition" and not jplan.shuffle()
+        name == "Repartition"
+        and (not jplan.shuffle() or jplan.numPartitions() < parallelism)
     ):
         return True
     ch = jplan.children()
     for i in range(ch.size()):
-        if _has_shuffle_boundary(ch.apply(i)):
+        if _has_shuffle_boundary(ch.apply(i), parallelism):
             return True
     return False
 
@@ -122,9 +126,9 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
         # micro-batch parallelism is the trigger's concern — pass through
         # so batch/stream-shared operators can apply the guard blindly
         return df
-    if _has_shuffle_boundary(df._jdf.queryExecution().analyzed()):
-        return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if _has_shuffle_boundary(df._jdf.queryExecution().analyzed(), n):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -711,6 +711,65 @@ def test_incremental_dedup_releases_batch_checkpoints(spark):
     assert n_cached() <= before, (before, n_cached())
 
 
+def test_incremental_diagnosis_checkpoint_released_too(spark):
+    """r11 (ADVICE): stage_clock diagnosis mode adds a fourth
+    localCheckpoint (the s3b pairs split) — it must be registered in
+    _esp_checkpoints so release_batch_checkpoints frees it with the
+    batch instead of leaking to GC/ContextCleaner."""
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        release_batch_checkpoints,
+    )
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    hist = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(hist).localCheckpoint()
+    before = n_cached()
+    batch = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine"),
+         (11, "totally different words in this second document here")],
+        "doc_id long, text string",
+    )
+    clock: dict = {}
+    accepted, rows = dedup_batch_against_index(batch, index, stage_clock=clock)
+    assert len(accepted.collect()) == 2 and len(rows.collect()) == 2
+    assert "s3b_pairs_verify" in clock
+    assert release_batch_checkpoints(accepted, rows) == 4  # 3 + diagnostic
+    assert n_cached() <= before, (before, n_cached())
+
+
+def test_hot_bucket_probe_deterministic(spark):
+    """r11 (ADVICE): the probe's sample cap is ORDERED (orderBy hash
+    residue before the limit — TakeOrderedAndProject), so the measured
+    pass-rate is a pure function of the data: repeated calls, including
+    over a reshuffled copy of the same blocking frame (different
+    partition/task order), must agree exactly."""
+    from etl_school_spark.dedup import simhash as sh
+
+    docs = []
+    for f in range(3):
+        base = " ".join(f"detbase{f}tok{i}" for i in range(40))
+        for m in range(60):
+            docs.append((f * 1000 + m, base + f" uniq{f}x{m}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ids = sh.simhash_chunk_rows(df)
+    r1 = sh._hot_bucket_pass_rate(ids, hot_threshold=10, max_hamming=3)
+    r2 = sh._hot_bucket_pass_rate(ids, hot_threshold=10, max_hamming=3)
+    r3 = sh._hot_bucket_pass_rate(
+        ids.repartition(7, "doc"), hot_threshold=10, max_hamming=3
+    )
+    assert r1 is not None
+    assert r1 == r2 == r3
+
+
 def test_simhash_refine_threshold_output_exact(spark):
     """r9: recursive-pigeonhole refinement (simhash_near_pairs
     refine_threshold) must be OUTPUT-EXACT at every threshold — the

@@ -83,3 +83,11 @@ def test_fan_out_skips_probe_past_shuffle_boundary(spark):
     coalesced = docs.coalesce(1)
     assert fan_out(coalesced) is not coalesced
     assert fan_out(coalesced).rdd.getNumPartitions() == n
+
+    # an explicit NARROWING repartition (repartition(1) — the
+    # sorted_single output shape) is a shuffle that narrows parallelism,
+    # exactly like coalesce: it must keep the probe and fan back out
+    # (r11 review — only the shuffle=false form was carved out before)
+    narrowed = docs.repartition(1)
+    assert fan_out(narrowed) is not narrowed
+    assert fan_out(narrowed).rdd.getNumPartitions() == n

@@ -844,10 +844,21 @@ def test_semantic_pair_form_gemm_matches_sql(spark):
     gemm.blocked_pair_edges — shortlist at threshold − margin, exact
     sequential-fold decide) must produce a row-identical result to the
     declarative HOF-fold join at every threshold and block size,
-    including single-row blocks that force maximal tiling."""
+    including single-row blocks that force maximal tiling.
+
+    r11: the corpus carries TWO NULL-embedding rows — they share the
+    NULL cell group, so the gemm branch's kernel sees a group with
+    multiple None vectors (the r10 default-crash regression the r11
+    fix in blocked_pair_edges covers: NULL vectors can never form an
+    edge, matching the sql form's NULL-join-key semantics)."""
     from etl_school_spark.similarity.semantic import semantic_dedup
 
-    emb = _emb(spark).filter(F.col("vec_id") < 150)
+    emb = _emb(spark).filter(F.col("vec_id") < 150).select("vec_id", "embedding")
+    null_rows = emb.limit(2).select(
+        (F.col("vec_id") + 900).alias("vec_id"),
+        F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
+    )
+    emb = emb.unionByName(null_rows)
 
     def rows(**kw):
         return {
@@ -860,6 +871,28 @@ def test_semantic_pair_form_gemm_matches_sql(spark):
         for block in (3, 4096):
             got = rows(threshold=threshold, pair_form="gemm", cell_block=block)
             assert got == base, f"t={threshold} block={block}"
+
+
+def test_lsh_density_probe_tolerates_null_vectors(spark):
+    """r11 (ADVICE): the driver-side density probe must skip NULL
+    embeddings in the collected sample (the Spark-side probe it
+    replaced tolerated them — NULL pool codes never join), excluding
+    them from the sampled-row count, so the density VALUE over the
+    non-NULL rows is unchanged and dispatch never hard-fails on one
+    NULL vector."""
+    from etl_school_spark.similarity.knn import lsh_candidate_density
+
+    emb = _emb(spark).filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    nulls = emb.limit(2).select(
+        (F.col("vec_id") + 900).alias("vec_id"),
+        F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
+    )
+    n0, d0 = lsh_candidate_density(emb)
+    n1, d1 = lsh_candidate_density(emb.unionByName(nulls))
+    # n counts the full corpus (stride sizing); with <= sample_rows rows
+    # both probes collect everything, so the densities match exactly
+    assert (n0, n1) == (100, 102)
+    assert d1 == d0
 
 
 def test_semantic_dedup_rejects_bad_pair_form(spark):
