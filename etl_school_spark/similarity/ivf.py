@@ -76,6 +76,98 @@ def _sq_dists_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return D
 
 
+#: cells per BLAS tile in _assign_cells — bounds per-task numpy peak at
+#: O(arrow_batch_rows × chunk) float64 independent of n_cells (the same
+#: role cell_block plays in gemm.blocked_shortlist_scores)
+_ASSIGN_CELL_CHUNK = 256
+
+
+def _assign_cells(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Nearest-cell assignment, BIT-IDENTICAL to
+    ``np.argmin(_sq_dists_matrix(V, C), axis=1)`` (the exact-fold rule
+    with numpy's first-minimum tie break), computed with ONE BLAS
+    distance matrix instead of an O(n_cells) Python loop of exact
+    column folds (r11 — the n_cells-axis posture item: the ⌈√n⌉ auto
+    sizing GROWS n_cells with the corpus, so the per-batch fold loop
+    was the one place the r10 design bent before 100×).
+
+    The engine's proven shortlist-then-exact-decide pattern
+    (gemm.blocked_shortlist_scores): the approximate distances
+    ``‖v‖² + ‖c‖² − 2·VCᵀ`` (reassociation-tolerant, one gemm) select
+    each row's candidate cells within a safety margin of its row
+    minimum; the exact column fold then DECIDES among the shortlist
+    only. Exactness: with E bounding both |approx − real| and
+    |fold − real| per entry, every cell whose FOLD value equals the
+    row's fold minimum has approx ≤ (row approx min) + 2E — so a
+    margin ≥ 2E keeps ALL exact-minimum cells in the shortlist, and
+    the first-minimum over the shortlist (non-candidates padded +inf)
+    equals the first-minimum over all cells. The margin below is the
+    classic summation envelope O(dim)·u·(‖v‖² + ‖c‖²) with ≥4×
+    slack (terms of the squared distance are non-negative, so the
+    relative bound is clean), plus an absolute floor for
+    zero-magnitude rows — over-admission is SAFE (the exact fold
+    decides), only under-admission could break the bit contract.
+    Single-candidate rows skip the fold entirely: their one candidate
+    contains every exact-minimum cell, hence IS the unique first
+    minimum — on real corpora that is ~all rows, making assignment
+    O(rows·dim) BLAS + O(ties) folds instead of O(rows·cells·dim)
+    interpreted folds. Tie geometries (planted midpoints, duplicate
+    centroids, integer-grid fuzz) are test-pinned against the full
+    exact matrix.
+
+    The cell axis is TILED in _ASSIGN_CELL_CHUNK slices (the
+    blocked_shortlist_scores memory contract): an unblocked rows ×
+    n_cells float64 matrix is exactly the allocation the ⌈√n⌉ sizing
+    grows without bound (measured: at 10k-row Arrow batches × 4096
+    cells × 32 tasks the full-matrix form thrashed ~20 GB and LOST to
+    the old fold loop; tiled, peak is O(rows × chunk) per task and the
+    win holds at every n_cells). Per tile, entries within margin of
+    the TILE row-min are kept (a superset of the global candidates —
+    the global min is ≤ every tile min, so every true candidate
+    survives its own tile's cut); the post-pass filters against the
+    global row-min, then single-candidate rows scatter directly and
+    only multi-candidate rows pay exact folds."""
+    n, dim = V.shape
+    k = C.shape[0]
+    vn = (V * V).sum(axis=1)
+    cn = (C * C).sum(axis=1)
+    u = np.finfo(np.float64).eps
+    margin = 64.0 * dim * u * (vn + cn.max() + 1.0)
+    best = np.full(n, np.inf)
+    rows_l: list = []
+    cells_l: list = []
+    vals_l: list = []
+    for lo in range(0, k, _ASSIGN_CELL_CHUNK):
+        hi = min(lo + _ASSIGN_CELL_CHUNK, k)
+        A = vn[:, None] + cn[None, lo:hi] - 2.0 * (V @ C[lo:hi].T)
+        tile_min = A.min(axis=1)
+        np.minimum(best, tile_min, out=best)
+        ri, ci = np.nonzero(A <= (tile_min + margin)[:, None])
+        rows_l.append(ri)
+        cells_l.append(ci + lo)
+        vals_l.append(A[ri, ci])
+    rows = np.concatenate(rows_l)
+    cells = np.concatenate(cells_l)
+    vals = np.concatenate(vals_l)
+    keep = vals <= best[rows] + margin[rows]
+    rows, cells = rows[keep], cells[keep]
+    counts = np.bincount(rows, minlength=n)
+    out = np.empty(n, dtype=np.int64)
+    single = counts[rows] == 1
+    out[rows[single]] = cells[single]
+    multi = np.nonzero(counts > 1)[0]
+    if multi.size:
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[multi] = np.arange(multi.size)
+        mr, mc = rows[~single], cells[~single]
+        Dm = np.full((multi.size, k), np.inf)
+        for cell in np.unique(mc):
+            rk = mr[mc == cell]
+            Dm[pos[rk], cell] = _sq_dists_matrix(V[rk], C[cell : cell + 1])[:, 0]
+        out[multi] = np.argmin(Dm, axis=1)
+    return out
+
+
 def _vectors_and_mask(v: pd.Series) -> tuple["np.ndarray", "np.ndarray"]:
     """float64 matrix of the non-NULL rows + the row validity mask.
     NULL embeddings produced NULL outputs in the HOF expression forms
@@ -98,12 +190,12 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
     dominant cost of train_centroids/ivf_topk/semantic_dedup at sf1 —
     was CPU-bound on expression interpretation (measured ~6 s per
     training iteration at 20k × 16 × 64). This pandas_udf replays the
-    EXACT arithmetic vectorized over Arrow batches: per centroid, the
-    squared-diff matrix is accumulated column-by-column
-    (acc ← acc + P[:, j], each one IEEE binary64 add — precisely
-    _sq_dist's left-to-right zip_with fold, the gemm._seq_fold_sum
-    argument), and np.argmin returns the FIRST minimum, matching
-    array_position's tie rule. float32→float64 conversion is exact on
+    EXACT arithmetic vectorized over Arrow batches via _assign_cells
+    (r11: one BLAS distance matrix shortlists candidate cells within a
+    reassociation-safety margin; the exact column fold — acc ← acc +
+    P[:, j], precisely _sq_dist's left-to-right zip_with fold — decides
+    among the shortlist, with numpy's first-minimum matching
+    array_position's tie rule). float32→float64 conversion is exact on
     both paths. Equality with the HOF form is test-pinned on real
     embeddings and fuzzed geometries; every oracle that replays
     assignment (ann_topk_ivf, embedding_suite semantic branches) runs
@@ -123,7 +215,7 @@ def _nearest_cell_arrow(centroids: list[list[float]]):
         V, mask = _vectors_and_mask(v)
         out = np.full(len(v), None, dtype=object)
         if V.shape[0]:
-            out[mask] = list(np.argmin(_sq_dists_matrix(V, C), axis=1))
+            out[mask] = list(_assign_cells(V, C))
         return pd.Series(out, dtype="object")
 
     return nearest
@@ -219,8 +311,9 @@ def _all_dists_arrow(centroids: list[list[float]]):
 
 def _fixed_point_partials(centroids: list[list[float]]):
     """One-pass Arrow kernel for a Lloyd iteration (r10): per input
-    batch, assign every vector its nearest cell (the _nearest_cell_arrow
-    arithmetic — identical fold order and tie rule) and emit PARTIAL
+    batch, assign every vector its nearest cell (the _assign_cells
+    shortlist-then-exact-decide kernel — identical fold order and tie
+    rule to the HOF form, shared with _nearest_cell_arrow) and emit PARTIAL
     fixed-point sums (cell, pos, s, n). Integer partials are exact and
     associative, so summing them downstream reproduces the previous
     posexplode → groupBy-sum result bit for bit, while the shuffle
@@ -248,7 +341,7 @@ def _fixed_point_partials(centroids: list[list[float]]):
             V, mask = _vectors_and_mask(pdf.iloc[:, 0])
             if not V.shape[0]:
                 continue
-            cells = np.argmin(_sq_dists_matrix(V, C), axis=1)
+            cells = _assign_cells(V, C)
             T = V * SCALE
             A = np.abs(T)
             R = np.floor(A)

@@ -796,6 +796,77 @@ def test_nearest_cell_arrow_matches_hof(spark):
     assert {r.vec_id: r.arrow for r in rows}[3] in (0, 1, 2)
 
 
+def test_assign_cells_shortlist_bit_identical():
+    """r11: _assign_cells (BLAS shortlist + exact-fold decide) must
+    equal np.argmin(_sq_dists_matrix(V, C), axis=1) — the exact-fold
+    rule with the first-minimum tie break — on tie-dense geometries:
+    integer grids (exact midpoint ties abound), duplicate centroids,
+    planted midpoints, sub-ulp centroid perturbations (approx distances
+    collide, the fold must decide), and large-n_cells random corpora
+    (the shortlist path the ⌈√n⌉ sizing grows into)."""
+    import numpy as np
+
+    from etl_school_spark.similarity.ivf import _assign_cells, _sq_dists_matrix
+
+    rng = np.random.default_rng(17)
+
+    def check(V, C):
+        V = np.asarray(V, dtype=np.float64)
+        C = np.asarray(C, dtype=np.float64)
+        want = np.argmin(_sq_dists_matrix(V, C), axis=1)
+        got = _assign_cells(V, C)
+        assert (got == want).all(), (
+            np.nonzero(got != want)[0][:5],
+            got[got != want][:5],
+            want[got != want][:5],
+        )
+
+    # integer grid: many exact ties, first index must win
+    for dim in (2, 5):
+        V = rng.integers(-3, 4, size=(400, dim)).astype(np.float64)
+        C = rng.integers(-3, 4, size=(25, dim)).astype(np.float64)
+        check(V, C)
+
+    # duplicate centroids + planted exact midpoints
+    c0 = rng.normal(size=8)
+    c1 = rng.normal(size=8)
+    C = np.stack([c0, c1, c0.copy(), (c0 + c1) / 2])
+    mid = (c0 + c1) / 2
+    V = np.stack([c0, c1, mid, mid + 1e-18, rng.normal(size=8)])
+    check(V, C)
+
+    # sub-ulp perturbed centroids: approx distances collide within the
+    # margin; the exact fold decides (and ties break by first index)
+    base = rng.normal(size=(1, 16))
+    C = np.repeat(base, 6, axis=0)
+    C[2] += 1e-16
+    C[4] -= 1e-16
+    V = rng.normal(size=(200, 16))
+    check(V, C)
+
+    # large-n_cells random: the regime the auto sizing grows into
+    V = rng.normal(size=(500, 64)).astype(np.float32).astype(np.float64)
+    C = rng.normal(size=(300, 64)).astype(np.float32).astype(np.float64)
+    check(V, C)
+
+    # float32-ranged magnitudes far from 1 (the margin's ‖v‖²+‖c‖²
+    # scaling must track the data's scale, not assume unit norms)
+    check(V * 1e4, C * 1e4)
+    check(V * 1e-4, C * 1e-4)
+
+    # CROSS-TILE ties: duplicate centroids in different BLAS tiles
+    # (chunk = 256) — candidates survive each tile's own cut and the
+    # post-pass first-index rule must still pick the lower cell id
+    C2 = rng.normal(size=(400, 8))
+    C2[300] = C2[3]  # exact duplicate across the tile boundary
+    C2[310] = C2[3]
+    V2 = np.concatenate([C2[3][None, :].repeat(5, axis=0), rng.normal(size=(50, 8))])
+    V2 = np.asarray(V2, dtype=np.float64)
+    got = _assign_cells(V2, np.asarray(C2, dtype=np.float64))
+    assert (got[:5] == 3).all()
+    check(V2, C2)
+
+
 def test_arrow_kernels_tolerate_null_vectors(spark):
     """r10 review: the Arrow kernels must preserve the HOF forms' NULL
     contract — a NULL embedding gets a NULL cell/distance (and
