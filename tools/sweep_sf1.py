@@ -9,7 +9,20 @@ run rejected (a groupBy-array pair expansion that never finished on
 16k-member buckets, and an expression-side bigram pairing ~2.7x slower
 once data dominated). Run it after any operator-shape change.
 
-Usage: python tools/sweep_sf1.py [sf_dir]
+``--medians N --anchor PATH`` (r11, VERDICT item 3): same-code sweep
+lines on this host span ×2.4 for the heavy queries, so one gate line
+cannot detect a real ×1.5 regression. With an anchor (a committed prior
+sweep JSONL), any query whose first reading deviates >×1.3 from its
+anchor line is re-run to N total readings and reported as a
+``{"q": median, "runs": [...], "spread": max/min, "anchor": a}`` line —
+the gate then carries a median + spread for exactly the queries where a
+single line is untrustworthy, without paying N× the sweep for the
+stable ones. Re-runs happen inside the same warm session, which is the
+point: a cold-in-sweep outlier (page cache, JIT, GC pause) shows up as
+a wide spread around a sane median instead of masquerading as a
+regression.
+
+Usage: python tools/sweep_sf1.py [sf_dir] [--medians N] [--anchor PATH]
 Default sf_dir: /root/repo/.sf1 (build it with tools/make_sf1.py).
 """
 
@@ -17,14 +30,54 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DEVIATION = 1.3  # first-reading vs anchor ratio that triggers re-runs
+
+
+def _load_anchor(path: str) -> dict[str, float]:
+    """Per-query seconds from a prior sweep JSONL (median lines use
+    their median; ERR and canary lines are skipped)."""
+    anchor: dict[str, float] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if "canary_sec" in d:
+                continue
+            if "q" in d and "median" in d:
+                anchor[d["q"]] = float(d["median"])
+                continue
+            for k, v in d.items():
+                if isinstance(v, (int, float)):
+                    anchor[k] = float(v)
+    return anchor
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1"
+    args = sys.argv[1:]
+    medians = 1
+    anchor_path = None
+    pos: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--medians":
+            medians = int(args[i + 1])
+            i += 2
+        elif args[i] == "--anchor":
+            anchor_path = args[i + 1]
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    sf_dir = pos[0] if pos else "/root/repo/.sf1"
+    anchor = _load_anchor(anchor_path) if anchor_path else {}
 
     import __spark_entry__ as e
     from etl_school_spark.session import get_spark
@@ -41,13 +94,50 @@ def main() -> int:
     print(json.dumps(run_canaries(spark, sf_dir)), flush=True)
     out: dict[str, object] = {}
     for name, fn in e.queries().items():
-        t0 = time.time()
-        try:
+        def one_run() -> float:
+            t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 2)
+            return round(time.time() - t0, 2)
+
+        try:
+            first = one_run()
         except Exception as ex:  # keep sweeping — errors are the headline
             out[name] = f"ERR {type(ex).__name__}: {str(ex)[:200]}"
-        print(json.dumps({name: out[name]}), flush=True)
+            print(json.dumps({name: out[name]}), flush=True)
+            continue
+        a = anchor.get(name)
+        deviant = (
+            medians > 1
+            and a is not None
+            and a > 0
+            and (first / a > DEVIATION or a / first > DEVIATION)
+        )
+        if not deviant:
+            out[name] = first
+            print(json.dumps({name: first}), flush=True)
+            continue
+        runs = [first]
+        try:
+            while len(runs) < medians:
+                runs.append(one_run())
+        except Exception as ex:
+            out[name] = f"ERR {type(ex).__name__}: {str(ex)[:200]}"
+            print(json.dumps({name: out[name]}), flush=True)
+            continue
+        med = round(statistics.median(runs), 2)
+        out[name] = med
+        print(
+            json.dumps(
+                {
+                    "q": name,
+                    "median": med,
+                    "runs": runs,
+                    "spread": round(max(runs) / max(min(runs), 1e-9), 2),
+                    "anchor": a,
+                }
+            ),
+            flush=True,
+        )
     errs = sum(1 for v in out.values() if isinstance(v, str))
     total = round(sum(v for v in out.values() if isinstance(v, float)), 1)
     print("TOTAL", total, "errors", errs, flush=True)
