@@ -76,6 +76,13 @@ def simhash_chunk_rows(
     signed = fan_out(docs).select(
         F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
     )
+    return _explode_chunks(signed, chunks)
+
+
+def _explode_chunks(signed: DataFrame, chunks: int) -> DataFrame:
+    """Chunk-bucket membership rows (doc, _sig, t, key) from a
+    pre-signed (doc, _sig) frame — shared by simhash_chunk_rows and the
+    distinct-signature representative path of simhash_dup_groups."""
     buckets = F.array(
         *[
             F.struct(F.lit(c).alias("t"), F.expr(f"_sig & {m}L").alias("key"))
@@ -221,33 +228,67 @@ def simhash_near_pairs(
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
-    masks = _chunk_masks(chunks)
     ids = simhash_chunk_rows(docs, chunks, id_col, text_col)
     if refine_threshold == "auto":
-        spark = docs.sparkSession
-        memo = getattr(spark, "_esp_simhash_refine_memo", None)
-        if memo is None:
-            memo = {}
-            spark._esp_simhash_refine_memo = memo
-        key = (
-            docs._jdf.queryExecution().analyzed().semanticHash(),
-            max_hamming, chunks, id_col, text_col,
-            hot_threshold, probe_rows,
+        refine_threshold = _resolve_refine_auto(
+            docs, ids, max_hamming, chunks, id_col, text_col,
+            hot_threshold, refine_pass_cutoff, probe_rows, force_reprobe,
         )
-        # force_reprobe: the staleness escape the memoized-probe pattern
-        # prescribes (dispatch.cosine_pairs_auto) — callers that mutate
-        # table content under an unchanged analyzed plan bypass and
-        # overwrite the entry. (No automatic eviction path is needed
-        # here: unlike the dense cap, BOTH refinement choices are
-        # output-exact, so a stale entry can only mis-price, never fail.)
-        if force_reprobe or key not in memo:
-            memo[key] = _hot_bucket_pass_rate(
-                ids, hot_threshold, max_hamming, probe_rows
-            )
-        rate = memo[key]
-        refine_threshold = (
-            hot_threshold if rate is not None and rate < refine_pass_cutoff else None
+    return _verified_pairs(ids, max_hamming, chunks, refine_threshold)
+
+
+def _resolve_refine_auto(
+    plan_key_df: DataFrame,
+    ids: DataFrame,
+    max_hamming: int,
+    chunks: int,
+    id_col: str,
+    text_col: str,
+    hot_threshold: int,
+    refine_pass_cutoff: float,
+    probe_rows: int,
+    force_reprobe: bool,
+) -> int | None:
+    """The census-driven refinement dispatch (r10), shared by
+    simhash_near_pairs and simhash_dup_groups: measure the hot-bucket
+    verify pass-rate on a deterministic bounded sample, memoized per
+    (input plan, params) for the session."""
+    spark = plan_key_df.sparkSession
+    memo = getattr(spark, "_esp_simhash_refine_memo", None)
+    if memo is None:
+        memo = {}
+        spark._esp_simhash_refine_memo = memo
+    key = (
+        plan_key_df._jdf.queryExecution().analyzed().semanticHash(),
+        max_hamming, chunks, id_col, text_col,
+        hot_threshold, probe_rows,
+    )
+    # force_reprobe: the staleness escape the memoized-probe pattern
+    # prescribes (dispatch.cosine_pairs_auto) — callers that mutate
+    # table content under an unchanged analyzed plan bypass and
+    # overwrite the entry. (No automatic eviction path is needed
+    # here: unlike the dense cap, BOTH refinement choices are
+    # output-exact, so a stale entry can only mis-price, never fail.)
+    if force_reprobe or key not in memo:
+        memo[key] = _hot_bucket_pass_rate(
+            ids, hot_threshold, max_hamming, probe_rows
         )
+    rate = memo[key]
+    return hot_threshold if rate is not None and rate < refine_pass_cutoff else None
+
+
+def _verified_pairs(
+    ids: DataFrame,
+    max_hamming: int,
+    chunks: int,
+    refine_threshold: int | None,
+) -> DataFrame:
+    """The pair-join core of simhash_near_pairs over pre-built chunk
+    rows (doc, _sig, t, key): first-collision candidate join (plain or
+    hot-bucket-refined) + exact hamming verify. Split out in r11 so
+    simhash_dup_groups can run the identical machinery over the
+    collapsed distinct-signature representatives."""
+    masks = _chunk_masks(chunks)
     # exactly-once emission WITHOUT a dedup shuffle (the knn.py
     # first-collision pattern): a pair is kept only at the first chunk
     # on which the two signatures agree — pure word ops per pair row
@@ -342,3 +383,86 @@ def simhash_near_pairs(
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
     )
+
+
+def simhash_dup_groups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    refine_threshold: int | str | None = "auto",
+    hot_threshold: int = 2000,
+    refine_pass_cutoff: float = 0.2,
+    probe_rows: int = 256,
+    collect_cap: int | None = 1_000_000,
+) -> DataFrame:
+    """(doc, component) — connected components of the simhash near-dup
+    graph, the COMPONENTS-contract companion to simhash_near_pairs
+    (r11, VERDICT item 4): downstream dedup needs group labels, and the
+    pairs contract is inherently quadratic on true-duplicate hot
+    buckets (sf1: one 16,390-member bucket alone → ~134M real pairs).
+    Only docs with at least one near-duplicate are emitted (the
+    connected_components convention — callers union singletons).
+
+    EXACT component collapse via the signature quotient: hamming
+    distance depends only on the 64-bit signatures, so docs sharing an
+    IDENTICAL signature form a clique (distance 0 ≤ max_hamming), and
+    whether an edge exists between two docs is a property of their
+    (distinct) signature values alone. The graph is therefore
+    quotiented by signature equality:
+
+    - intra-signature STAR edges (min-doc representative → member)
+      connect each exact-signature clique — n−1 edges instead of
+      n(n−1)/2;
+    - ONE representative per distinct signature enters the standard
+      first-collision blocked pair join (+ the shared census-driven
+      refinement dispatch); a qualifying rep pair (s1, s2) connects
+      the two cliques exactly when every cross pair of the full graph
+      does.
+
+    Components of (stars ∪ rep pairs) equal components of the full
+    simhash_near_pairs graph: any full edge (x, y) with sig(x)=sig(y)
+    routes both ends to the shared rep; with sig(x)≠sig(y) the rep
+    edge exists and x—rep(sx)—rep(sy)—y is a path. Conversely every
+    constructed edge is a true near-dup edge. (A star-verify
+    triangle-bound pre-pass — hamming ≤ ⌊max_hamming/2⌋ against each
+    bucket's min member — was considered and DROPPED: it only finds
+    pairs routed through the center, so two members within
+    max_hamming of each other but farther than ⌊max_hamming/2⌋ from
+    the center would lose their edge — not provably exact.)
+
+    Cost shape: the signature scan + one groupBy(sig) linear pass; the
+    quadratic bucket join runs over DISTINCT signatures only — a
+    true-duplicate hot bucket collapses to its handful of distinct
+    sigs. Boilerplate hot buckets (many distinct sigs agreeing on one
+    chunk) still hit the refinement dispatch, unchanged. Measured at
+    sf1 in SCALING.md (r11).
+    """
+    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.tables import fan_out
+
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    # the signature scan feeds the rep groupBy AND the star join — one
+    # truncated materialization, not two fold-heavy scans
+    sigs = (
+        fan_out(docs)
+        .select(F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig"))
+        .localCheckpoint(eager=False)
+    )
+    reps = sigs.groupBy("_sig").agg(F.min("doc").alias("doc"))
+    stars = (
+        sigs.join(reps.withColumnRenamed("doc", "_rep"), "_sig")
+        .filter(F.col("doc") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    rep_ids = _explode_chunks(reps, chunks)
+    if refine_threshold == "auto":
+        refine_threshold = _resolve_refine_auto(
+            reps, rep_ids, max_hamming, chunks, id_col, text_col,
+            hot_threshold, refine_pass_cutoff, probe_rows, False,
+        )
+    rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
+    edges = rep_pairs.select("id_a", "id_b").unionByName(stars)
+    return connected_components(edges, collect_cap=collect_cap)

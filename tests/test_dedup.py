@@ -770,6 +770,50 @@ def test_hot_bucket_probe_deterministic(spark):
     assert r1 == r2 == r3
 
 
+def test_simhash_dup_groups_matches_pairs_components(spark):
+    """r11: simhash_dup_groups (signature-quotient collapse: intra-sig
+    star edges + one rep per distinct signature through the blocked
+    pair join) must label EXACTLY the components of the full
+    simhash_near_pairs graph — on a true-duplicate corpus (many
+    identical signatures: the quotient's win case), a boilerplate
+    corpus (hot buckets of distinct sigs: the refinement regime), and
+    a mixed corpus with byte-identical texts."""
+    from etl_school_spark.dedup import simhash as sh
+    from etl_school_spark.dedup.cluster import connected_components
+
+    def corpora():
+        truedup = []
+        for f in range(3):
+            base = " ".join(f"contract{f}w{i}" for i in range(30))
+            for m in range(30):
+                truedup.append(
+                    (f * 1000 + m, base + (f" amendment{m % 2}" if m % 3 else ""))
+                )
+        boiler = []
+        for f in range(2):
+            base = " ".join(f"boiler{f}tok{i}" for i in range(40))
+            for m in range(30):
+                boiler.append((f * 1000 + m, base + f" u{f}x{m}a u{f}x{m}b u{f}x{m}c"))
+        mixed = truedup[:40] + [(9000 + i, t) for i, (_, t) in enumerate(truedup[:5])]
+        return {"truedup": truedup, "boiler": boiler, "mixed": mixed}
+
+    for name, rows in corpora().items():
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = sh.simhash_near_pairs(df, max_hamming=3, chunks=4).select(
+            "id_a", "id_b"
+        )
+        want = {
+            (r.node, r.component)
+            for r in connected_components(pairs, collect_cap=1_000_000).collect()
+        }
+        got = {
+            (r.node, r.component)
+            for r in sh.simhash_dup_groups(df, max_hamming=3, chunks=4).collect()
+        }
+        assert got == want, (name, len(got), len(want))
+        assert len(got) > 0, name
+
+
 def test_simhash_refine_threshold_output_exact(spark):
     """r9: recursive-pigeonhole refinement (simhash_near_pairs
     refine_threshold) must be OUTPUT-EXACT at every threshold — the
