@@ -279,6 +279,56 @@ def _cell_dist_arrow(centroids: list[list[float]]):
     return dist
 
 
+def _cell_cos_arrow(centroids: list[list[float]]):
+    """Cosine of each vector to ITS OWN assigned cell's centroid (r11)
+    — the paper-literal SemDeDup keep="farthest" ranking for
+    UNNORMALIZED inputs (semantic_dedup far_rank="cosine"). Exactness
+    contract of the engine: the dot is the strict left-to-right column
+    fold (gemm._seq_fold_sum — precisely vectors.dot's zip_with fold),
+    the vector norm arrives JVM-computed (the caller's l2_norm
+    projection), and each centroid norm is sqrt of the same sequential
+    square fold (vectors.l2_norm's order) — so emitted doubles equal
+    the declarative dot(v,c)/(norm(v)·norm(c)) expression bit for bit
+    and the pure-Python twin replays them exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    from etl_school_spark.similarity.gemm import _seq_fold_sum
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    cnorm = np.sqrt(_seq_fold_sum(C * C))
+
+    @pandas_udf("double")
+    def cos(v: pd.Series, cell: pd.Series, n: pd.Series) -> pd.Series:
+        m = len(v)
+        if m == 0:
+            return pd.Series([], dtype="float64")
+        _, mask = _vectors_and_mask(v)
+        cells_all = np.array(
+            [-1 if pd.isna(c) else int(c) for c in cell], dtype=np.int64
+        )
+        norms_all = np.array(
+            [np.nan if x is None else float(x) for x in n], dtype=np.float64
+        )
+        mask &= cells_all >= 0
+        mask &= ~np.isnan(norms_all)
+        out = np.full(m, None, dtype=object)
+        if mask.any():
+            valid_rows = [
+                np.asarray(x, dtype=np.float64) for x, ok in zip(v, mask) if ok
+            ]
+            Vv = np.array(valid_rows)
+            cells = cells_all[mask]
+            norms = norms_all[mask]
+            vals = np.empty(Vv.shape[0], dtype=np.float64)
+            for k in np.unique(cells):
+                sel = cells == k
+                vals[sel] = _seq_fold_sum(Vv[sel] * C[k]) / (norms[sel] * cnorm[k])
+            out[mask] = list(vals)
+        return pd.Series(out, dtype="object")
+
+    return cos
+
+
 def _all_dists_arrow(centroids: list[list[float]]):
     """All n_cells squared-L2 distances per vector as one array<double>
     (r10) — the probe-ranking front end of ivf_topk. Same exactness

@@ -22,13 +22,16 @@ arXiv:2303.09540), composed from this engine's measured blocks:
    minority of any healthy corpus) and ONE survivor per component:
    ``keep="min_id"`` (deterministic canonical, the engine's dedup
    convention) or ``keep="farthest"`` (keep the least prototypical
-   member — ranked here by GREATEST SQUARED-L2 DISTANCE to the cell
-   centroid, a deliberate proxy for the paper's lowest-cosine rule:
-   for L2-normalized embeddings the two orders coincide exactly
-   (‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c is monotone-decreasing in cos when
-   ‖v‖ is constant), while on unnormalized inputs the survivor may
-   differ from the literal paper rule — the Python differential twin
-   mirrors the same squared-L2 choice, so the proxy is what tests pin).
+   member). The farthest ranking is selectable (``far_rank``, r11):
+   "sq_l2" (default) ranks by GREATEST SQUARED-L2 DISTANCE to the cell
+   centroid — exactly the paper's lowest-cosine rule on L2-normalized
+   embeddings (‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c is monotone-decreasing in
+   cos when ‖v‖ is constant, and the published setting normalizes);
+   "cosine" ranks by LOWEST COSINE to the centroid — the literal paper
+   rule at every geometry, for unnormalized inputs where magnitude
+   would otherwise dominate the survivor choice. The Python
+   differential twin replays both rankings, including an unnormalized
+   geometry where they provably disagree.
 
 Reference analog: none (the reference has no embedding surface); this
 extends the dedup family the same way dedup/contamination.py extends
@@ -111,6 +114,7 @@ def semantic_dedup(
     pair_form: str = "auto",
     cell_block: int = 4096,
     gemm_cell_bound: int = 65_536,
+    far_rank: str = "sq_l2",
 ) -> DataFrame:
     """SemDeDup over an embedding frame.
 
@@ -121,12 +125,23 @@ def semantic_dedup(
     ``keep`` yields the deduplicated corpus.
 
     ``keep="min_id"``: lowest id per component survives.
-    ``keep="farthest"``: the member farthest from its cell centroid
-    (squared-L2, id tiebreak) survives — the paper's
-    keep-least-prototypical rule via the squared-L2 proxy (module
-    docstring). Every component lies within one cell by construction
-    (edges never cross cells), so the member-to-own-centroid distance
-    ranks within a single centroid's geometry.
+    ``keep="farthest"``: the least-prototypical member of each
+    component survives (id tiebreak). Every component lies within one
+    cell by construction (edges never cross cells), so the ranking is
+    within a single centroid's geometry. ``far_rank`` picks the
+    ranking (r11, closing the r10 proxy note):
+
+    - "sq_l2" (default): greatest squared-L2 distance to the cell
+      centroid — for L2-NORMALIZED embeddings this is EXACTLY the
+      paper's lowest-cosine rule (‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c is
+      monotone-decreasing in cos when ‖v‖ is constant), and it is the
+      default because SemDeDup's published setting normalizes.
+    - "cosine": LOWEST cosine to the cell centroid — the literal
+      paper rule at every geometry, for callers with unnormalized
+      embeddings (the survivor may differ from sq_l2 exactly where a
+      member's magnitude, not its angle, dominates its distance).
+      Both rankings are pinned against the pure-Python twin on a
+      geometry where they provably disagree.
     ``keep="both"`` (r10): one pass, BOTH flags — train, assignment,
     pairs, and components are rule-independent, so a caller wanting
     both rules (the embedding_suite driver query) pays the pipeline
@@ -175,6 +190,10 @@ def semantic_dedup(
     if pair_form not in ("auto", "sql", "gemm"):
         raise ValueError(
             f"pair_form must be 'auto', 'sql' or 'gemm', got {pair_form!r}"
+        )
+    if far_rank not in ("sq_l2", "cosine"):
+        raise ValueError(
+            f"far_rank must be 'sq_l2' or 'cosine', got {far_rank!r}"
         )
     from etl_school_spark.tables import fan_out
 
@@ -256,22 +275,37 @@ def semantic_dedup(
             (F.col("vid") == F.col("component")).alias("keep"),
         )
 
-    # farthest-from-centroid: rank members of each component by squared
-    # distance to their (shared) cell's centroid, descending, id tiebreak
+    # farthest-from-centroid: rank members of each component by the
+    # chosen least-prototypical measure against their (shared) cell's
+    # centroid, id tiebreak
     from pyspark.sql.window import Window
 
-    from etl_school_spark.similarity.ivf import _cell_dist_arrow
+    from etl_school_spark.similarity.ivf import _cell_cos_arrow, _cell_dist_arrow
 
-    # distance to the OWN cell's centroid via the Arrow kernel (r10) —
-    # bit-identical to the per-cell _sq_dist CASE chain it replaces,
-    # without the √n-branch plan growth under n_cells="auto" (see
-    # _cell_dist_arrow's docstring)
-    with_d = assigned.select(
-        "vid",
-        "cell",
-        _cell_dist_arrow(centroids)(F.col("v"), F.col("cell")).alias("_d"),
-    ).join(out.select("vid", "component"), "vid")
-    w = Window.partitionBy("component").orderBy(F.desc("_d"), "vid")
+    if far_rank == "cosine":
+        # literal paper rule: LOWEST cosine to the centroid survives
+        # (ascending rank); exact-fold kernel, twin-replayable
+        with_d = assigned.select(
+            "vid",
+            "cell",
+            _cell_cos_arrow(centroids)(
+                F.col("v"), F.col("cell"), F.col("_n")
+            ).alias("_d"),
+        )
+        order = [F.asc("_d"), F.asc("vid")]
+    else:
+        # distance to the OWN cell's centroid via the Arrow kernel (r10)
+        # — bit-identical to the per-cell _sq_dist CASE chain it
+        # replaces, without the √n-branch plan growth under
+        # n_cells="auto" (see _cell_dist_arrow's docstring)
+        with_d = assigned.select(
+            "vid",
+            "cell",
+            _cell_dist_arrow(centroids)(F.col("v"), F.col("cell")).alias("_d"),
+        )
+        order = [F.desc("_d"), F.asc("vid")]
+    with_d = with_d.join(out.select("vid", "component"), "vid")
+    w = Window.partitionBy("component").orderBy(*order)
     ranked = with_d.withColumn("_r", F.row_number().over(w))
     if keep == "both":
         return ranked.select(

@@ -609,7 +609,7 @@ def test_destroy_broadcasts_releases_blocks_on_request(spark):
 # ann_topk_ivf driver oracle, so the reference consumes the trained
 # centroids as given.
 # ---------------------------------------------------------------------------
-def _py_semantic_dedup(rows, centroids, threshold, keep):
+def _py_semantic_dedup(rows, centroids, threshold, keep, far_rank="sq_l2"):
     import math
 
     def sqd(v, c):
@@ -658,12 +658,21 @@ def _py_semantic_dedup(rows, centroids, threshold, keep):
     if keep == "min_id":
         for i in ids:
             out[i] = (cell[i], comp[i], comp[i] == i)
-    else:  # farthest from own-cell centroid, id tiebreak
+    else:  # least-prototypical member survives, id tiebreak
         best = {}
         for i in ids:
-            d = sqd(vec[i], centroids[cell[i]])
+            if far_rank == "cosine":
+                # literal paper rule: LOWEST cos(v, own centroid) wins;
+                # replicates _cell_cos_arrow's exact arithmetic
+                # (seq-fold dot / (JVM norm × seq-fold centroid norm))
+                cen = centroids[cell[i]]
+                d = dotf(vec[i], cen) / (nrm[i] * norm(cen))
+                better = lambda new, old: (new[0], new[1]) < (old[0], old[1])  # noqa: E731
+            else:
+                d = sqd(vec[i], centroids[cell[i]])
+                better = lambda new, old: (new[0], -new[1]) > (old[0], -old[1])  # noqa: E731
             c = comp[i]
-            if c not in best or (d, -i) > (best[c][0], -best[c][1]):
+            if c not in best or better((d, i), best[c]):
                 best[c] = (d, i)
         for i in ids:
             out[i] = (cell[i], comp[i], best[comp[i]][1] == i)
@@ -691,6 +700,68 @@ def test_semantic_dedup_matches_python(spark, threshold, keep):
     centroids = train_centroids(emb, n_cells=4)
     want = _py_semantic_dedup(rows, centroids, threshold, keep)
     assert got == want
+
+
+@pytest.mark.parametrize("far_rank", ["sq_l2", "cosine"])
+def test_semantic_far_rank_unnormalized_matches_python(spark, far_rank):
+    """r11 (VERDICT item 5): both farthest rankings must match the
+    Python twin on UNNORMALIZED geometries — per-vector magnitudes
+    scaled so that the sq_l2 proxy and the literal lowest-cosine paper
+    rule provably pick DIFFERENT survivors somewhere (asserted below:
+    a differential that cannot disagree pins nothing)."""
+    from etl_school_spark.similarity.ivf import train_centroids
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    import math
+
+    # planted disagreement geometry (unnormalized): region A is a unit
+    # cluster near e1 (background + the first k-means seed); region B
+    # is one duplicate component {p1, p3 at e2 norm 1; p2 at norm 3,
+    # 20° off} — pairwise cos(p1,p2)=cos20°≈0.94 ≥ 0.8 (edges), while
+    # against the trained B centroid (≈ the component mean, pulled
+    # toward p2 by its magnitude: angle ≈12°) p2 is FARTHEST by
+    # squared-L2 (1.94 vs 0.49) but has the HIGHEST cosine (cos 8° vs
+    # cos 12°), so sq_l2 keeps p2 and the paper rule keeps p1. (Norm 3,
+    # not larger: the centroid must stay close enough to e2 that p1
+    # still assigns to the B cell, or the component would split.)
+    th = math.radians(20.0)
+    data = [(0, [1.0, 0.0, 0.0, 0.0])]
+    data += [(10 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(8)]
+    data += [
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 3 * math.cos(th), 3 * math.sin(th), 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in data],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cell, r.component, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=0.8, n_cells=2, keep="farthest", far_rank=far_rank
+        ).collect()
+    }
+    rows = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    centroids = train_centroids(emb, n_cells=2)
+    want = _py_semantic_dedup(rows, centroids, 0.8, "farthest", far_rank)
+    assert got == want
+    # the two rules must genuinely disagree on this geometry
+    other = _py_semantic_dedup(
+        rows, centroids, 0.8, "farthest",
+        "cosine" if far_rank == "sq_l2" else "sq_l2",
+    )
+    assert want != other, "geometry failed to separate the rankings"
+
+
+def test_semantic_dedup_rejects_bad_far_rank(spark):
+    from etl_school_spark.similarity.semantic import semantic_dedup
+
+    with pytest.raises(ValueError, match="far_rank"):
+        semantic_dedup(_emb(spark), far_rank="euclid")
 
 
 def test_semantic_dedup_planted_duplicates(spark):
