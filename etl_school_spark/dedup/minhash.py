@@ -260,3 +260,82 @@ def verify_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(a_col, b_col, "jaccard")
     )
+
+
+def minhash_dup_groups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_band_threshold: int | None = None,
+    collect_cap: int | None = 1_000_000,
+) -> DataFrame:
+    """(node, component) — connected components of the minhash_lsh_pairs
+    graph, the COMPONENTS-contract companion (r11, the simhash_dup_groups
+    pattern): downstream dedup needs group labels, and on copy-heavy
+    corpora the pairs contract is quadratic in each exact-duplicate
+    clique. Only docs with at least one verified near-duplicate are
+    emitted (the connected_components convention).
+
+    EXACT quotient by the distinct-shingle SET: both stages of the pair
+    operator are pure functions of a doc's shingle set — the minhash
+    signature is a deterministic function of the set (so band
+    collisions between two docs depend only on their two sets, and
+    identical sets always collide in every band), and the verify is
+    exact Jaccard on the sets. Therefore:
+
+    - docs sharing an identical NONEMPTY set form a clique
+      (J = 1 ≥ threshold and they always band-collide) — connected
+      with min-doc star edges;
+    - one representative per distinct set runs the ordinary
+      band + verify pipeline; a verified rep pair connects the two
+      cliques exactly when every cross pair of the full graph is a
+      verified pair (same sets ⇒ same candidate status AND same
+      jaccard).
+
+    Components of (stars ∪ rep pairs) equal components of the full
+    minhash_lsh_pairs graph — including LSH's false-negative semantics,
+    which also depend only on the sets (differentially test-pinned).
+    Empty-set docs never pair in the pairs contract (NULL sig is
+    filtered; J of empty sets is NULL) and are excluded from the
+    quotient the same way.
+
+    Cost shape: ONE extra shuffle on the sorted shingle array (the
+    canonical set key, corpus-linear) buys a band+verify stage whose
+    input is the distinct sets only — an exact-duplicate-heavy corpus
+    (the regime where every band bucket is a copy clique) collapses to
+    its distinct documents before the quadratic stage.
+    """
+    if not 0.0 < threshold <= 1.0:
+        # the intra-set cliques assume J(s, s) = 1 qualifies; a
+        # threshold > 1 has no edges at all and the stars would invent
+        # some — fail loudly instead
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql.window import Window
+
+    from etl_school_spark.dedup.cluster import connected_components
+
+    sets = shingle_sets(docs, id_col, text_col, n).filter(F.col("set_size") > 0)
+    w = Window.partitionBy(F.array_sort("shingles"))
+    keyed = sets.withColumn("_rep", F.min("doc").over(w))
+    stars = (
+        keyed.filter(F.col("doc") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    rep_sets = keyed.filter(F.col("doc") == F.col("_rep")).select(
+        "doc", "shingles", "set_size"
+    )
+    signed = minhash_signatures(rep_sets, num_perm).filter(F.col("sig").isNotNull())
+    banded = band_rows(signed, num_perm, bands)
+    cands = pairs_within_groups(
+        banded, ["band_idx", "band_hash"], "doc", max_group_size=hot_band_threshold
+    )
+    rep_pairs = verify_jaccard_pairs(cands, rep_sets, rep_sets, threshold).select(
+        "id_a", "id_b"
+    )
+    return connected_components(
+        rep_pairs.unionByName(stars), collect_cap=collect_cap
+    )

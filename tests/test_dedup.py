@@ -814,6 +814,49 @@ def test_simhash_dup_groups_matches_pairs_components(spark):
         assert len(got) > 0, name
 
 
+def test_minhash_dup_groups_matches_pairs_components(spark):
+    """r11: minhash_dup_groups (shingle-set quotient: identical
+    nonempty sets → min-doc star cliques, one rep per distinct set
+    through the ordinary band+verify pipeline) must label EXACTLY the
+    components of the full minhash_lsh_pairs graph — including LSH
+    false-negative semantics (both are pure functions of the sets) —
+    on corpora with byte-identical copies, near-dups, distinct docs,
+    and empty/short texts (excluded from both contracts)."""
+    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
+
+    rows = []
+    for f in range(4):
+        base = " ".join(f"grp{f}tok{i}" for i in range(25))
+        for m in range(8):
+            rows.append((f * 100 + m, base))  # exact copies: the clique
+        for m in range(3):  # near-dups of the family base
+            rows.append((f * 100 + 50 + m, base + f" extra{f}x{m}"))
+    rows += [(9000 + i, f"unique doc {i} " + " ".join(f"u{i}w{j}" for j in range(20)))
+             for i in range(10)]
+    rows += [(9900, ""), (9901, "two words"), (9902, "")]  # no shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for threshold in (0.8, 0.5):
+        pairs = minhash_lsh_pairs(df, threshold=threshold).select("id_a", "id_b")
+        want = {
+            (r.node, r.component)
+            for r in connected_components(pairs, collect_cap=1_000_000).collect()
+        }
+        got = {
+            (r.node, r.component)
+            for r in minhash_dup_groups(df, threshold=threshold).collect()
+        }
+        assert got == want, (threshold, len(got), len(want))
+        assert len(got) > 0
+        assert not any(n >= 9900 for n, _ in got)  # empty sets never pair
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_dup_groups(df, threshold=1.5)
+
+
 def test_simhash_refine_threshold_output_exact(spark):
     """r9: recursive-pigeonhole refinement (simhash_near_pairs
     refine_threshold) must be OUTPUT-EXACT at every threshold — the
