@@ -127,6 +127,7 @@ def dedup_batch_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_clock: dict | None = None,
+    truncate_stages: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Accept the subset of ``new_docs`` that duplicates neither the
     accepted corpus (``index``) nor an earlier-accepted member of the
@@ -211,7 +212,15 @@ def dedup_batch_against_index(
     # dwarfed the actual sf0.01 execution). Truncating at each stage
     # boundary keeps the tree additive. The checkpointed frame is
     # batch-sized (never corpus-sized) state the stage computed anyway.
-    surv = surv.localCheckpoint(eager=False)
+    # RE-MEASURED r11 after the arrow sig form shrank the subtree
+    # (tools/ab_incremental_truncate.py, sf1, same-session medians of
+    # 3, outputs equal): truncate 10.43 s vs no-truncate 14.74 s — the
+    # per-stage toRdd cost (~8 s of codegen compile + broadcast builds)
+    # is still CHEAPER than the multiplied re-analysis + re-execution
+    # of the untruncated tree across the pipeline's actions, so the
+    # truncation default stands (truncate_stages=True).
+    if truncate_stages:
+        surv = surv.localCheckpoint(eager=False)
     _tick(surv, "s2_exact")
 
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
@@ -225,9 +234,13 @@ def dedup_batch_against_index(
         .select(F.col("new_doc").alias("doc"))
         .distinct()
     )
-    surv2 = surv.join(matched, "doc", "left_anti").localCheckpoint(eager=False)
+    surv2 = surv.join(matched, "doc", "left_anti")
+    if truncate_stages:
+        surv2 = surv2.localCheckpoint(eager=False)
+        ckpts = [new_idx, surv, surv2]
+    else:
+        ckpts = [new_idx]
     _tick(surv2, "s3_history_near")
-    ckpts = [new_idx, surv, surv2]
     surv = surv2
 
     # 3. near-dup within the surviving batch: pair + components + min-id
@@ -242,7 +255,7 @@ def dedup_batch_against_index(
     pairs = verify_jaccard_pairs(pcands, surv, surv, threshold).select(
         "id_a", "id_b"
     )
-    if stage_clock is not None:
+    if stage_clock is not None and truncate_stages:
         # split the in-batch stage for the variance instrument: the
         # pair+verify pipeline (forced here — checkpointed so the
         # components stage reuses the materialization instead of

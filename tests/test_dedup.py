@@ -746,6 +746,46 @@ def test_incremental_diagnosis_checkpoint_released_too(spark):
     assert n_cached() <= before, (before, n_cached())
 
 
+def test_incremental_truncate_stages_output_identical(spark):
+    """r11: truncate_stages=False (skip the surv/surv2 localCheckpoints
+    — the measured-and-rejected variant, kept as a knob) must produce
+    identical acceptance decisions; only the physical checkpoint set
+    differs (new_idx alone)."""
+    from etl_school_spark.dedup.incremental import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        release_batch_checkpoints,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "shared history doc about apples and oranges and pears and plums and kiwi ok")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(hist).localCheckpoint()
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+         (11, "shared history doc about apples and oranges and pears and plums and kiwi yes"),  # near dup
+         (12, "totally different words in this brand new document here"),
+         (13, "totally different words in this brand new document here")],  # in-batch dup
+        "doc_id long, text string",
+    )
+
+    def run(truncate):
+        acc, rows = dedup_batch_against_index(
+            batch, index, threshold=0.8, truncate_stages=truncate
+        )
+        got = sorted(r.doc_id for r in acc.collect())
+        n_ck = len(acc._esp_checkpoints)
+        release_batch_checkpoints(acc, rows)
+        return got, n_ck
+
+    a, ck_a = run(True)
+    b, ck_b = run(False)
+    assert a == b == [12]
+    assert (ck_a, ck_b) == (3, 1)
+
+
 def test_hot_bucket_probe_deterministic(spark):
     """r11 (ADVICE): the probe's sample cap is ORDERED (orderBy hash
     residue before the limit — TakeOrderedAndProject), so the measured
