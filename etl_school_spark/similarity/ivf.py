@@ -359,6 +359,83 @@ def _all_dists_arrow(centroids: list[list[float]]):
     return dists
 
 
+def _probe_cells_arrow(centroids: list[list[float]], nprobe: int):
+    """The ``nprobe`` nearest cells per query vector as ONE array<int>
+    (r11) — replaces the posexplode-all-cells + Window row_number probe
+    ranking of ivf_topk, whose shuffle carried n_cells rows per query
+    (the remaining n_cells-axis term on the query side after
+    _assign_cells fixed the corpus side).
+
+    Same shortlist-then-exact-decide contract as _assign_cells, order-
+    statistic form: per 256-cell BLAS tile, entries within margin of
+    the TILE's nprobe-th smallest approximate distance are kept — the
+    global nprobe-th smallest is ≤ every tile's, so every cell of the
+    true top-nprobe set survives its tile's cut (≤ nprobe−1 cells can
+    have exact dist strictly below the nprobe-th order statistic, so
+    the statistic's approx value sits within E of exact — the
+    _assign_cells margin covers 2E). The exact column fold then orders
+    the kept candidates by (dist, cell) and the first nprobe are
+    EXACTLY the cells the old rank-over-all-distances rule selects
+    (same fold values, same tie rule; the probe SET is what downstream
+    consumes, so ivf_topk's output is bit-identical — differential-
+    pinned, duplicate-centroid ties included)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        m = len(v)
+        if m == 0:
+            return pd.Series([], dtype="object")
+        V, mask = _vectors_and_mask(v)
+        out = np.full(m, None, dtype=object)
+        if V.shape[0]:
+            n, dim = V.shape
+            k = C.shape[0]
+            kk = min(nprobe, k)
+            vn = (V * V).sum(axis=1)
+            cn = (C * C).sum(axis=1)
+            u = np.finfo(np.float64).eps
+            margin = 64.0 * dim * u * (vn + cn.max() + 1.0)
+            rows_l: list = []
+            cells_l: list = []
+            vals_l: list = []
+            for lo in range(0, k, _ASSIGN_CELL_CHUNK):
+                hi = min(lo + _ASSIGN_CELL_CHUNK, k)
+                A = vn[:, None] + cn[None, lo:hi] - 2.0 * (V @ C[lo:hi].T)
+                width = hi - lo
+                if width > kk:
+                    cut = np.partition(A, kk - 1, axis=1)[:, kk - 1]
+                else:
+                    cut = A.max(axis=1)
+                ri, ci = np.nonzero(A <= (cut + margin)[:, None])
+                rows_l.append(ri)
+                cells_l.append(ci + lo)
+                vals_l.append(A[ri, ci])
+            rows = np.concatenate(rows_l)
+            cells = np.concatenate(cells_l)
+            vals = np.concatenate(vals_l)
+            picked = []
+            for r in range(n):
+                sel = rows == r
+                rc, rv = cells[sel], vals[sel]
+                if len(rv) > kk:
+                    gcut = np.partition(rv, kk - 1)[kk - 1]
+                    keep = rv <= gcut + margin[r]
+                    rc = rc[keep]
+                rc.sort()  # ascending cell id = the tie rule's order
+                exact = _sq_dists_matrix(V[r : r + 1], C[rc])[0]
+                order = np.lexsort((rc, exact))[:kk]
+                picked.append([int(c) for c in rc[order]])
+            idxs = np.nonzero(mask)[0]
+            for i, cells_i in zip(idxs, picked):
+                out[i] = cells_i
+        return pd.Series(out, dtype="object")
+
+    return probes
+
+
 def _fixed_point_partials(centroids: list[list[float]]):
     """One-pass Arrow kernel for a Lloyd iteration (r10): per input
     batch, assign every vector its nearest cell (the _assign_cells
@@ -533,20 +610,21 @@ def ivf_topk(
         l2_norm(cvd).alias("_nc"),
         _nearest_cell_arrow(centroids)(F.col(vec_col)).alias("cell"),
     )
-    # nprobe nearest cells per query: rank the n_cells distances
-    # (Arrow distance array — bit-identical to the _sq_dist array form,
-    # see _all_dists_arrow)
-    ds = _all_dists_arrow(centroids)(F.col("qv"))
-    q = queries.select(
+    # nprobe nearest cells per query, selected INSIDE the Arrow kernel
+    # (r11, _probe_cells_arrow): the previous shape posexploded all
+    # n_cells distances and ranked them through a Window shuffle —
+    # n_cells rows per query through an exchange, the query-side
+    # n_cells-axis term. The kernel's shortlist + exact-fold decide
+    # selects the identical probe SET (same fold values, same
+    # (dist, cell) tie rule — differential-pinned), and downstream
+    # consumes only the set, so the query output is unchanged.
+    pc = _probe_cells_arrow(centroids, nprobe)
+    probes = queries.select(
         F.col(id_col).alias("query_id"),
         cvd.alias("qv"),
         l2_norm(cvd).alias("_nq"),
-    ).select("query_id", "qv", "_nq", F.posexplode(ds).alias("cell", "dist"))
-    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
-    probes = (
-        q.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "_nq", "cell")
+    ).select(
+        "query_id", "qv", "_nq", F.explode(pc(F.col("qv"))).alias("cell")
     )
 
     if verify == "gemm":

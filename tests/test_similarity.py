@@ -938,6 +938,58 @@ def test_assign_cells_shortlist_bit_identical():
     check(V2, C2)
 
 
+def test_probe_cells_arrow_matches_rank_rule(spark):
+    """r11: _probe_cells_arrow must select EXACTLY the first-nprobe
+    cells by (exact fold distance, cell) — the posexplode + Window
+    row_number rule it replaces — on real embeddings and on
+    duplicate-centroid tie geometries, and emit them in that order.
+    NULL query vectors get NULL probe arrays (explode drops them,
+    matching posexplode-of-NULL)."""
+    import numpy as np
+
+    from etl_school_spark.similarity.ivf import (
+        _probe_cells_arrow,
+        _sq_dists_matrix,
+        train_centroids,
+    )
+
+    emb = _emb(spark)
+    for n_cells, nprobe in ((13, 4), (5, 5), (4, 9)):
+        cents = train_centroids(emb, n_cells=n_cells)
+        sub = emb.filter(F.col("vec_id") % 7 == 0)
+        got = {
+            r.vec_id: list(r.p)
+            for r in sub.select(
+                "vec_id",
+                _probe_cells_arrow(cents, nprobe)(F.col("embedding")).alias("p"),
+            ).collect()
+        }
+        C = np.array(cents, dtype=np.float64)
+        for r in sub.select("vec_id", "embedding").collect():
+            V = np.array([[float(x) for x in r.embedding]])
+            d = _sq_dists_matrix(V, C)[0]
+            order = np.lexsort((np.arange(len(cents)), d))
+            want = [int(c) for c in order[: min(nprobe, len(cents))]]
+            assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+
+    # duplicate centroids across tile-boundary-free small case: exact
+    # ties must resolve by cell id, and the probe array holds EXACTLY
+    # nprobe entries even when every distance ties
+    tie = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r.p
+        for r in df.select(
+            "vec_id", _probe_cells_arrow(tie, 2)(F.col("embedding")).alias("p")
+        ).collect()
+    }
+    assert rows[1] == [0, 1]  # tied duplicates, first ids win
+    assert rows[3] is None
+
+
 def test_arrow_kernels_tolerate_null_vectors(spark):
     """r10 review: the Arrow kernels must preserve the HOF forms' NULL
     contract — a NULL embedding gets a NULL cell/distance (and
