@@ -101,6 +101,18 @@ def ngram_jaccard_pairs(
     Returns columns: id_a, id_b, jaccard (double).
     """
     sets = shingle_sets(docs, id_col, text_col, n)
+    return _jaccard_pairs_from_sets(sets, threshold)
+
+
+def _jaccard_pairs_from_sets(sets: DataFrame, threshold: float) -> DataFrame:
+    """The PPJoin core of ngram_jaccard_pairs over a pre-built
+    (doc, shingles, set_size) frame — split out in r11 so
+    ngram_dup_groups can run the identical machinery over the
+    distinct-set representatives. The prefix order is derived from the
+    INPUT frame's shingle frequencies; order affects pruning only,
+    never the output (both pruning filters are necessary conditions
+    for Jaccard ≥ t), so the quotiented input yields exactly the
+    rep-pair subset of the full output."""
     postings = sets.select("doc", "set_size", F.explode("shingles").alias("shingle"))
 
     # global canonical order: ascending corpus frequency, shingle tiebreak
@@ -164,3 +176,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("inter") > 0)
     )
     return _jaccard_from_inter(inter, threshold)
+
+
+def ngram_dup_groups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collect_cap: int | None = 1_000_000,
+) -> DataFrame:
+    """(node, component) — connected components of the exact
+    ngram_jaccard_pairs graph (r11), completing the components-contract
+    family (simhash_dup_groups / minhash_dup_groups): Jaccard is a pure
+    function of the two distinct-shingle sets, so the graph quotients
+    EXACTLY by set equality — identical nonempty sets are J = 1 cliques
+    (min-doc star edges), and one representative per distinct set runs
+    the ordinary PPJoin pipeline, whose rep pairs connect two cliques
+    exactly when every cross pair qualifies. Empty sets never pair in
+    the pairs contract (no postings, inter > 0 filter) and are excluded
+    from the quotient the same way. Only docs with at least one
+    near-duplicate are emitted (the connected_components convention).
+
+    The PPJoin prefix order inside the rep pipeline derives from REP
+    frequencies rather than corpus frequencies — pruning-only, output
+    unaffected (_jaccard_pairs_from_sets docstring) — while the
+    positional filter's candidate volume now scales with distinct
+    documents, not total documents: a copy-heavy corpus collapses
+    before the quadratic stage.
+    """
+    if not 0.0 < threshold <= 1.0:
+        # the intra-set cliques assume J(s, s) = 1 qualifies (the
+        # minhash_dup_groups guard)
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from etl_school_spark.dedup.cluster import connected_components
+
+    sets = shingle_sets(docs, id_col, text_col, n).filter(F.col("set_size") > 0)
+    w = Window.partitionBy(F.array_sort("shingles"))
+    keyed = sets.withColumn("_rep", F.min("doc").over(w))
+    stars = (
+        keyed.filter(F.col("doc") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    rep_sets = keyed.filter(F.col("doc") == F.col("_rep")).select(
+        "doc", "shingles", "set_size"
+    )
+    rep_pairs = _jaccard_pairs_from_sets(rep_sets, threshold).select("id_a", "id_b")
+    return connected_components(
+        rep_pairs.unionByName(stars), collect_cap=collect_cap
+    )

@@ -897,6 +897,40 @@ def test_minhash_dup_groups_matches_pairs_components(spark):
         minhash_dup_groups(df, threshold=1.5)
 
 
+def test_ngram_dup_groups_matches_pairs_components(spark):
+    """r11: ngram_dup_groups (shingle-set quotient over the PPJoin
+    pipeline) must label EXACTLY the components of the full
+    ngram_jaccard_pairs graph — the rep pipeline's prefix order derives
+    from rep frequencies (pruning-only), so output equality here also
+    re-proves the prefix filter's order-independence."""
+    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
+
+    rows = []
+    for f in range(3):
+        base = " ".join(f"fam{f}tok{i}" for i in range(20))
+        for m in range(6):
+            rows.append((f * 100 + m, base))  # exact copies
+        for m in range(3):
+            rows.append((f * 100 + 50 + m, base + f" tail{f}m{m}"))  # near-dups
+    rows += [(9000 + i, " ".join(f"solo{i}w{j}" for j in range(15))) for i in range(6)]
+    rows += [(9900, ""), (9901, "just two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for threshold in (0.8, 0.55):
+        pairs = ngram_jaccard_pairs(df, threshold=threshold).select("id_a", "id_b")
+        want = {
+            (r.node, r.component)
+            for r in connected_components(pairs, collect_cap=1_000_000).collect()
+        }
+        got = {
+            (r.node, r.component)
+            for r in ngram_dup_groups(df, threshold=threshold).collect()
+        }
+        assert got == want, (threshold, len(got), len(want))
+        assert len(got) > 0
+
+
 def test_simhash_refine_threshold_output_exact(spark):
     """r9: recursive-pigeonhole refinement (simhash_near_pairs
     refine_threshold) must be OUTPUT-EXACT at every threshold — the
