@@ -11,18 +11,25 @@
   (functions/text.py:simhash64) is reproduced in the oracle, which
   deliberately skips the blocking and brute-forces all pairs — a green
   hash therefore also re-proves the pigeonhole blocking loses no pair.
+
+r11: each family is a two-branch suite — `pairs` (contract unchanged) +
+`groups` (the *_dup_groups components contract, the library's scale path
+for true-duplicate hot buckets). The oracle derives `groups` from the
+SAME materialized pair CTE by transitive closure, so a green hash also
+re-proves the quotient collapse (signature / shingle-set equality)
+preserves components exactly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_school_spark.dedup.minhash import minhash_lsh_pairs
-from etl_school_spark.dedup.ngram import ngram_jaccard_pairs
-from etl_school_spark.dedup.simhash import simhash_near_pairs
+from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
+from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
+from etl_school_spark.dedup.simhash import simhash_dup_groups, simhash_near_pairs
 from etl_school_spark.functions.text import STOPWORDS, WS_CLASS
 from etl_school_spark.tables import fan_out, load_table
-from etl_school_spark.workload._suite import sorted_single
+from etl_school_spark.workload._suite import sorted_single, tag_branch, union_suite
 
 # DuckDB tokenizer twin of functions.text.tokens: the same explicit
 # whitespace class as the Spark side (WS_CLASS), so shingle tokenization
@@ -65,10 +72,125 @@ ORDER BY id_a, id_b
 """
 
 
-@_q("dedup_ngram_jaccard", _NGRAM_ORACLE)
+# --------------------------------------------------------------------------
+# r11: the three near-dup families are registered as two-branch SUITES —
+# `pairs` (the original contract, rows unchanged) + `groups` (the
+# components contract of the *_dup_groups quotient operators), so the
+# quotient algorithms are driver-hashed without a new registry slot.
+# The oracle computes the pair graph ONCE (materialized CTE) and derives
+# components by transitive closure over the FULL graph — components of
+# the quotient graph provably equal components of the full pair graph
+# (operator docstrings), so a green hash re-proves the quotient collapse
+# loses no membership and invents none.
+# --------------------------------------------------------------------------
+
+
+def _groups_labels_ctes(pairs_sql: str) -> str:
+    """Closure CTE chain over a materialized ``pairs`` CTE built from
+    ``pairs_sql`` (the _CLUSTER_ORACLE pattern: undirected edges →
+    transitive reach → component = min reachable id)."""
+    return f"""pairs AS MATERIALIZED (
+  {pairs_sql}
+),
+und AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(s, t) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.s, u.b FROM reach r JOIN und u ON r.t = u.a
+),
+labels AS (
+  SELECT s AS node, least(s, min(t)) AS component FROM reach GROUP BY s
+)"""
+
+
+def _groups_oracle(pairs_sql: str) -> str:
+    """Standalone (node, component) oracle for the component parity test."""
+    return f"""
+WITH RECURSIVE {_groups_labels_ctes(pairs_sql)}
+SELECT CAST(node AS BIGINT) AS node, CAST(component AS BIGINT) AS component
+FROM labels
+ORDER BY node
+"""
+
+
+def _dedup_suite_oracle(pairs_sql: str, metric: str) -> str:
+    """Two-branch suite oracle: ``pairs`` rows verbatim + ``groups``
+    labels, every slot explicitly cast on both branches (the suite
+    cross-engine alignment rule — _suite.py module docstring)."""
+    mtyp = "DOUBLE" if metric == "jaccard" else "BIGINT"
+    return f"""
+WITH RECURSIVE {_groups_labels_ctes(pairs_sql)}
+SELECT 'pairs' AS which,
+       CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST({metric} AS {mtyp}) AS {metric},
+       CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS component
+FROM pairs
+UNION ALL
+SELECT 'groups',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS {mtyp}),
+       CAST(node AS BIGINT), CAST(component AS BIGINT)
+FROM labels
+"""
+
+
+# suite frames: the pair contract's columns + the components contract's
+_NGRAM_SCHEMA = {
+    "id_a": "long", "id_b": "long", "jaccard": "double",
+    "node": "long", "component": "long",
+}
+_SIMHASH_SCHEMA = {
+    "id_a": "long", "id_b": "long", "hamming_dist": "long",
+    "node": "long", "component": "long",
+}
+
+# per-component exact checks (tests/test_entry.py::test_component_oracle_parity)
+COMPONENTS = {}
+COMPONENT_ORACLES = {}
+
+_NGRAM_PAIRS_SQL = _NGRAM_ORACLE.replace("ORDER BY id_a, id_b", "")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_pairs_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_single(
+        ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, n=3), "id_a", "id_b"
+    )
+
+
+def _ngram_groups_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_single(
+        ngram_dup_groups(_docs(spark, sf_dir), threshold=0.8, n=3), "node"
+    )
+
+
+COMPONENTS["ngram_pairs"] = _ngram_pairs_component
+COMPONENT_ORACLES["ngram_pairs"] = _NGRAM_ORACLE
+COMPONENTS["ngram_groups"] = _ngram_groups_component
+COMPONENT_ORACLES["ngram_groups"] = _groups_oracle(_NGRAM_PAIRS_SQL)
+
+
+@_q("dedup_ngram_jaccard", _dedup_suite_oracle(_NGRAM_PAIRS_SQL, "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return sorted_single(ngram_jaccard_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
+    docs = _docs(spark, sf_dir)
+    branches = [
+        tag_branch(
+            ngram_jaccard_pairs(docs, threshold=0.8, n=3), "pairs", _NGRAM_SCHEMA,
+            id_a="id_a", id_b="id_b", jaccard="jaccard",
+        ),
+        tag_branch(
+            ngram_dup_groups(docs, threshold=0.8, n=3), "groups", _NGRAM_SCHEMA,
+            node="node", component="component",
+        ),
+    ]
+    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
 
 
 def _sig_cte_block(src: str = "documents") -> str:
@@ -163,17 +285,76 @@ ORDER BY id_a, id_b
 """
 
 
-@_q("dedup_minhash_lsh", _MINHASH_ORACLE)
+_MINHASH_PAIRS_SQL = _MINHASH_ORACLE.replace("ORDER BY id_a, id_b", "")
+
+
+def _minhash_pairs_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_single(
+        minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8, n=3), "id_a", "id_b"
+    )
+
+
+def _minhash_groups_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_single(
+        minhash_dup_groups(_docs(spark, sf_dir), threshold=0.8, n=3), "node"
+    )
+
+
+COMPONENTS["minhash_pairs"] = _minhash_pairs_component
+COMPONENT_ORACLES["minhash_pairs"] = _MINHASH_ORACLE
+COMPONENTS["minhash_groups"] = _minhash_groups_component
+COMPONENT_ORACLES["minhash_groups"] = _groups_oracle(_MINHASH_PAIRS_SQL)
+
+
+@_q("dedup_minhash_lsh", _dedup_suite_oracle(_MINHASH_PAIRS_SQL, "jaccard"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return sorted_single(minhash_lsh_pairs(docs, threshold=0.8, n=3), "id_a", "id_b")
+    docs = _docs(spark, sf_dir)
+    branches = [
+        tag_branch(
+            minhash_lsh_pairs(docs, threshold=0.8, n=3), "pairs", _NGRAM_SCHEMA,
+            id_a="id_a", id_b="id_b", jaccard="jaccard",
+        ),
+        tag_branch(
+            minhash_dup_groups(docs, threshold=0.8, n=3), "groups", _NGRAM_SCHEMA,
+            node="node", component="component",
+        ),
+    ]
+    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
 
 
-@_q("dedup_simhash", _simhash_oracle())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SIMHASH_PAIRS_SQL = _simhash_oracle().replace("ORDER BY id_a, id_b", "")
+
+
+def _simhash_pairs_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=3, chunks=4, refine_threshold="auto"
+    )
+    return sorted_single(
+        pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long")),
+        "id_a", "id_b",
+    )
+
+
+def _simhash_groups_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_single(
+        simhash_dup_groups(
+            _docs(spark, sf_dir), max_hamming=3, chunks=4, refine_threshold="auto"
+        ),
+        "node",
+    )
+
+
+COMPONENTS["simhash_pairs"] = _simhash_pairs_component
+COMPONENT_ORACLES["simhash_pairs"] = _simhash_oracle()
+COMPONENTS["simhash_groups"] = _simhash_groups_component
+COMPONENT_ORACLES["simhash_groups"] = _groups_oracle(_SIMHASH_PAIRS_SQL)
+
+
+@_q("dedup_simhash", _dedup_suite_oracle(_SIMHASH_PAIRS_SQL, "hamming_dist"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
     # census-driven dispatch (r10): on today's corpora no bucket crosses
     # hot_threshold at sf0.01–0.1 and the sf1 tiling's hot buckets are
     # TRUE duplicates (high verify pass-rate), so the chosen plan is the
@@ -181,12 +362,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the 100× boilerplate corpus where refinement measured ×0.80.
     # Either choice is output-exact (same oracle); the probe is
     # memoized per plan, so warm runs pay nothing.
-    pairs = simhash_near_pairs(docs, max_hamming=3, chunks=4, refine_threshold="auto")
-    # BIGINT on both engines (suite-wide integer-slot convention)
-    return sorted_single(
-        pairs.withColumn("hamming_dist", F.col("hamming_dist").cast("long")),
-        "id_a", "id_b",
-    )
+    branches = [
+        tag_branch(
+            simhash_near_pairs(
+                docs, max_hamming=3, chunks=4, refine_threshold="auto"
+            ),
+            "pairs", _SIMHASH_SCHEMA,
+            id_a="id_a", id_b="id_b", hamming_dist="hamming_dist",
+        ),
+        tag_branch(
+            simhash_dup_groups(
+                docs, max_hamming=3, chunks=4, refine_threshold="auto"
+            ),
+            "groups", _SIMHASH_SCHEMA,
+            node="node", component="component",
+        ),
+    ]
+    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
 
 
 # --------------------------------------------------------------------------

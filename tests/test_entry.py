@@ -47,11 +47,11 @@ def test_component_oracle_parity(spark, duck):
     """The consolidated suites surface whole families to the driver; this
     keeps each COMPONENT exact-checked individually, so a suite-level
     projection bug can't mask a component-level value regression."""
-    from etl_school_spark.workload import relational, scaleops, similarityops
+    from etl_school_spark.workload import dedupops, relational, scaleops, similarityops
     from tools.check_oracle import compare
 
     failures = {}
-    for mod in (relational, scaleops, similarityops):
+    for mod in (dedupops, relational, scaleops, similarityops):
         for name, sql in mod.COMPONENT_ORACLES.items():
             spark_pdf = mod.COMPONENTS[name](spark, SF_SMOKE).toPandas()
             duck_pdf = duck.execute(sql).fetchdf()
