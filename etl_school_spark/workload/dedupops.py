@@ -442,17 +442,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from etl_school_spark.dedup.cluster import connected_components
     from etl_school_spark.functions.text import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3)
-    # capped driver-side union-find: near-dup edges are the minority of
-    # the corpus at every measured scale (256 edges at sf0.1, 250.6k at
-    # sf1 — vs 5k/200k docs); measured ×0.67 at sf0.1 / ×0.94 at sf1
-    # over the distributed loop. A mass-duplicated corpus past the cap
-    # takes the loop unchanged.
-    labels = connected_components(pairs, collect_cap=1_000_000)
+    # r11: labels come from the shingle-set QUOTIENT (ngram_dup_groups) —
+    # provably identical to connected_components(ngram_jaccard_pairs)
+    # (differential-pinned; the oracle's recursive closure over the
+    # brute-force pair graph stays green), but the PPJoin runs over
+    # DISTINCT sets only: sf1 full-query A/B 14.56 → 7.99 s median
+    # (tools/ab_clusters_quotient.py, outputs asserted equal). The
+    # collect_cap gates the same capped driver-side union-find inside
+    # the quotient; a mass-duplicated corpus past the cap takes the
+    # distributed loop unchanged.
+    labels = ngram_dup_groups(docs, threshold=0.8, n=3, collect_cap=1_000_000)
     # canonical selection: highest-quality member per component (id
     # tiebreak). The join moves only (id, quality) for CLUSTERED docs —
     # at scale that is the near-dup subset, not the corpus.
