@@ -264,7 +264,7 @@ def _sq_sql(a: str, b: str) -> str:
 
 
 def _lloyd_ctes(
-    n_cells: int, iters: int, dim: int, corpus_where: str = ""
+    n_cells: int | str, iters: int, dim: int, corpus_where: str = ""
 ) -> tuple[list[str], str]:
     """The CTE fragments replaying similarity/ivf.train_centroids
     move-for-move (seed from lowest ids → [assign → fixed-point mean →
@@ -273,16 +273,36 @@ def _lloyd_ctes(
     oracles cannot drift apart on the training replay. Returns the parts
     list (starting with ``e``, the double-cast corpus — optionally
     restricted by ``corpus_where``) and the name of the final centroid
-    CTE."""
+    CTE.
+
+    r11: ``n_cells="auto"`` replays semantic._auto_cells — ⌈√n⌉ in EXACT
+    integer math, derived inside the SQL from the same corpus count the
+    Spark side takes (the centroids were always rows here, so only the
+    seed LIMIT depended on a static k). The float estimate is corrected
+    by an integer probe of its ±2 neighborhood (min k ≥ 1 with k² ≥ n),
+    so the oracle cannot drift from math.isqrt on any count."""
     from etl_school_spark.similarity.ivf import SCALE
 
     sq = _sq_sql
+    if n_cells == "auto":
+        k_cte = """,
+    nk AS (
+      SELECT (SELECT MIN(c.k)
+              FROM (SELECT unnest([g.g - 1, g.g, g.g + 1, g.g + 2]) AS k) c
+              WHERE c.k >= 1 AND c.k * c.k >= g.n) AS k
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS g FROM e) g
+    )"""
+        limit_expr = "(SELECT k FROM nk)"
+    else:
+        k_cte = ""
+        limit_expr = str(n_cells)
     parts = [
         f"""
-    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings {corpus_where}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings {corpus_where}){k_cte},
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
-      FROM e ORDER BY vec_id LIMIT {n_cells}
+      FROM e ORDER BY vec_id LIMIT {limit_expr}
     )"""
     ]
     for it in range(iters):
@@ -375,17 +395,18 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_oracle(
     keep: str,
     threshold: float = 0.4,
-    n_cells: int = 8,
+    n_cells: int | str = "auto",
     iters: int = 2,
     dim: int = 64,
 ) -> str:
     sq = _sq_sql
-    # the registered shape runs on the vec_id % 2 = 0 half-corpus: the
-    # oracle's Lloyd unroll needs a STATIC n_cells, and a pinned cell
-    # count is quadratic-exposed at sweep scale (n²/n_cells candidate
-    # pairs) — halving the corpus bounds that at every sf while covering
-    # the identical composition; full-scale callers get n_cells="auto"
-    # (the library default, census-verified in SCALING.md r10)
+    # r11: the registered shape now runs n_cells="auto" (⌈√n⌉ — the
+    # library default), since _lloyd_ctes derives k dynamically from the
+    # corpus count; the r10 "static unroll needs a pinned k" constraint
+    # is gone and the within-cell candidate volume tracks n^1.5 at every
+    # sweep scale. The vec_id % 2 = 0 half-corpus is kept: it exercises
+    # a filtered-input composition and keeps the suite's sweep cost
+    # comparable across rounds.
     parts, fin = _lloyd_ctes(n_cells, iters, dim, "WHERE vec_id % 2 = 0")
     parts.append(
         f"""
@@ -450,12 +471,11 @@ def _semantic_component(keep: str):
         emb = fan_out(load_table(spark, sf_dir, "embeddings")).filter(
             F.col("vec_id") % 2 == 0
         )
-        # pinned n_cells (not "auto"): the oracle is a static unroll, so
-        # the registered shape fixes the cell count; the auto rule is
-        # pinned by its own tests + census (SCALING.md r10). The %2
-        # subset bounds the pinned-cell quadratic at sweep scale (see
-        # _semantic_oracle).
-        return semantic_dedup(emb, threshold=0.4, n_cells=8, keep=keep)
+        # r11: n_cells="auto" — the oracle's Lloyd replay now derives
+        # ⌈√n⌉ from the same corpus count (see _lloyd_ctes), so the
+        # registered shape runs the library-default sizing and the
+        # driver hash covers the auto rule end to end.
+        return semantic_dedup(emb, threshold=0.4, n_cells="auto", keep=keep)
 
     fn.__name__ = f"semantic_{keep}"
     return fn
@@ -558,7 +578,7 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set by the shortlist-margin + exact-rescore contract, so the
     # oracle is untouched
     both = semantic_dedup(
-        emb, threshold=0.4, n_cells=8, keep="both", pair_form="gemm"
+        emb, threshold=0.4, n_cells="auto", keep="both", pair_form="gemm"
     ).localCheckpoint(eager=False)
     for which, keep_col in (
         ("semantic:min_id", "keep_min"),
