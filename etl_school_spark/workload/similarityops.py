@@ -573,12 +573,14 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") % 2 == 0
     )
-    # pair_form="gemm": measured ×0.79 at sf1 on this exact shape
-    # (same-session A/B, medians of 3 — SCALING.md r10); identical edge
-    # set by the shortlist-margin + exact-rescore contract, so the
-    # oracle is untouched
+    # pair_form="auto" (r11): resolves to gemm on this corpus (integral
+    # ids, expected cell size within the Arrow bound) — the same physical
+    # path r10 pinned after measuring ×0.79 at sf1 — and the resolution
+    # reuses the n_cells="auto" count, so the dispatch itself now sits
+    # under the driver hash at zero extra cost. Identical edge set by
+    # the shortlist-margin + exact-rescore contract; oracle untouched.
     both = semantic_dedup(
-        emb, threshold=0.4, n_cells="auto", keep="both", pair_form="gemm"
+        emb, threshold=0.4, n_cells="auto", keep="both", pair_form="auto"
     ).localCheckpoint(eager=False)
     for which, keep_col in (
         ("semantic:min_id", "keep_min"),
