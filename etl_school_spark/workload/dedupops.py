@@ -179,15 +179,23 @@ COMPONENT_ORACLES["ngram_groups"] = _groups_oracle(_NGRAM_PAIRS_SQL)
 
 @_q("dedup_ngram_jaccard", _dedup_suite_oracle(_NGRAM_PAIRS_SQL, "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.cluster import connected_components
+
     docs = _docs(spark, sf_dir)
+    # the groups branch derives components from the SAME materialized
+    # pair frame the pairs branch emits (one PPJoin, not two — sf1
+    # in-suite quotient re-ran the join for +9.9 s); the quotient
+    # operator ngram_dup_groups itself is driver-hashed through
+    # dedup_clusters' label source and the ngram_groups parity component
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).localCheckpoint(eager=False)
     branches = [
         tag_branch(
-            ngram_jaccard_pairs(docs, threshold=0.8, n=3), "pairs", _NGRAM_SCHEMA,
+            pairs, "pairs", _NGRAM_SCHEMA,
             id_a="id_a", id_b="id_b", jaccard="jaccard",
         ),
         tag_branch(
-            ngram_dup_groups(docs, threshold=0.8, n=3), "groups", _NGRAM_SCHEMA,
-            node="node", component="component",
+            connected_components(pairs, collect_cap=1_000_000), "groups",
+            _NGRAM_SCHEMA, node="node", component="component",
         ),
     ]
     return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")

@@ -22,7 +22,9 @@ point: a cold-in-sweep outlier (page cache, JIT, GC pause) shows up as
 a wide spread around a sane median instead of masquerading as a
 regression.
 
-Usage: python tools/sweep_sf1.py [sf_dir] [--medians N] [--anchor PATH]
+Usage: python tools/sweep_sf1.py [sf_dir] [--medians N] [--anchor PATH] [query ...]
+Extra positional args (r11) restrict the sweep to the named queries —
+the targeted gate for a change that touches a known subset.
 Default sf_dir: /root/repo/.sf1 (build it with tools/make_sf1.py).
 """
 
@@ -77,6 +79,7 @@ def main() -> int:
             pos.append(args[i])
             i += 1
     sf_dir = pos[0] if pos else "/root/repo/.sf1"
+    only = set(pos[1:])
     anchor = _load_anchor(anchor_path) if anchor_path else {}
 
     import __spark_entry__ as e
@@ -94,6 +97,8 @@ def main() -> int:
     print(json.dumps(run_canaries(spark, sf_dir)), flush=True)
     out: dict[str, object] = {}
     for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
         def one_run() -> float:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
