@@ -201,10 +201,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_band_threshold: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
 
     Returns: id_a, id_b, jaccard — same contract as ngram_jaccard_pairs.
+
+    ``sets`` (r11): a precomputed ``shingle_sets(docs, id_col, text_col,
+    n)`` frame (caller's contract) — pass the same materialized frame
+    here and to ``minhash_dup_groups`` to pay the shingle scan once when
+    a pipeline needs both contracts.
 
     ``hot_band_threshold`` (r9): band buckets larger than it route
     through pairs_within_groups' streaming self-join instead of the
@@ -214,7 +220,8 @@ def minhash_lsh_pairs(
     members/bucket at sf1 — far under the ~10k array-materialization
     hazard — so the registered query keeps the default None.
     """
-    sets = shingle_sets(docs, id_col, text_col, n)
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, n)
     signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
     banded = band_rows(signed, num_perm, bands)
 
@@ -272,6 +279,7 @@ def minhash_dup_groups(
     text_col: str = "text",
     hot_band_threshold: int | None = None,
     collect_cap: int | None = 1_000_000,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) — connected components of the minhash_lsh_pairs
     graph, the COMPONENTS-contract companion (r11, the simhash_dup_groups
@@ -318,7 +326,11 @@ def minhash_dup_groups(
 
     from etl_school_spark.dedup.cluster import connected_components
 
-    sets = shingle_sets(docs, id_col, text_col, n).filter(F.col("set_size") > 0)
+    # ``sets`` (r11): a caller sharing the shingle scan with
+    # minhash_lsh_pairs passes its own materialized frame
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, n)
+    sets = sets.filter(F.col("set_size") > 0)
     w = Window.partitionBy(F.array_sort("shingles"))
     keyed = sets.withColumn("_rep", F.min("doc").over(w))
     stars = (

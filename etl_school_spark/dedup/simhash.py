@@ -59,24 +59,41 @@ def _sub_masks(chunks: int, subs: int) -> list[list[int]]:
     return out
 
 
+def simhash_signature_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, _sig) — the signature scan both contracts start from
+    (r11): compute it once, ``localCheckpoint``, and pass it to
+    ``simhash_near_pairs(sigs=...)`` AND ``simhash_dup_groups(sigs=...)``
+    when a pipeline needs pairs and group labels over one corpus — the
+    fold-heavy scan is the shared cost, everything after diverges."""
+    from etl_school_spark.tables import fan_out
+
+    # signature scan is fold-heavy pre-shuffle work — parallelize a
+    # narrow scan up front (no-op when already parallel)
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
+    )
+
+
 def simhash_chunk_rows(
     docs: DataFrame,
     chunks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, _sig, t, key) chunk-bucket membership rows — the blocking
     frame of ``simhash_near_pairs``, exposed so the skew census
     (dedup/census.py) measures exactly the bucket distribution the
-    candidate self-join will see."""
-    from etl_school_spark.tables import fan_out
-
-    # signature scan is fold-heavy pre-shuffle work — parallelize a
-    # narrow scan up front (no-op when already parallel)
-    signed = fan_out(docs).select(
-        F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig")
-    )
-    return _explode_chunks(signed, chunks)
+    candidate self-join will see. ``sigs``: a precomputed
+    ``simhash_signature_rows`` frame (must derive from the same
+    (docs, id_col, text_col) — the caller's contract)."""
+    if sigs is None:
+        sigs = simhash_signature_rows(docs, id_col, text_col)
+    return _explode_chunks(sigs, chunks)
 
 
 def _explode_chunks(signed: DataFrame, chunks: int) -> DataFrame:
@@ -176,8 +193,13 @@ def simhash_near_pairs(
     refine_pass_cutoff: float = 0.2,
     probe_rows: int = 256,
     force_reprobe: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (i < j) with SimHash hamming distance ≤ max_hamming.
+
+    ``sigs`` (r11): a precomputed ``simhash_signature_rows`` frame to
+    share the signature scan with ``simhash_dup_groups`` — must derive
+    from the same (docs, id_col, text_col).
 
     Exact under the pigeonhole guarantee (requires max_hamming < chunks).
     Returns: id_a, id_b, hamming_dist (long).
@@ -228,7 +250,7 @@ def simhash_near_pairs(
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
-    ids = simhash_chunk_rows(docs, chunks, id_col, text_col)
+    ids = simhash_chunk_rows(docs, chunks, id_col, text_col, sigs=sigs)
     if refine_threshold == "auto":
         refine_threshold = _resolve_refine_auto(
             docs, ids, max_hamming, chunks, id_col, text_col,
@@ -396,6 +418,7 @@ def simhash_dup_groups(
     refine_pass_cutoff: float = 0.2,
     probe_rows: int = 256,
     collect_cap: int | None = 1_000_000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, component) — connected components of the simhash near-dup
     graph, the COMPONENTS-contract companion to simhash_near_pairs
@@ -440,17 +463,17 @@ def simhash_dup_groups(
     sf1 in SCALING.md (r11).
     """
     from etl_school_spark.dedup.cluster import connected_components
-    from etl_school_spark.tables import fan_out
 
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
     # the signature scan feeds the rep groupBy AND the star join — one
-    # truncated materialization, not two fold-heavy scans
-    sigs = (
-        fan_out(docs)
-        .select(F.col(id_col).alias("doc"), simhash64_packed(text_col).alias("_sig"))
-        .localCheckpoint(eager=False)
-    )
+    # truncated materialization, not two fold-heavy scans. ``sigs``
+    # (r11): a caller sharing the scan with simhash_near_pairs passes
+    # its own (already-materialized) simhash_signature_rows frame.
+    if sigs is None:
+        sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
+            eager=False
+        )
     reps = sigs.groupBy("_sig").agg(F.min("doc").alias("doc"))
     stars = (
         sigs.join(reps.withColumnRenamed("doc", "_rep"), "_sig")

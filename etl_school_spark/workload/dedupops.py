@@ -316,15 +316,19 @@ COMPONENT_ORACLES["minhash_groups"] = _groups_oracle(_MINHASH_PAIRS_SQL)
 
 @_q("dedup_minhash_lsh", _dedup_suite_oracle(_MINHASH_PAIRS_SQL, "jaccard"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.dedup.ngram import shingle_sets
+
     docs = _docs(spark, sf_dir)
+    # one shingle scan feeds both contracts (sets= injection, r11)
+    sets = shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
     branches = [
         tag_branch(
-            minhash_lsh_pairs(docs, threshold=0.8, n=3), "pairs", _NGRAM_SCHEMA,
-            id_a="id_a", id_b="id_b", jaccard="jaccard",
+            minhash_lsh_pairs(docs, threshold=0.8, n=3, sets=sets), "pairs",
+            _NGRAM_SCHEMA, id_a="id_a", id_b="id_b", jaccard="jaccard",
         ),
         tag_branch(
-            minhash_dup_groups(docs, threshold=0.8, n=3), "groups", _NGRAM_SCHEMA,
-            node="node", component="component",
+            minhash_dup_groups(docs, threshold=0.8, n=3, sets=sets), "groups",
+            _NGRAM_SCHEMA, node="node", component="component",
         ),
     ]
     return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
@@ -370,17 +374,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the 100× boilerplate corpus where refinement measured ×0.80.
     # Either choice is output-exact (same oracle); the probe is
     # memoized per plan, so warm runs pay nothing.
+    from etl_school_spark.dedup.simhash import simhash_signature_rows
+
+    # one signature scan feeds both contracts (sigs= injection, r11)
+    sigs = simhash_signature_rows(docs).localCheckpoint(eager=False)
     branches = [
         tag_branch(
             simhash_near_pairs(
-                docs, max_hamming=3, chunks=4, refine_threshold="auto"
+                docs, max_hamming=3, chunks=4, refine_threshold="auto", sigs=sigs
             ),
             "pairs", _SIMHASH_SCHEMA,
             id_a="id_a", id_b="id_b", hamming_dist="hamming_dist",
         ),
         tag_branch(
             simhash_dup_groups(
-                docs, max_hamming=3, chunks=4, refine_threshold="auto"
+                docs, max_hamming=3, chunks=4, refine_threshold="auto", sigs=sigs
             ),
             "groups", _SIMHASH_SCHEMA,
             node="node", component="component",

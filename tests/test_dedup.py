@@ -1197,3 +1197,45 @@ def test_bucket_size_stats_empty_frame_returns_zeros(spark):
     docs = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id long, text string")
     got = minhash_census(docs, n=9)
     assert got["rows"] == 0 and got["pair_expansion"] == 0
+
+
+def test_shared_scan_injection_matches_internal(spark):
+    """r11: the sets=/sigs= injection params (one scan feeding the pairs
+    AND groups contracts — the registered suites' shape) are
+    output-identical to the functions' internal scans."""
+    from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
+    from etl_school_spark.dedup.ngram import shingle_sets
+    from etl_school_spark.dedup.simhash import (
+        simhash_dup_groups,
+        simhash_near_pairs,
+        simhash_signature_rows,
+    )
+
+    rows = []
+    base = " ".join(f"tok{i}" for i in range(30))
+    for m in range(6):
+        rows.append((m, base))
+    for m in range(3):
+        rows.append((50 + m, base + f" tail{m}"))
+    rows += [(90 + i, f"solo {i} " + " ".join(f"s{i}w{j}" for j in range(15)))
+             for i in range(5)]
+    rows += [(990, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = shingle_sets(df, "doc_id", "text", 3).localCheckpoint(eager=False)
+    for fn, kw in (
+        (minhash_lsh_pairs, dict(threshold=0.8, n=3)),
+        (minhash_dup_groups, dict(threshold=0.8, n=3)),
+    ):
+        internal = {tuple(r) for r in fn(df, **kw).collect()}
+        injected = {tuple(r) for r in fn(df, sets=sets, **kw).collect()}
+        assert injected == internal and internal
+
+    sigs = simhash_signature_rows(df).localCheckpoint(eager=False)
+    for fn, kw in (
+        (simhash_near_pairs, dict(max_hamming=3, chunks=4)),
+        (simhash_dup_groups, dict(max_hamming=3, chunks=4)),
+    ):
+        internal = {tuple(r) for r in fn(df, **kw).collect()}
+        injected = {tuple(r) for r in fn(df, sigs=sigs, **kw).collect()}
+        assert injected == internal and internal
