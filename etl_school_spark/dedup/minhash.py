@@ -220,8 +220,12 @@ def minhash_lsh_pairs(
     members/bucket at sf1 — far under the ~10k array-materialization
     hazard — so the registered query keeps the default None.
     """
+    # materialized internally when not injected (r11): the lazy frame is
+    # referenced by the signature pass AND both verify sides, so the
+    # shingling fold ran ~3× — sf1 A/B 8.57 → 4.65 s median, identical
+    # 250,600 pairs (SCALING.md)
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n)
+        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
     signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
     banded = band_rows(signed, num_perm, bands)
 
@@ -329,7 +333,7 @@ def minhash_dup_groups(
     # ``sets`` (r11): a caller sharing the shingle scan with
     # minhash_lsh_pairs passes its own materialized frame
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n)
+        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sets = sets.filter(F.col("set_size") > 0)
     w = Window.partitionBy(F.array_sort("shingles"))
     keyed = sets.withColumn("_rep", F.min("doc").over(w))

@@ -250,6 +250,14 @@ def simhash_near_pairs(
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    # r11: materialize the signature scan (the simhash_dup_groups
+    # pattern) — the blocked self-join otherwise re-derives the md5
+    # fold on BOTH sides of every exploded chunk row: sf1 A/B
+    # 14.16 → 3.97 s median, identical 16.85M pairs (SCALING.md)
+    if sigs is None:
+        sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
+            eager=False
+        )
     ids = simhash_chunk_rows(docs, chunks, id_col, text_col, sigs=sigs)
     if refine_threshold == "auto":
         refine_threshold = _resolve_refine_auto(
