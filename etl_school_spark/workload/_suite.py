@@ -75,12 +75,28 @@ def oracle_union(branches: list[str]) -> str:
 
 
 def sorted_single(df: DataFrame, *cols: str) -> DataFrame:
-    """Deterministic total order WITHOUT a range exchange.
+    """Deterministic total order WITHOUT a range exchange — for BOUNDED
+    outputs only (top-k, per-group aggregates, fixed-size profiles).
 
     ``orderBy`` plans a RangePartitioner whose bound-sampling pass
     RE-EXECUTES the entire upstream plan — for queries whose tail is an
     expensive verify stage (near-dup pair pipelines), that doubles the
     query. The driver's correctness compare is order-insensitive and
     these outputs are small, so a 1-partition in-partition sort gives the
-    same deterministic result for half the cost."""
+    same deterministic result for half the cost.
+
+    Row-proportional outputs must use ``unordered_output`` instead: a
+    total order on a corpus-proportional result funnels everything
+    through ONE task — ×4 of the whole sf1 simhash suite (SCALING.md
+    r11), and billions of rows through one partition at 100 TB."""
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def unordered_output(df: DataFrame) -> DataFrame:
+    """The row-proportional output contract (r11): values are exact and
+    hash-compared order-insensitively by the driver; imposing a total
+    order on a result that GROWS with the corpus is an anti-pattern the
+    plan gate would flag on any other operator (single-partition sort
+    tail). Identity by design — the name marks the contract at the
+    registration site."""
+    return df

@@ -29,7 +29,12 @@ from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_dup_groups, simhash_near_pairs
 from etl_school_spark.functions.text import STOPWORDS, WS_CLASS
 from etl_school_spark.tables import fan_out, load_table
-from etl_school_spark.workload._suite import sorted_single, tag_branch, union_suite
+from etl_school_spark.workload._suite import (
+    sorted_single,
+    tag_branch,
+    union_suite,
+    unordered_output,
+)
 
 # DuckDB tokenizer twin of functions.text.tokens: the same explicit
 # whitespace class as the Spark side (WS_CLASS), so shingle tokenization
@@ -198,7 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             _NGRAM_SCHEMA, node="node", component="component",
         ),
     ]
-    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
+    return unordered_output(union_suite(branches))
 
 
 def _sig_cte_block(src: str = "documents") -> str:
@@ -331,7 +336,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _NGRAM_SCHEMA, node="node", component="component",
         ),
     ]
-    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
+    return unordered_output(union_suite(branches))
 
 
 _SIMHASH_PAIRS_SQL = _simhash_oracle().replace("ORDER BY id_a, id_b", "")
@@ -394,7 +399,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             node="node", component="component",
         ),
     ]
-    return sorted_single(union_suite(branches), "which", "id_a", "id_b", "node")
+    return unordered_output(union_suite(branches))
 
 
 # --------------------------------------------------------------------------
@@ -481,8 +486,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canonical", F.first("node").over(w))
         .withColumn("keep", F.col("node") == F.col("canonical"))
     )
-    return sorted_single(
-        out.select("node", "component", "quality", "canonical", "keep"), "node"
+    # corpus-proportional output → unordered contract (r11, _suite.py)
+    return unordered_output(
+        out.select("node", "component", "quality", "canonical", "keep")
     )
 
 
@@ -641,7 +647,8 @@ def incremental_dedup_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (production reads it from the persisted index table)
     index = build_dedup_index(gen0).localCheckpoint(eager=False)
     _accepted, rows = dedup_batch_against_index(batch, index, threshold=0.8)
-    return sorted_single(rows.select(F.col("doc").alias("doc_id"), "fp"), "doc_id")
+    # batch-proportional output → unordered contract (r11, _suite.py)
+    return unordered_output(rows.select(F.col("doc").alias("doc_id"), "fp"))
 
 
 # --------------------------------------------------------------------------
@@ -678,4 +685,5 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    return sorted_single(contaminated_docs(corpus, bench, n=4), "doc_id")
+    # corpus-proportional output → unordered contract (r11, _suite.py)
+    return unordered_output(contaminated_docs(corpus, bench, n=4))

@@ -16,7 +16,7 @@ from etl_school_spark.similarity.dispatch import cosine_pairs_auto
 from etl_school_spark.similarity.gemm import gemm_topk
 from etl_school_spark.similarity.knn import lsh_topk
 from etl_school_spark.tables import fan_out, load_table
-from etl_school_spark.workload._suite import sorted_single
+from etl_school_spark.workload._suite import sorted_single, unordered_output
 
 QUERIES = {}
 ORACLES = {}
@@ -81,7 +81,8 @@ _COS = """
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return sorted_single(cosine_pairs_auto(emb, threshold=0.4), "id_a", "id_b")
+    # pair-stream output → unordered contract (r11, _suite.py)
+    return unordered_output(cosine_pairs_auto(emb, threshold=0.4))
 
 
 # --------------------------------------------------------------------------
@@ -597,4 +598,5 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keep=keep_col,
             )
         )
-    return sorted_single(union_suite(branches), "which", "vec_id")
+    # per-vector output → unordered contract (r11, _suite.py)
+    return unordered_output(union_suite(branches))
