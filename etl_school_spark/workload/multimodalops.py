@@ -20,6 +20,7 @@ from etl_school_spark.multimodal.media import (
     image_features,
 )
 from etl_school_spark.tables import load_table
+from etl_school_spark.workload._suite import unordered_output
 
 QUERIES = {}
 ORACLES = {}
@@ -51,7 +52,7 @@ def _q(name: str, oracle: str | None = None):
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"))
-    return image_features(media).orderBy("media_id")
+    return unordered_output(image_features(media))
 
 
 @_q(
@@ -67,7 +68,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"), media_type="audio")
-    return audio_features(media).orderBy("media_id")
+    return unordered_output(audio_features(media))
 
 
 @_q(
@@ -85,4 +86,4 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"), media_type="video")
-    return frame_sample(media, every=4).orderBy("media_id", "frame_idx")
+    return unordered_output(frame_sample(media, every=4))

@@ -13,6 +13,7 @@ from etl_school_spark.functions.sampling import (
 )
 from etl_school_spark.functions.text import WS_CLASS as _WS
 from etl_school_spark.tables import load_table
+from etl_school_spark.workload._suite import unordered_output
 
 QUERIES = {}
 ORACLES = {}
@@ -43,7 +44,7 @@ _T90 = threshold_hex(0.90)
 )
 def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source").orderBy("doc_id")
+    return unordered_output(deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source"))
 
 
 # class rebalancing: downsample dominant en, keep all rare languages

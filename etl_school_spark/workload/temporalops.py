@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_school_spark.operators.temporal import asof_join, interval_range_join
 from etl_school_spark.tables import load_table
+from etl_school_spark.workload._suite import unordered_output
 
 QUERIES = {}
 ORACLES = {}
@@ -51,7 +52,7 @@ def asof_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(left, tiers, key="user_id", ts="ts", value_cols=["tier"])
         .select("event_id", "user_id", "tier")
-        .orderBy("event_id")
+        .transform(unordered_output)
     )
 
 
@@ -84,7 +85,7 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             left, windows, key="event_type", ts="ts", start="ws", end="we", bucket_seconds=3600
         )
         .select("window_id", "event_id")
-        .orderBy("window_id", "event_id")
+        .transform(unordered_output)
     )
 
 
@@ -149,5 +150,5 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "ses_start_us")
+        .transform(unordered_output)
     )

@@ -23,6 +23,7 @@ from etl_school_spark.functions.text import (
     tokens,
 )
 from etl_school_spark.tables import fan_out, load_table
+from etl_school_spark.workload._suite import unordered_output
 
 QUERIES = {}
 ORACLES = {}
@@ -84,7 +85,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(paras).alias("n_paras"),
             (F.size(paras) - F.size(F.array_distinct(paras))).alias("n_dup_paras"),
         )
-        .orderBy("doc_id")
+        .transform(unordered_output)
     )
 
 
@@ -263,7 +264,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok_term_punct",
             "keep",
         )
-        .orderBy("doc_id")
+        .transform(unordered_output)
     )
 
 
@@ -296,7 +297,7 @@ def _lang_oracle() -> str:
 @_q("text_lang_id", _lang_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred")).orderBy("doc_id")
+    return unordered_output(docs.select("doc_id", "lang", lang_id("text").alias("lang_pred")))
 
 
 # --------------------------------------------------------------------------
@@ -317,7 +318,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.dedup.exact import exact_dedup_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs).orderBy("canonical_id")
+    return unordered_output(exact_dedup_groups(docs))
 
 
 # --------------------------------------------------------------------------
@@ -333,7 +334,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+    return unordered_output(docs.select("doc_id", fingerprint("text").alias("fp")))
 
 
 # --------------------------------------------------------------------------
@@ -429,5 +430,5 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
-        .orderBy("doc_id", "rank")
+        .transform(unordered_output)
     )
