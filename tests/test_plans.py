@@ -121,3 +121,31 @@ def test_no_cartesian_products_except_intended(plans):
         if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p) and n not in allowed
     ]
     assert offenders == [], f"unexpected cartesian/nested-loop joins in: {offenders}"
+
+
+# r11: row-proportional registered outputs carry the unordered contract
+# (_suite.unordered_output) — no total-order tail. This locks the two
+# funnel shapes out of their plans: a narrowing repartition(1)
+# (RoundRobinPartitioning(1) — the sorted_single tail, single-task sort
+# of a corpus-proportional result) and a range-sort tail
+# (rangepartitioning — its bound sampling re-executes the upstream
+# plan). Scalar 1-row aggregates (SinglePartition) remain legitimate.
+_UNORDERED_CONTRACT = {
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "incremental_dedup_accepted",
+    "benchmark_contamination", "embedding_neardup_pairs",
+    "embedding_suite", "text_token_stats", "text_quality_scores",
+    "text_lang_id", "dedup_exact_groups", "doc_fingerprints",
+    "tfidf_top_terms", "mm_image_features", "mm_audio_features",
+    "mm_frame_sample", "asof_user_tier", "range_join_event_windows",
+    "session_window_rollup", "sample_documents_10pct",
+}
+
+
+def test_row_proportional_outputs_have_no_sort_funnel(plans):
+    offenders = {
+        n: [t for t in ("RoundRobinPartitioning(1)", "rangepartitioning") if t in plans[n]]
+        for n in _UNORDERED_CONTRACT
+    }
+    offenders = {n: ts for n, ts in offenders.items() if ts}
+    assert offenders == {}, f"total-order funnel reappeared: {offenders}"
