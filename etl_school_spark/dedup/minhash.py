@@ -202,6 +202,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     hot_band_threshold: int | None = None,
     sets: DataFrame | None = None,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard ≥ t.
 
@@ -210,7 +211,9 @@ def minhash_lsh_pairs(
     ``sets`` (r11): a precomputed ``shingle_sets(docs, id_col, text_col,
     n)`` frame (caller's contract) — pass the same materialized frame
     here and to ``minhash_dup_groups`` to pay the shingle scan once when
-    a pipeline needs both contracts.
+    a pipeline needs both contracts. ``signed`` (r11): additionally a
+    precomputed non-NULL-sig ``minhash_signatures(sets, num_perm)``
+    frame, sharing the 128-perm pass too.
 
     ``hot_band_threshold`` (r9): band buckets larger than it route
     through pairs_within_groups' streaming self-join instead of the
@@ -226,7 +229,8 @@ def minhash_lsh_pairs(
     # 250,600 pairs (SCALING.md)
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
-    signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
+    if signed is None:
+        signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
     banded = band_rows(signed, num_perm, bands)
 
     # groupBy-bucket pair expansion, NOT a self-join: a self-join would
@@ -284,6 +288,7 @@ def minhash_dup_groups(
     hot_band_threshold: int | None = None,
     collect_cap: int | None = 1_000_000,
     sets: DataFrame | None = None,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) — connected components of the minhash_lsh_pairs
     graph, the COMPONENTS-contract companion (r11, the simhash_dup_groups
@@ -344,8 +349,16 @@ def minhash_dup_groups(
     rep_sets = keyed.filter(F.col("doc") == F.col("_rep")).select(
         "doc", "shingles", "set_size"
     )
-    signed = minhash_signatures(rep_sets, num_perm).filter(F.col("sig").isNotNull())
-    banded = band_rows(signed, num_perm, bands)
+    if signed is None:
+        rep_signed = minhash_signatures(rep_sets, num_perm).filter(
+            F.col("sig").isNotNull()
+        )
+    else:
+        # reuse the caller's full-corpus signature frame (signatures are
+        # a pure function of the set, so the rep rows are a subset) —
+        # a skinny semi-join instead of re-running the 128-perm pass
+        rep_signed = signed.join(rep_sets.select("doc"), "doc", "leftsemi")
+    banded = band_rows(rep_signed, num_perm, bands)
     cands = pairs_within_groups(
         banded, ["band_idx", "band_hash"], "doc", max_group_size=hot_band_threshold
     )

@@ -323,16 +323,28 @@ COMPONENT_ORACLES["minhash_groups"] = _groups_oracle(_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.dedup.ngram import shingle_sets
 
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.minhash import minhash_signatures
+
     docs = _docs(spark, sf_dir)
-    # one shingle scan feeds both contracts (sets= injection, r11)
+    # one shingle scan AND one 128-perm signature pass feed both
+    # contracts (sets=/signed= injection, r11)
     sets = shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    signed = (
+        minhash_signatures(sets)
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     branches = [
         tag_branch(
-            minhash_lsh_pairs(docs, threshold=0.8, n=3, sets=sets), "pairs",
+            minhash_lsh_pairs(docs, threshold=0.8, n=3, sets=sets, signed=signed),
+            "pairs",
             _NGRAM_SCHEMA, id_a="id_a", id_b="id_b", jaccard="jaccard",
         ),
         tag_branch(
-            minhash_dup_groups(docs, threshold=0.8, n=3, sets=sets), "groups",
+            minhash_dup_groups(docs, threshold=0.8, n=3, sets=sets, signed=signed),
+            "groups",
             _NGRAM_SCHEMA, node="node", component="component",
         ),
     ]

@@ -1222,7 +1222,15 @@ def test_shared_scan_injection_matches_internal(spark):
     rows += [(990, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.minhash import minhash_signatures
+
     sets = shingle_sets(df, "doc_id", "text", 3).localCheckpoint(eager=False)
+    signed = (
+        minhash_signatures(sets).filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     for fn, kw in (
         (minhash_lsh_pairs, dict(threshold=0.8, n=3)),
         (minhash_dup_groups, dict(threshold=0.8, n=3)),
@@ -1230,6 +1238,8 @@ def test_shared_scan_injection_matches_internal(spark):
         internal = {tuple(r) for r in fn(df, **kw).collect()}
         injected = {tuple(r) for r in fn(df, sets=sets, **kw).collect()}
         assert injected == internal and internal
+        injected2 = {tuple(r) for r in fn(df, sets=sets, signed=signed, **kw).collect()}
+        assert injected2 == internal
 
     sigs = simhash_signature_rows(df).localCheckpoint(eager=False)
     for fn, kw in (
