@@ -168,8 +168,28 @@ def band_rows(signed: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFr
     similarity.knn.cosine_pairs_bucketed). A pure projection of the
     stored signature — which is what lets a persisted dedup INDEX
     (dedup/incremental.py) band its historical signatures without
-    touching historical text."""
+    touching historical text.
+
+    Guard (r11 review fix): the sig width must equal ``num_perm`` —
+    a frame signed with a different permutation count would slice past
+    the array end, hash the SAME empty-slice constant for every doc in
+    the tail bands, and melt banding into corpus-sized buckets. The
+    JVM-side raise fails the first bad row loudly at zero cost on
+    valid input (NULL sigs are the caller-filtered no-shingle docs).
+    """
     rows_per_band = num_perm // bands
+    sig_ok = F.when(
+        F.col("sig").isNull() | (F.size("sig") == num_perm), F.col("sig")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"band_rows: sig width != num_perm={num_perm} (got "),
+                F.size("sig").cast("string"),
+                F.lit(") — was the signed frame built with a different num_perm?"),
+            )
+        )
+    )
+    signed = signed.withColumn("sig", sig_ok)
     return signed.select(
         "doc",
         F.explode(

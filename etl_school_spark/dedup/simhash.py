@@ -278,11 +278,17 @@ def _resolve_refine_auto(
     refine_pass_cutoff: float,
     probe_rows: int,
     force_reprobe: bool,
+    variant: str = "pairs",
 ) -> int | None:
     """The census-driven refinement dispatch (r10), shared by
     simhash_near_pairs and simhash_dup_groups: measure the hot-bucket
     verify pass-rate on a deterministic bounded sample, memoized per
-    (input plan, params) for the session."""
+    (input plan, params, variant) for the session. ``plan_key_df`` must
+    be a STABLE plan across warm calls (the caller's docs frame — NOT a
+    per-call localCheckpoint derivative, whose LogicalRDD hash changes
+    every call and would defeat the memo); ``variant`` discriminates
+    the two bucket distributions (full chunk rows vs quotient reps) so
+    they never reuse each other's probe."""
     spark = plan_key_df.sparkSession
     memo = getattr(spark, "_esp_simhash_refine_memo", None)
     if memo is None:
@@ -290,6 +296,7 @@ def _resolve_refine_auto(
         spark._esp_simhash_refine_memo = memo
     key = (
         plan_key_df._jdf.queryExecution().analyzed().semanticHash(),
+        variant,
         max_hamming, chunks, id_col, text_col,
         hot_threshold, probe_rows,
     )
@@ -490,9 +497,14 @@ def simhash_dup_groups(
     )
     rep_ids = _explode_chunks(reps, chunks)
     if refine_threshold == "auto":
+        # memo key = the caller's stable docs plan + variant="groups"
+        # (r11 review fix: keying on `reps` — a derivative of the
+        # per-call localCheckpoint — changed hash every call, so the
+        # probe re-ran on every warm invocation)
         refine_threshold = _resolve_refine_auto(
-            reps, rep_ids, max_hamming, chunks, id_col, text_col,
+            docs, rep_ids, max_hamming, chunks, id_col, text_col,
             hot_threshold, refine_pass_cutoff, probe_rows, False,
+            variant="groups",
         )
     rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
     edges = rep_pairs.select("id_a", "id_b").unionByName(stars)

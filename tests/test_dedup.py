@@ -1249,3 +1249,58 @@ def test_shared_scan_injection_matches_internal(spark):
         internal = {tuple(r) for r in fn(df, **kw).collect()}
         injected = {tuple(r) for r in fn(df, sigs=sigs, **kw).collect()}
         assert injected == internal and internal
+
+
+def test_band_rows_rejects_mismatched_sig_width(spark):
+    """r11 review fix: a signed frame built with a different num_perm
+    must fail loudly — a silent slice-past-the-end melts the tail bands
+    into corpus-sized constant buckets."""
+    import pytest
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.minhash import band_rows, minhash_signatures
+    from etl_school_spark.dedup.ngram import shingle_sets
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    sets = shingle_sets(df, "doc_id", "text", 3)
+    narrow = minhash_signatures(sets, 64).filter(F.col("sig").isNotNull())
+    with pytest.raises(PySparkException, match="num_perm"):
+        band_rows(narrow, 128, 32).count()
+    # valid widths (and NULL sigs) pass untouched
+    ok = minhash_signatures(sets, 128)
+    assert band_rows(ok.filter(F.col("sig").isNotNull()), 128, 32).count() > 0
+
+
+def test_simhash_groups_probe_memoizes_across_warm_calls(spark, monkeypatch):
+    """r11 review fix: the groups-branch refine probe keys on the STABLE
+    docs plan (+ variant), so warm re-invocations reuse the memo instead
+    of re-running the probe (the old key — a per-call localCheckpoint
+    derivative — changed hash every call)."""
+    from etl_school_spark.dedup import simhash as sh
+
+    rows = [(i, "tmpl " + " ".join(f"w{j}" for j in range(20))) for i in range(40)]
+    rows += [(100 + i, f"uniq {i} " + " ".join(f"u{i}{j}" for j in range(15)))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    calls = {"n": 0}
+    real = sh._hot_bucket_pass_rate
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sh, "_hot_bucket_pass_rate", counting)
+    spark._esp_simhash_refine_memo = {}
+    sh.simhash_dup_groups(df, max_hamming=3, chunks=4, hot_threshold=5).count()
+    first = calls["n"]
+    sh.simhash_dup_groups(df, max_hamming=3, chunks=4, hot_threshold=5).count()
+    assert calls["n"] == first, "warm call re-ran the probe (memo miss)"
+    # and the pairs variant keeps its own entry (no cross-contamination)
+    sh.simhash_near_pairs(
+        df, max_hamming=3, chunks=4, refine_threshold="auto", hot_threshold=5
+    ).count()
+    assert calls["n"] == first + 1

@@ -85,6 +85,14 @@ def main() -> int:
     import __spark_entry__ as e
     from etl_school_spark.session import get_spark
 
+    registry = e.queries()
+    unknown = only - set(registry)
+    if unknown:
+        # a typo'd filter must not exit green having measured nothing
+        # (r11 review fix) — checked before paying Spark startup
+        print(f"ERROR: unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     spark = get_spark("etl-school-spark-sf1-sweep")
     spark.range(1000).count()  # JVM warm-up outside any query's clock
     # host-drift canary pair, shared definition with bench.py (r10 —
@@ -96,7 +104,7 @@ def main() -> int:
 
     print(json.dumps(run_canaries(spark, sf_dir)), flush=True)
     out: dict[str, object] = {}
-    for name, fn in e.queries().items():
+    for name, fn in registry.items():
         if only and name not in only:
             continue
         def one_run() -> float:
