@@ -14,7 +14,10 @@ doubles go through decimal(18,2) on BOTH engines; count/min/max are
 exact by nature; all integer aggregates are BIGINT-cast on both sides
 (the DuckDB HUGEINT hazard, workload/_suite.py).
 
-CI pins 304 seeds across the thirteen families below (r9 adds family
+CI pins 308 seeds across the fourteen families below (r11 adds family
+14 — quotient components: the three *_dup_groups operators vs a pure-
+Python union-find over their sibling pair operators' output, 4 CI seeds
++ a 20-seed one-off sweep (14100-14119), all clean; r9 adds family
 13 — the SemDeDup sweep under random n_cells / threshold / keep-rule
 on synthetic clustered corpora with planted exact copies vs the
 pure-Python same-fold-order reference, 8 CI seeds + a 30-seed one-off
@@ -1370,3 +1373,90 @@ def test_random_semantic_dedup_matches_python(spark, seed):
         f"seed {seed} cells={n_cells} t={threshold} keep={keep} "
         f"form={pair_form} block={cell_block}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Family 14 (r11): quotient-components sweep. The three *_dup_groups
+# operators claim components(quotient graph) == components(full pair
+# graph) — star cliques for identical signatures/sets, one rep per
+# distinct value through the ordinary pair machinery. Each seed samples
+# a template-heavy corpus (exact-copy cliques stress the quotient
+# collapse, near-dups stress rep pairs, background docs stress
+# no-edge paths) and requires each groups operator to equal an
+# INDEPENDENT pure-Python union-find over its sibling pair operator's
+# output (the pair operators themselves are fuzzed by families 9/11 and
+# the driver oracles).
+# ---------------------------------------------------------------------------
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in parent:
+        out[n] = find(n)
+    return {(n, c) for n, c in out.items()}
+
+
+def build_quotient_case(seed):
+    rng = random.Random(seed)
+    words = [f"qw{i}" for i in range(30)]
+    docs, next_id = [], 0
+    for _f in range(rng.randrange(2, 6)):  # exact-copy cliques
+        base = " ".join(rng.choice(words) for _ in range(rng.randrange(10, 20)))
+        for _m in range(rng.randrange(2, 7)):
+            docs.append((next_id, base))
+            next_id += 1
+        for _m in range(rng.randrange(0, 3)):  # near-dups of the base
+            docs.append((next_id, base + f" tail{next_id}"))
+            next_id += 1
+    for _b in range(rng.randrange(5, 15)):  # background
+        docs.append(
+            (next_id, " ".join(rng.choice(words) for _ in range(rng.randrange(5, 12))))
+        )
+        next_id += 1
+    docs.append((next_id, ""))  # empty text: out of contract everywhere
+    threshold = rng.choice([0.5, 0.8])
+    return docs, threshold
+
+
+@pytest.mark.parametrize("seed", list(range(14000, 14004)))
+def test_random_quotient_groups_match_python_components(spark, seed):
+    from etl_school_spark.dedup.cluster import connected_components  # noqa: F401
+    from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
+    from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
+    from etl_school_spark.dedup.simhash import simhash_dup_groups, simhash_near_pairs
+
+    docs, threshold = build_quotient_case(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cases = [
+        (
+            lambda: ngram_jaccard_pairs(df, threshold=threshold, n=3),
+            lambda: ngram_dup_groups(df, threshold=threshold, n=3),
+        ),
+        (
+            lambda: minhash_lsh_pairs(df, threshold=threshold, n=3),
+            lambda: minhash_dup_groups(df, threshold=threshold, n=3),
+        ),
+        (
+            lambda: simhash_near_pairs(df, max_hamming=3, chunks=4),
+            lambda: simhash_dup_groups(df, max_hamming=3, chunks=4),
+        ),
+    ]
+    for i, (pairs_fn, groups_fn) in enumerate(cases):
+        pairs = [(r.id_a, r.id_b) for r in pairs_fn().select("id_a", "id_b").collect()]
+        want = _py_components(pairs)
+        got = {(r.node, r.component) for r in groups_fn().collect()}
+        assert got == want, (
+            f"seed {seed} case {i} t={threshold}: "
+            f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+        )
