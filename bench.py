@@ -136,6 +136,7 @@ def main() -> None:
                 "queries": main_timings,
                 "warm_iters": 0 if cold_only else warm_iters,
                 **canaries,
+                **_attribution(total, canaries),
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -143,6 +144,63 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+# Calm-host codegen-canary reference: the r9–r11 calm-window medians read
+# 0.2488 / 0.2273 / 0.2284 (BENCH_r09–r11), so 0.22 is the committed
+# "quiet host" constant canary_norm normalizes against. It is NOT a
+# measurement of this round — changing it rescales every canary_norm, so
+# it stays fixed across rounds to keep the normalized series comparable.
+CALM_CANARY = 0.22
+
+# A warm total measured while the codegen canary runs >×1.2 off the
+# committed same-code anchor's canary is a HOST reading, not a code
+# reading (r11: same-code totals spanned 42→52 s across rounds purely on
+# host state) — the artifact says so itself instead of relying on
+# whoever reads it to open tools/anchors.
+CANARY_DEVIATION = 1.2
+
+
+def _attribution(total: float, canaries: dict) -> dict:
+    """Self-attribution fields (r12, VERDICT item 3): BENCH_rN vs
+    BENCH_rN-1 raw totals are only comparable when both hosts ran alike,
+    which across r10→r11 they did not (same-code anchor 52.0 vs the r10
+    final 42.2). Emit, IN the bench artifact: the committed same-code
+    anchor total for this round (the code-change-free reference), a
+    canary-normalized total (value × CALM_CANARY / canary_sec), and a
+    final_ok stamp that REFUSES when the canary deviates >×1.2 from the
+    anchor's — institutionalizing the anchor-first discipline."""
+    out: dict = {"canary_norm": None, "final_ok": True}
+    c = canaries.get("canary_sec")
+    if c and c > 0:
+        out["canary_norm"] = round(total * CALM_CANARY / c, 4)
+    anchor_path = os.environ.get("SPARK_GRAFT_BENCH_ANCHOR")
+    if anchor_path is None:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = []
+        for p in glob.glob(os.path.join(here, "tools", "anchors", "bench_r*_anchor.json")):
+            m = re.search(r"bench_r(\d+)_anchor", p)
+            if m:
+                cands.append((int(m.group(1)), p))
+        anchor_path = max(cands)[1] if cands else None
+    if anchor_path and os.path.exists(anchor_path):
+        with open(anchor_path) as fh:
+            a = json.load(fh)
+        a = a.get("parsed", a)
+        out["anchor_path"] = os.path.relpath(anchor_path, os.path.dirname(os.path.abspath(__file__)))
+        out["anchor_total"] = a.get("value")
+        out["anchor_canary_sec"] = a.get("canary_sec")
+        ac = a.get("canary_sec")
+        if c and ac and (c / ac > CANARY_DEVIATION or ac / c > CANARY_DEVIATION):
+            out["final_ok"] = False
+            out["final_reason"] = (
+                f"canary {c} vs anchor {ac}: host deviates >x{CANARY_DEVIATION}"
+                " — reading is host-attributed, re-run on a calm host for a final stamp"
+            )
+    return out
 
 
 if __name__ == "__main__":

@@ -175,7 +175,16 @@ def band_rows(signed: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFr
     the array end, hash the SAME empty-slice constant for every doc in
     the tail bands, and melt banding into corpus-sized buckets. The
     JVM-side raise fails the first bad row loudly at zero cost on
-    valid input (NULL sigs are the caller-filtered no-shingle docs).
+    valid input.
+
+    NULL sigs (the no-shingle docs) are DROPPED here, not passed
+    through (r12, ADVICE): every NULL sig hashes to the same constant
+    band_hash in all bands, so a caller that skipped the documented
+    isNotNull pre-filter would silently build one corpus-sized bucket
+    of no-shingle docs — quadratic candidate expansion with correct
+    output (NULL jaccard filters at verify). Enforcing the contract
+    in-operator makes the degradation impossible instead of
+    documented; callers' existing pre-filters remain as no-ops.
     """
     rows_per_band = num_perm // bands
     sig_ok = F.when(
@@ -189,7 +198,10 @@ def band_rows(signed: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFr
             )
         )
     )
-    signed = signed.withColumn("sig", sig_ok)
+    # width guard first (a wrong-width frame should raise, not shrink),
+    # then the NULL drop — the filter sits on the guarded projection so
+    # both run in the same codegen stage
+    signed = signed.withColumn("sig", sig_ok).filter(F.col("sig").isNotNull())
     return signed.select(
         "doc",
         F.explode(

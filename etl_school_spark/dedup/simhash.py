@@ -288,7 +288,18 @@ def _resolve_refine_auto(
     per-call localCheckpoint derivative, whose LogicalRDD hash changes
     every call and would defeat the memo); ``variant`` discriminates
     the two bucket distributions (full chunk rows vs quotient reps) so
-    they never reuse each other's probe."""
+    they never reuse each other's probe.
+
+    CONTRACT at the ``sigs=`` injection sites (r12, ADVICE): an
+    injected signature frame MUST derive from the same
+    (docs, id_col, text_col) the memo is keyed on — the probed bucket
+    distribution comes from the injected frame, so a caller violating
+    the documented derivation contract would mis-key the memo entry.
+    Both refinement choices are output-exact (a bad entry can only
+    mis-price, never corrupt), and the standard injection
+    (a per-call localCheckpoint of the same scan, dedupops.py) cannot
+    carry a stable hash of its own — so the contract is asserted here
+    rather than mixed into the key."""
     spark = plan_key_df.sparkSession
     memo = getattr(spark, "_esp_simhash_refine_memo", None)
     if memo is None:
@@ -484,7 +495,10 @@ def simhash_dup_groups(
     # the signature scan feeds the rep groupBy AND the star join — one
     # truncated materialization, not two fold-heavy scans. ``sigs``
     # (r11): a caller sharing the scan with simhash_near_pairs passes
-    # its own (already-materialized) simhash_signature_rows frame.
+    # its own (already-materialized) simhash_signature_rows frame —
+    # which MUST derive from the same (docs, id_col, text_col): the
+    # refinement memo is keyed on the docs plan (_resolve_refine_auto
+    # contract note, r12 ADVICE).
     if sigs is None:
         sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
             eager=False

@@ -83,3 +83,30 @@ def test_cli_corpus_stream(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == r["kept_docs"]
     assert {row.shard for row in back.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_sweep_first_positional_query_name_is_a_filter(capsys):
+    """r12 ADVICE: ``sweep_sf1.py dedup_simhash`` (no sf_dir) must treat
+    the query name as a filter, not consume it as the scale directory —
+    the old parse made the unknown-query guard unreachable for exactly
+    the targeted-gate invocation it was built for. Proven via the guard:
+    a known query name plus a typo'd one errors on the TYPO (so the
+    known name was routed to the filter set), and a bare non-query
+    non-directory errors instead of sweeping everything."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.sweep_sf1 import main as sweep_main
+
+    old = sys.argv
+    try:
+        sys.argv = ["sweep_sf1.py", "dedup_simhash", "bogus_query_xyz"]
+        assert sweep_main() == 2
+        err = capsys.readouterr().err
+        assert "bogus_query_xyz" in err and "dedup_simhash" not in err
+
+        sys.argv = ["sweep_sf1.py", "not_a_query_or_dir"]
+        assert sweep_main() == 2
+        assert "not_a_query_or_dir" in capsys.readouterr().err
+    finally:
+        sys.argv = old

@@ -1269,9 +1269,31 @@ def test_band_rows_rejects_mismatched_sig_width(spark):
     narrow = minhash_signatures(sets, 64).filter(F.col("sig").isNotNull())
     with pytest.raises(PySparkException, match="num_perm"):
         band_rows(narrow, 128, 32).count()
-    # valid widths (and NULL sigs) pass untouched
+    # valid widths pass untouched
     ok = minhash_signatures(sets, 128)
     assert band_rows(ok.filter(F.col("sig").isNotNull()), 128, 32).count() > 0
+
+
+def test_band_rows_drops_null_sigs(spark):
+    """r12 ADVICE: NULL sigs (no-shingle docs) must be dropped INSIDE
+    band_rows — every NULL sig hashes to the same constant band_hash,
+    so a caller that skipped the documented isNotNull pre-filter would
+    silently build one corpus-sized bucket of no-shingle docs."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.minhash import band_rows, minhash_signatures
+    from etl_school_spark.dedup.ngram import shingle_sets
+
+    df = spark.createDataFrame(
+        # docs 2 and 3 have < n words → empty shingle set → NULL sig
+        [(1, "a b c d e f"), (2, "x"), (3, "y")],
+        "doc_id long, text string",
+    )
+    signed = minhash_signatures(shingle_sets(df, "doc_id", "text", 3), 128)
+    assert signed.filter(F.col("sig").isNull()).count() == 2
+    rows = band_rows(signed, 128, 32)  # deliberately NO caller filter
+    assert rows.filter(F.col("doc").isin(2, 3)).count() == 0
+    assert rows.filter(F.col("doc") == 1).count() == 32
 
 
 def test_simhash_groups_probe_memoizes_across_warm_calls(spark, monkeypatch):

@@ -24,7 +24,11 @@ regression.
 
 Usage: python tools/sweep_sf1.py [sf_dir] [--medians N] [--anchor PATH] [query ...]
 Extra positional args (r11) restrict the sweep to the named queries —
-the targeted gate for a change that touches a known subset.
+the targeted gate for a change that touches a known subset. The first
+positional is treated as sf_dir only when it is an existing directory
+that is not a registered query name (r12, ADVICE) — so
+``sweep_sf1.py dedup_simhash`` is a targeted sweep at the default
+directory, not an attempt to scan a directory named dedup_simhash.
 Default sf_dir: /root/repo/.sf1 (build it with tools/make_sf1.py).
 """
 
@@ -78,14 +82,24 @@ def main() -> int:
         else:
             pos.append(args[i])
             i += 1
-    sf_dir = pos[0] if pos else "/root/repo/.sf1"
-    only = set(pos[1:])
     anchor = _load_anchor(anchor_path) if anchor_path else {}
 
     import __spark_entry__ as e
     from etl_school_spark.session import get_spark
 
     registry = e.queries()
+    # r12 (ADVICE): `sweep_sf1.py dedup_simhash` — the natural targeted
+    # invocation — used to consume the query name as sf_dir, so the
+    # unknown-query guard never fired and the sweep ran ALL queries
+    # against a nonexistent directory. A first positional is the scale
+    # directory only when it is NOT a registered query name AND is an
+    # existing directory; otherwise it is a query filter.
+    if pos and pos[0] not in registry and os.path.isdir(pos[0]):
+        sf_dir, only = pos[0], set(pos[1:])
+    else:
+        # everything is a query filter; a non-query non-directory first
+        # positional lands in the unknown-query guard's loud error
+        sf_dir, only = "/root/repo/.sf1", set(pos)
     unknown = only - set(registry)
     if unknown:
         # a typo'd filter must not exit green having measured nothing
