@@ -260,3 +260,27 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def add_singletons(
+    labels: DataFrame, universe: DataFrame, id_col: str = "doc"
+) -> DataFrame:
+    """Union (node, component=node) rows for every in-contract doc that
+    appears in no component (r12, VERDICT item 6).
+
+    The *_dup_groups operators emit only docs with at least one
+    duplicate (the connected_components convention) — every pipeline
+    that wants a full keep/drop table then re-derives "union the
+    singletons" by hand, a repeated foot-gun. This is that union, once:
+    ``universe`` is the caller's in-contract doc frame (for the set
+    quotients: nonempty shingle sets; for simhash: every signed doc),
+    and the anti-join moves only ids. The result keeps the labels
+    contract: component = min reachable id, which for a singleton is
+    itself.
+    """
+    singles = (
+        universe.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labels.unionByName(singles)

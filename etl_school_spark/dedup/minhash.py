@@ -321,13 +321,16 @@ def minhash_dup_groups(
     collect_cap: int | None = 1_000_000,
     sets: DataFrame | None = None,
     signed: DataFrame | None = None,
+    with_singletons: bool = False,
 ) -> DataFrame:
     """(node, component) — connected components of the minhash_lsh_pairs
     graph, the COMPONENTS-contract companion (r11, the simhash_dup_groups
     pattern): downstream dedup needs group labels, and on copy-heavy
     corpora the pairs contract is quadratic in each exact-duplicate
     clique. Only docs with at least one verified near-duplicate are
-    emitted (the connected_components convention).
+    emitted (the connected_components convention);
+    ``with_singletons=True`` (r12) additionally emits (doc, doc) for
+    every nonempty-set doc with no duplicate — the full dedup table.
 
     EXACT quotient by the distinct-shingle SET: both stages of the pair
     operator are pure functions of a doc's shingle set — the minhash
@@ -363,8 +366,6 @@ def minhash_dup_groups(
         # threshold > 1 has no edges at all and the stars would invent
         # some — fail loudly instead
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql.window import Window
-
     from etl_school_spark.dedup.cluster import connected_components
 
     # ``sets`` (r11): a caller sharing the shingle scan with
@@ -372,14 +373,34 @@ def minhash_dup_groups(
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sets = sets.filter(F.col("set_size") > 0)
-    w = Window.partitionBy(F.array_sort("shingles"))
-    keyed = sets.withColumn("_rep", F.min("doc").over(w))
+    # groupBy + join-back rep selection, not a set-key Window (r12,
+    # VERDICT item 1): a Window partition cannot split, so a hot
+    # duplicate clique — the regime the quotient targets — would funnel
+    # its full membership (wide shingle rows) through one task. The
+    # groupBy collapses each clique map-side, the join-back's build
+    # side is one row per key (AQE-skew-splittable), and the sorted-set
+    # groupBy key doubles as the rep's shingle array (signatures and
+    # the Jaccard verify are order-insensitive set functions, so sorted
+    # order is output-exact). Full rationale: ngram.ngram_dup_groups.
+    keyed = sets.select("doc", F.array_sort("shingles").alias("_setkey"))
+    # checkpointed so the star join-back is AQE-skew-splittable (the
+    # rule cannot see through an agg-fused build side) and the band +
+    # verify stages reuse the materialized quotient — measured rationale
+    # in ngram.ngram_dup_groups / tools/ab_megaclique.py (r12)
+    reps = (
+        keyed.groupBy("_setkey")
+        .agg(F.min("doc").alias("_rep"))
+        .localCheckpoint(eager=False)
+    )
     stars = (
-        keyed.filter(F.col("doc") != F.col("_rep"))
+        keyed.join(reps, "_setkey")
+        .filter(F.col("doc") != F.col("_rep"))
         .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
     )
-    rep_sets = keyed.filter(F.col("doc") == F.col("_rep")).select(
-        "doc", "shingles", "set_size"
+    rep_sets = reps.select(
+        F.col("_rep").alias("doc"),
+        F.col("_setkey").alias("shingles"),
+        F.size("_setkey").alias("set_size"),
     )
     if signed is None:
         rep_signed = minhash_signatures(rep_sets, num_perm).filter(
@@ -397,6 +418,13 @@ def minhash_dup_groups(
     rep_pairs = verify_jaccard_pairs(cands, rep_sets, rep_sets, threshold).select(
         "id_a", "id_b"
     )
-    return connected_components(
+    labels = connected_components(
         rep_pairs.unionByName(stars), collect_cap=collect_cap
     )
+    if with_singletons:
+        # (r12) full dedup table: (doc, doc) for every nonempty-set doc
+        # with no verified near-duplicate
+        from etl_school_spark.dedup.cluster import add_singletons
+
+        labels = add_singletons(labels, keyed, "doc")
+    return labels

@@ -194,6 +194,7 @@ def ngram_dup_groups(
     text_col: str = "text",
     collect_cap: int | None = 1_000_000,
     sets: DataFrame | None = None,
+    with_singletons: bool = False,
 ) -> DataFrame:
     """(node, component) — connected components of the exact
     ngram_jaccard_pairs graph (r11), completing the components-contract
@@ -205,7 +206,9 @@ def ngram_dup_groups(
     exactly when every cross pair qualifies. Empty sets never pair in
     the pairs contract (no postings, inter > 0 filter) and are excluded
     from the quotient the same way. Only docs with at least one
-    near-duplicate are emitted (the connected_components convention).
+    near-duplicate are emitted (the connected_components convention);
+    ``with_singletons=True`` (r12) additionally emits (doc, doc) for
+    every in-contract doc with no duplicate — the full dedup table.
 
     The PPJoin prefix order inside the rep pipeline derives from REP
     frequencies rather than corpus frequencies — pruning-only, output
@@ -225,16 +228,59 @@ def ngram_dup_groups(
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sets = sets.filter(F.col("set_size") > 0)
-    w = Window.partitionBy(F.array_sort("shingles"))
-    keyed = sets.withColumn("_rep", F.min("doc").over(w))
+    # Rep selection is groupBy + join-back, NOT a Window over the set
+    # key (r12, VERDICT item 1): Window.partitionBy(array_sort(shingles))
+    # cannot split a partition, so every member of a duplicate clique —
+    # the hot regime this operator exists for — funnels through ONE task
+    # carrying its full shingle array (a doc duplicated 10M× at 100 TB
+    # is 10M wide rows through one task). The groupBy form collapses
+    # each clique MAP-SIDE via partial aggregation (one row per distinct
+    # set leaves each task), and the star join-back's build side is one
+    # row per key, so AQE skew-join can split the hot probe partition.
+    # Labels are bit-identical (fuzz family 14 + the pairs-components
+    # differential); the simhash_dup_groups shape, extended: here the
+    # groupBy KEY is the canonical sorted set itself, so rep shingle
+    # arrays fall out of the aggregation — no second join to re-attach
+    # them. Sorted order is output-safe: the PPJoin derives its prefix
+    # order internally (frequency + shingle tiebreak) and the verify is
+    # array_intersect — both order-insensitive.
+    keyed = sets.select("doc", F.array_sort("shingles").alias("_setkey"))
+    # reps is localCheckpoint'ed for TWO measured reasons (r12):
+    # 1. skew-splittability — AQE's OptimizeSkewedJoin only matches a
+    #    sort-merge join whose children are bare shuffle stages; with
+    #    the aggregation fused into the build side the rule silently
+    #    skips (verified: a planted 200k-copy clique rode ONE task at a
+    #    64 KB skew threshold). Behind the checkpoint the build side is
+    #    its own exchange and the hot probe partition splits (measured:
+    #    200k-row clique → 32 tasks × 6,250 rows, 'coalesced and
+    #    skewed' in the final plan — tools/ab_megaclique.py).
+    # 2. reuse — the star join AND the PPJoin's four references
+    #    (postings, frequency ranking, both verify sides) read the
+    #    materialized quotient instead of re-deriving the groupBy.
+    reps = (
+        keyed.groupBy("_setkey")
+        .agg(F.min("doc").alias("_rep"))
+        .localCheckpoint(eager=False)
+    )
     stars = (
-        keyed.filter(F.col("doc") != F.col("_rep"))
+        keyed.join(reps, "_setkey")
+        .filter(F.col("doc") != F.col("_rep"))
         .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
     )
-    rep_sets = keyed.filter(F.col("doc") == F.col("_rep")).select(
-        "doc", "shingles", "set_size"
+    rep_sets = reps.select(
+        F.col("_rep").alias("doc"),
+        F.col("_setkey").alias("shingles"),
+        F.size("_setkey").alias("set_size"),
     )
     rep_pairs = _jaccard_pairs_from_sets(rep_sets, threshold).select("id_a", "id_b")
-    return connected_components(
+    labels = connected_components(
         rep_pairs.unionByName(stars), collect_cap=collect_cap
     )
+    if with_singletons:
+        # ``with_singletons`` (r12): emit (doc, doc) for every
+        # in-contract doc (nonempty set) with no near-duplicate — the
+        # full keep/drop table callers otherwise re-derive by hand
+        from etl_school_spark.dedup.cluster import add_singletons
+
+        labels = add_singletons(labels, keyed, "doc")
+    return labels

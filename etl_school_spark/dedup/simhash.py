@@ -445,6 +445,7 @@ def simhash_dup_groups(
     probe_rows: int = 256,
     collect_cap: int | None = 1_000_000,
     sigs: DataFrame | None = None,
+    with_singletons: bool = False,
 ) -> DataFrame:
     """(doc, component) — connected components of the simhash near-dup
     graph, the COMPONENTS-contract companion to simhash_near_pairs
@@ -452,7 +453,9 @@ def simhash_dup_groups(
     pairs contract is inherently quadratic on true-duplicate hot
     buckets (sf1: one 16,390-member bucket alone → ~134M real pairs).
     Only docs with at least one near-duplicate are emitted (the
-    connected_components convention — callers union singletons).
+    connected_components convention); ``with_singletons=True`` (r12)
+    additionally emits (doc, doc) for every signed doc with no
+    duplicate — the full dedup table.
 
     EXACT component collapse via the signature quotient: hamming
     distance depends only on the 64-bit signatures, so docs sharing an
@@ -503,7 +506,18 @@ def simhash_dup_groups(
         sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
             eager=False
         )
-    reps = sigs.groupBy("_sig").agg(F.min("doc").alias("doc"))
+    # checkpointed so the star join-back is AQE-skew-splittable (r12,
+    # VERDICT item 4): OptimizeSkewedJoin cannot see through an
+    # agg-fused build side, so a hot signature clique would ride one
+    # task; behind the checkpoint the build is its own exchange and the
+    # skewed probe partition splits (measured in tools/ab_megaclique.py
+    # for the set-key twin of this join). Also reused by the chunk
+    # explode below.
+    reps = (
+        sigs.groupBy("_sig")
+        .agg(F.min("doc").alias("doc"))
+        .localCheckpoint(eager=False)
+    )
     stars = (
         sigs.join(reps.withColumnRenamed("doc", "_rep"), "_sig")
         .filter(F.col("doc") != F.col("_rep"))
@@ -522,4 +536,11 @@ def simhash_dup_groups(
         )
     rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
     edges = rep_pairs.select("id_a", "id_b").unionByName(stars)
-    return connected_components(edges, collect_cap=collect_cap)
+    labels = connected_components(edges, collect_cap=collect_cap)
+    if with_singletons:
+        # (r12) full dedup table: (doc, doc) for every signed doc with
+        # no near-duplicate
+        from etl_school_spark.dedup.cluster import add_singletons
+
+        labels = add_singletons(labels, sigs, "doc")
+    return labels

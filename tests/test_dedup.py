@@ -1326,3 +1326,46 @@ def test_simhash_groups_probe_memoizes_across_warm_calls(spark, monkeypatch):
         df, max_hamming=3, chunks=4, refine_threshold="auto", hot_threshold=5
     ).count()
     assert calls["n"] == first + 1
+
+
+def test_dup_groups_with_singletons_full_table(spark):
+    """r12 (VERDICT item 6): with_singletons=True turns the groups
+    contract into the full dedup table — every in-contract doc appears
+    exactly once, singletons labeled with themselves, clustered docs
+    unchanged from the default output. Out-of-contract docs (empty
+    shingle set for the set quotients) stay excluded."""
+    from pyspark.sql import functions as F
+
+    from etl_school_spark.dedup.minhash import minhash_dup_groups
+    from etl_school_spark.dedup.ngram import ngram_dup_groups
+    from etl_school_spark.dedup.simhash import simhash_dup_groups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base),
+            (4, "an entirely different document about winter weather patterns"),
+            (5, "yet another unrelated text concerning maritime navigation rules"),
+            (6, ""),  # out of contract for the set quotients (empty set)
+        ],
+        "doc_id long, text string",
+    )
+    for fn, kw, universe in (
+        (ngram_dup_groups, dict(threshold=0.8, n=3), {1, 2, 3, 4, 5}),
+        (minhash_dup_groups, dict(threshold=0.8, n=3), {1, 2, 3, 4, 5}),
+        # simhash signs every doc (empty text included), so doc 6 is in
+        # contract there and labels as its own singleton unless the
+        # empty-sig clique absorbs it — assert presence, not label
+        (simhash_dup_groups, dict(max_hamming=3, chunks=4), {1, 2, 3, 4, 5, 6}),
+    ):
+        default = {(r.node, r.component) for r in fn(df, **kw).collect()}
+        full = {(r.node, r.component) for r in fn(df, with_singletons=True, **kw).collect()}
+        nodes = {n for n, _ in full}
+        assert nodes == universe, f"{fn.__name__}: universe mismatch {nodes}"
+        assert default <= full, f"{fn.__name__}: clustered labels changed"
+        for n, c in full - default:
+            assert n == c, f"{fn.__name__}: singleton {n} mislabeled {c}"
+        # exactly-once: no doc appears under two components
+        assert len(nodes) == len(full), f"{fn.__name__}: duplicate nodes"

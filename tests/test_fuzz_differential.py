@@ -1460,3 +1460,67 @@ def test_random_quotient_groups_match_python_components(spark, seed):
             f"seed {seed} case {i} t={threshold}: "
             f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
         )
+
+
+def build_megaclique_case(seed):
+    """r12 (VERDICT item 2): weight the corpus toward ONE giant
+    exact-dup clique plus many singletons — the skew regime the
+    groupBy+join rep selection exists for (the set/sig-key Window form
+    this replaced funneled the whole clique through one task). The
+    giant clique exercises the map-side collapse and the skewed star
+    join-back; the singletons exercise the no-edge path around it."""
+    rng = random.Random(seed)
+    words = [f"mw{i}" for i in range(40)]
+    base = " ".join(rng.choice(words) for _ in range(rng.randrange(12, 20)))
+    docs, next_id = [], 0
+    for _m in range(rng.randrange(300, 500)):  # the giant clique
+        docs.append((next_id, base))
+        next_id += 1
+    for _m in range(rng.randrange(2, 5)):  # a few near-dups of the base
+        docs.append((next_id, base + f" tail{next_id}"))
+        next_id += 1
+    for _s in range(rng.randrange(40, 80)):  # singletons
+        docs.append(
+            (next_id, " ".join(rng.choice(words) for _ in range(rng.randrange(6, 12))))
+        )
+        next_id += 1
+    threshold = rng.choice([0.5, 0.8])
+    return docs, threshold
+
+
+@pytest.mark.parametrize("seed", list(range(14100, 14102)))
+def test_megaclique_quotient_groups_match_python_components(spark, seed):
+    from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
+    from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
+    from etl_school_spark.dedup.simhash import simhash_dup_groups, simhash_near_pairs
+
+    docs, threshold = build_megaclique_case(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # the PAIR graph of a ~400-member clique is ~80k edges — fine for the
+    # python union-find, and exactly the quadratic blow-up the quotient
+    # collapses before its own pair stage
+    cases = [
+        (
+            lambda: ngram_jaccard_pairs(df, threshold=threshold, n=3),
+            lambda: ngram_dup_groups(df, threshold=threshold, n=3),
+        ),
+        (
+            lambda: minhash_lsh_pairs(
+                df, threshold=threshold, n=3, hot_band_threshold=None
+            ),
+            lambda: minhash_dup_groups(df, threshold=threshold, n=3),
+        ),
+        (
+            lambda: simhash_near_pairs(df, max_hamming=3, chunks=4),
+            lambda: simhash_dup_groups(df, max_hamming=3, chunks=4),
+        ),
+    ]
+    for i, (pairs_fn, groups_fn) in enumerate(cases):
+        pairs = [(r.id_a, r.id_b) for r in pairs_fn().select("id_a", "id_b").collect()]
+        want = _py_components(pairs)
+        got = {(r.node, r.component) for r in groups_fn().collect()}
+        assert got == want, (
+            f"seed {seed} case {i} t={threshold}: "
+            f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+        )

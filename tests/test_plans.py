@@ -149,3 +149,37 @@ def test_row_proportional_outputs_have_no_sort_funnel(plans):
     }
     offenders = {n: ts for n, ts in offenders.items() if ts}
     assert offenders == {}, f"total-order funnel reappeared: {offenders}"
+
+
+def test_quotient_rep_selection_has_no_set_key_window(spark):
+    """r12 (VERDICT item 1 gate): the three *_dup_groups quotients must
+    select their clique representatives with groupBy + join-back, never
+    a Window over the signature/set key — a window partition cannot be
+    split, so a hot duplicate clique (the exact regime the quotient
+    targets) would funnel through one task. The set-key window's
+    fingerprint is a Window operator computing min(doc…); the only
+    legitimate Window in these plans is ngram's per-doc row_number
+    prefix ranking inside the PPJoin."""
+    from etl_school_spark.dedup.minhash import minhash_dup_groups
+    from etl_school_spark.dedup.ngram import ngram_dup_groups
+    from etl_school_spark.dedup.simhash import simhash_dup_groups
+
+    from etl_school_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plans = {
+        "ngram_dup_groups": ngram_dup_groups(docs),
+        "minhash_dup_groups": minhash_dup_groups(docs),
+        "simhash_dup_groups": simhash_dup_groups(docs),
+    }
+    offenders = {}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln.strip()[:120]
+            for ln in plan.splitlines()
+            if "Window [" in ln and "min(doc" in ln
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"set-key rep-selection Window reappeared: {offenders}"

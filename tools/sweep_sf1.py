@@ -47,22 +47,38 @@ DEVIATION = 1.3  # first-reading vs anchor ratio that triggers re-runs
 
 def _load_anchor(path: str) -> dict[str, float]:
     """Per-query seconds from a prior sweep JSONL (median lines use
-    their median; ERR and canary lines are skipped)."""
+    their median; ERR and canary lines are skipped) OR from a bench
+    anchor JSON document (r12: ``tools/anchors/bench_r*_anchor.json``
+    is one pretty-printed object — its per-query map lives under
+    ``queries``; previously this parser silently required JSONL and
+    crashed on the bench anchors the --anchor flag most wants)."""
     anchor: dict[str, float] = {}
     with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            d = json.loads(line)
-            if "canary_sec" in d:
-                continue
-            if "q" in d and "median" in d:
-                anchor[d["q"]] = float(d["median"])
-                continue
-            for k, v in d.items():
-                if isinstance(v, (int, float)):
-                    anchor[k] = float(v)
+        text = fh.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict):
+        doc = doc.get("parsed", doc)  # BENCH_r*.json wrapper shape
+        q = doc.get("queries", doc)
+        for k, v in q.items():
+            if isinstance(v, (int, float)) and not k.startswith("canary"):
+                anchor[k] = float(v)
+        return anchor
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        d = json.loads(line)
+        if "canary_sec" in d:
+            continue
+        if "q" in d and "median" in d:
+            anchor[d["q"]] = float(d["median"])
+            continue
+        for k, v in d.items():
+            if isinstance(v, (int, float)):
+                anchor[k] = float(v)
     return anchor
 
 
