@@ -45,14 +45,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEVIATION = 1.3  # first-reading vs anchor ratio that triggers re-runs
 
 
-def _load_anchor(path: str) -> dict[str, float]:
-    """Per-query seconds from a prior sweep JSONL (median lines use
-    their median; ERR and canary lines are skipped) OR from a bench
-    anchor JSON document (r12: ``tools/anchors/bench_r*_anchor.json``
-    is one pretty-printed object — its per-query map lives under
-    ``queries``; previously this parser silently required JSONL and
-    crashed on the bench anchors the --anchor flag most wants)."""
+def _load_anchor(path: str) -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, anchor canary_sec) from a prior sweep JSONL
+    (median lines use their median; ERR lines are skipped; the leading
+    canary line supplies the canary) OR from a bench anchor JSON
+    document (r12: ``tools/anchors/bench_r*_anchor.json`` is one
+    pretty-printed object — its per-query map lives under ``queries``;
+    previously this parser silently required JSONL and crashed on the
+    bench anchors the --anchor flag most wants)."""
     anchor: dict[str, float] = {}
+    canary: float | None = None
     with open(path) as fh:
         text = fh.read()
     try:
@@ -61,17 +63,19 @@ def _load_anchor(path: str) -> dict[str, float]:
         doc = None
     if isinstance(doc, dict):
         doc = doc.get("parsed", doc)  # BENCH_r*.json wrapper shape
+        canary = doc.get("canary_sec")
         q = doc.get("queries", doc)
         for k, v in q.items():
             if isinstance(v, (int, float)) and not k.startswith("canary"):
                 anchor[k] = float(v)
-        return anchor
+        return anchor, canary
     for line in text.splitlines():
         line = line.strip()
         if not line.startswith("{"):
             continue
         d = json.loads(line)
         if "canary_sec" in d:
+            canary = d["canary_sec"]
             continue
         if "q" in d and "median" in d:
             anchor[d["q"]] = float(d["median"])
@@ -79,7 +83,7 @@ def _load_anchor(path: str) -> dict[str, float]:
         for k, v in d.items():
             if isinstance(v, (int, float)):
                 anchor[k] = float(v)
-    return anchor
+    return anchor, canary
 
 
 def main() -> int:
@@ -98,7 +102,7 @@ def main() -> int:
         else:
             pos.append(args[i])
             i += 1
-    anchor = _load_anchor(anchor_path) if anchor_path else {}
+    anchor, anchor_canary = _load_anchor(anchor_path) if anchor_path else ({}, None)
 
     import __spark_entry__ as e
     from etl_school_spark.session import get_spark
@@ -132,7 +136,8 @@ def main() -> int:
     # regressions (rationale in etl_school_spark/canary.py)
     from etl_school_spark.canary import run_canaries
 
-    print(json.dumps(run_canaries(spark, sf_dir)), flush=True)
+    canaries = run_canaries(spark, sf_dir)
+    print(json.dumps(canaries), flush=True)
     out: dict[str, object] = {}
     for name, fn in registry.items():
         if only and name not in only:
@@ -183,6 +188,18 @@ def main() -> int:
         )
     errs = sum(1 for v in out.values() if isinstance(v, str))
     total = round(sum(v for v in out.values() if isinstance(v, float)), 1)
+    # final stamp (r12, VERDICT item 3, the sweep half): a sweep whose
+    # codegen canary deviates >×1.2 from the anchor run's is a HOST
+    # reading — stamp the artifact itself so a gate line can't be read
+    # as code-attributed without opening the canary lines
+    c, stamp = canaries.get("canary_sec"), {"final_ok": True}
+    if c and anchor_canary and (c / anchor_canary > 1.2 or anchor_canary / c > 1.2):
+        stamp = {
+            "final_ok": False,
+            "final_reason": f"canary {c} vs anchor {anchor_canary}: host-attributed",
+        }
+    print(json.dumps({"total": total, "errors": errs,
+                      "anchor_canary_sec": anchor_canary, **stamp}), flush=True)
     print("TOTAL", total, "errors", errs, flush=True)
     return 1 if errs else 0
 
