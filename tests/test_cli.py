@@ -110,3 +110,60 @@ def test_sweep_first_positional_query_name_is_a_filter(capsys):
         assert "not_a_query_or_dir" in capsys.readouterr().err
     finally:
         sys.argv = old
+
+
+def test_bench_attribution_fields(tmp_path, monkeypatch):
+    """r12 (VERDICT item 3): the bench artifact self-attributes — it
+    carries the committed same-code anchor total, a canary-normalized
+    total, and refuses the final stamp when the canary deviates >x1.2
+    from the anchor's."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    anchor = tmp_path / "bench_r99_anchor.json"
+    anchor.write_text(json.dumps({"value": 50.0, "canary_sec": 0.25}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ANCHOR", str(anchor))
+
+    ok = bench._attribution(55.0, {"canary_sec": 0.26})
+    assert ok["final_ok"] and ok["anchor_total"] == 50.0
+    assert ok["canary_norm"] == round(55.0 * bench.CALM_CANARY / 0.26, 4)
+
+    hot = bench._attribution(55.0, {"canary_sec": 0.4})
+    assert not hot["final_ok"] and "host" in hot["final_reason"]
+
+    # no canary at all: normalization absent, stamp not refused
+    bare = bench._attribution(55.0, {})
+    assert bare["canary_norm"] is None and bare["final_ok"]
+
+
+def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
+    """r12: --anchor accepts a sweep JSONL (median lines + leading
+    canary line) AND a bench anchor JSON document (per-query map under
+    'queries'); previously the JSONL-only parser crashed on the bench
+    anchors the flag most wants."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.sweep_sf1 import _load_anchor
+
+    jl = tmp_path / "sweep.jsonl"
+    jl.write_text(
+        '{"canary_sec": 0.21, "canary_spread": 0.1}\n'
+        '{"q": "a", "median": 2.5, "runs": [3.0, 2.5], "spread": 1.2, "anchor": 2.0}\n'
+        '{"b": 1.5}\n'
+        '{"c": "ERR boom"}\n'
+    )
+    anchor, canary = _load_anchor(str(jl))
+    assert anchor == {"a": 2.5, "b": 1.5} and canary == 0.21
+
+    doc = tmp_path / "bench_anchor.json"
+    doc.write_text(json.dumps({
+        "value": 49.3, "canary_sec": 0.33,
+        "queries": {"a": 1.1, "b": 2.2},
+    }, indent=1))
+    anchor, canary = _load_anchor(str(doc))
+    assert anchor == {"a": 1.1, "b": 2.2} and canary == 0.33
