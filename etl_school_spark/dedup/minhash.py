@@ -355,8 +355,9 @@ def minhash_dup_groups(
     filtered; J of empty sets is NULL) and are excluded from the
     quotient the same way.
 
-    Cost shape: ONE extra shuffle on the sorted shingle array (the
-    canonical set key, corpus-linear) buys a band+verify stage whose
+    Cost shape (r12 form): a map-side-collapsed groupBy on the sorted
+    shingle array (one row per distinct set leaves each task) plus the
+    corpus-linear star join-back buy a band+verify stage whose
     input is the distinct sets only — an exact-duplicate-heavy corpus
     (the regime where every band bucket is a copy clique) collapses to
     its distinct documents before the quadratic stage.
