@@ -284,3 +284,71 @@ def add_singletons(
         .select("node", F.col("node").alias("component"))
     )
     return labels.unionByName(singles)
+
+
+def quotient_components(
+    rep_pairs: DataFrame,
+    stars: DataFrame,
+    collect_cap: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Components of (rep_pairs ∪ stars) WITHOUT pushing the star edges
+    through the iterative loop (r12).
+
+    The *_dup_groups quotient operators emit two edge kinds: rep_pairs
+    (between distinct-set/sig representatives — the verified near-dup
+    graph over the quotient) and stars (each clique's min-doc rep →
+    member). A star member appears in exactly ONE edge, to its rep, and
+    the rep is its clique's MINIMUM doc id — so the member's
+    min-reachable label is exactly its rep's label in the rep graph
+    (or the rep itself when the rep pairs with nothing). Running the
+    full union through connected_components therefore wastes the loop:
+    label propagation costs 2 jobs × diameter ROUNDS over an edge set
+    dominated by stars (a 10M-copy clique is 10M star edges), and the
+    ``collect_cap`` driver fast path disengages exactly on the
+    copy-heavy corpora the quotient exists for.
+
+    Here instead: connected_components runs over rep_pairs ONLY (the
+    loop's input shrinks by the corpus duplication factor; the capped
+    fast path re-engages whenever the DISTINCT near-dup graph is small,
+    however many copies exist), then one join labels the members:
+
+    - rep in the rep graph  → member inherits the rep's component;
+    - rep with members but no rep pair → (rep, rep) and members get
+      the rep id (that clique is its own component).
+
+    Exactness: component = min reachable id. Members connect only to
+    their rep, every clique's rep is its min member, and rep_pairs
+    components carry the min over connected reps — so the min over a
+    merged set of cliques is the min over their reps, which is the
+    rep-graph label. Pinned by the pairs-vs-groups differentials and
+    fuzz families 14/15.
+
+    Scale shape: the member join's build side (rep labels) is the
+    OUTPUT of connected_components — a truncated leaf — and the probe
+    side is a bare exchange, so a hot rep key is AQE-skew-splittable
+    (the agg-fused-build limitation in SCALING.md r12 does not apply);
+    the rep_self anti-join collapses map-side via the distinct.
+    """
+    rep_labels = connected_components(
+        rep_pairs, collect_cap=collect_cap, checkpoint_dir=checkpoint_dir
+    )
+    rl = rep_labels.select(
+        F.col("node").alias("id_a"), F.col("component").alias("_c")
+    )
+    # one materialized pass over the star join feeds both consumers
+    # (members + self-labeled reps) — without it each re-runs the
+    # corpus-proportional stars plan; the leaf is three ids per row,
+    # the same scale the pre-r12 form paid to materialize its edge union
+    sj = stars.join(rl, "id_a", "left").localCheckpoint(eager=False)
+    star_members = sj.select(
+        F.col("id_b").alias("node"),
+        F.coalesce(F.col("_c"), F.col("id_a")).alias("component"),
+    )
+    # distinct collapses each unlabeled clique's members map-side
+    rep_self = (
+        sj.filter(F.col("_c").isNull())
+        .select(F.col("id_a").alias("node"), F.col("id_a").alias("component"))
+        .distinct()
+    )
+    return rep_labels.unionByName(star_members).unionByName(rep_self)

@@ -367,7 +367,7 @@ def minhash_dup_groups(
         # threshold > 1 has no edges at all and the stars would invent
         # some — fail loudly instead
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.dedup.cluster import quotient_components
 
     # ``sets`` (r11): a caller sharing the shingle scan with
     # minhash_lsh_pairs passes its own materialized frame
@@ -419,9 +419,10 @@ def minhash_dup_groups(
     rep_pairs = verify_jaccard_pairs(cands, rep_sets, rep_sets, threshold).select(
         "id_a", "id_b"
     )
-    labels = connected_components(
-        rep_pairs.unionByName(stars), collect_cap=collect_cap
-    )
+    # components over the REP graph only; star members inherit their
+    # rep's label in one skew-splittable join (r12 — the loop no longer
+    # scales with the duplication factor; cluster.quotient_components)
+    labels = quotient_components(rep_pairs, stars, collect_cap=collect_cap)
     if with_singletons:
         # (r12) full dedup table: (doc, doc) for every nonempty-set doc
         # with no verified near-duplicate

@@ -221,7 +221,7 @@ def ngram_dup_groups(
         # the intra-set cliques assume J(s, s) = 1 qualifies (the
         # minhash_dup_groups guard)
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.dedup.cluster import quotient_components
 
     # ``sets`` (r11): share the materialized shingle scan with
     # ngram_jaccard_pairs when a pipeline needs both contracts
@@ -273,9 +273,12 @@ def ngram_dup_groups(
         F.size("_setkey").alias("set_size"),
     )
     rep_pairs = _jaccard_pairs_from_sets(rep_sets, threshold).select("id_a", "id_b")
-    labels = connected_components(
-        rep_pairs.unionByName(stars), collect_cap=collect_cap
-    )
+    # components over the REP graph only; star members inherit their
+    # rep's label in one skew-splittable join (r12 — the iterative loop
+    # no longer scales with the duplication factor, and the capped
+    # driver fast path re-engages on copy-heavy corpora; exactness
+    # argument in cluster.quotient_components)
+    labels = quotient_components(rep_pairs, stars, collect_cap=collect_cap)
     if with_singletons:
         # ``with_singletons`` (r12): emit (doc, doc) for every
         # in-contract doc (nonempty set) with no near-duplicate — the

@@ -491,7 +491,7 @@ def simhash_dup_groups(
     chunk) still hit the refinement dispatch, unchanged. Measured at
     sf1 in SCALING.md (r11).
     """
-    from etl_school_spark.dedup.cluster import connected_components
+    from etl_school_spark.dedup.cluster import quotient_components
 
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
@@ -535,8 +535,12 @@ def simhash_dup_groups(
             variant="groups",
         )
     rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
-    edges = rep_pairs.select("id_a", "id_b").unionByName(stars)
-    labels = connected_components(edges, collect_cap=collect_cap)
+    # components over the REP graph only; star members inherit their
+    # rep's label in one skew-splittable join (r12 — the loop no longer
+    # scales with the duplication factor; cluster.quotient_components)
+    labels = quotient_components(
+        rep_pairs.select("id_a", "id_b"), stars, collect_cap=collect_cap
+    )
     if with_singletons:
         # (r12) full dedup table: (doc, doc) for every signed doc with
         # no near-duplicate
