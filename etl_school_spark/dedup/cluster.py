@@ -328,8 +328,38 @@ def quotient_components(
     OUTPUT of connected_components — a truncated leaf — and the probe
     side is a bare exchange, so a hot rep key is AQE-skew-splittable
     (the agg-fused-build limitation in SCALING.md r12 does not apply);
-    the rep_self anti-join collapses map-side via the distinct.
+    the self-rep distinct collapses map-side.
+
+    Dispatch: with ``collect_cap`` set, a star count within the cap
+    takes the pre-deferral union path (one bounded driver union-find,
+    zero extra stages — the tiny-corpus winner); only star counts past
+    the cap defer. ``collect_cap=None`` always defers (the loop-forced
+    regime measured ×0.85 even organically).
     """
+    # Measured dispatch (r12): the deferral pays two extra distributed
+    # stages (member join + self-rep distinct), which at TINY star
+    # counts costs more than it saves — organic sf0.1 (256 stars) read
+    # ×1.23 capped while the planted 200k-copy clique read ×0.87/×0.71
+    # (tools/ab_star_deferred.py). The probe is one count on the
+    # truncated star leaf (the pre-r12 form paid the same count on its
+    # edge union): stars within ``collect_cap`` take the old union
+    # path — bounded driver work, zero extra stages — and only
+    # copy-heavy corpora (the regime the deferral exists for) defer.
+    def _leaf(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    if collect_cap is not None:
+        stars = _leaf(stars)
+        if stars.count() <= collect_cap:
+            return connected_components(
+                rep_pairs.unionByName(stars),
+                collect_cap=collect_cap,
+                checkpoint_dir=checkpoint_dir,
+            )
     rep_labels = connected_components(
         rep_pairs, collect_cap=collect_cap, checkpoint_dir=checkpoint_dir
     )

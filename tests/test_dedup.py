@@ -1369,3 +1369,31 @@ def test_dup_groups_with_singletons_full_table(spark):
             assert n == c, f"{fn.__name__}: singleton {n} mislabeled {c}"
         # exactly-once: no doc appears under two components
         assert len(nodes) == len(full), f"{fn.__name__}: duplicate nodes"
+
+
+def test_quotient_components_deferred_branch_matches_union(spark):
+    """r12: quotient_components dispatches tiny star counts back to the
+    union fast path, so the DEFERRED branch (components over the rep
+    graph + member join) needs its own CI pin — forced here two ways:
+    collect_cap=None (always defers, distributed loop) and a cap
+    smaller than the star count (defers with the capped rep graph).
+    Both must equal the plain union-path labels on a clique-heavy
+    corpus."""
+    from etl_school_spark.dedup.ngram import ngram_dup_groups
+    from etl_school_spark.dedup.simhash import simhash_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(40)]  # one 40-member exact clique
+    rows += [(100, base + " tail"), (101, base + " tail")]  # second clique
+    rows += [(200 + i, f"unique text number {i} with words {i * 7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for fn, kw in (
+        (ngram_dup_groups, dict(threshold=0.8, n=3)),
+        (simhash_dup_groups, dict(max_hamming=3, chunks=4)),
+    ):
+        union_path = {tuple(r) for r in fn(df, collect_cap=1_000_000, **kw).collect()}
+        deferred_loop = {tuple(r) for r in fn(df, collect_cap=None, **kw).collect()}
+        deferred_capped = {tuple(r) for r in fn(df, collect_cap=5, **kw).collect()}
+        assert union_path == deferred_loop == deferred_capped
+        assert union_path  # non-trivial: the cliques must cluster

@@ -12,10 +12,12 @@ Corpus: sf0.1 documents + ``copies`` exact copies of one doc. Both
 forms run full ngram_dup_groups semantics; outputs asserted identical.
 Two regimes per run:
 
-  capped:   collect_cap=1,000,000 (the registered setting) — the old
-            form collects rep_pairs + ALL star edges to the driver; the
-            deferred form collects rep_pairs only and labels members
-            with one distributed join.
+  capped:   collect_cap=1,000,000 (the registered setting) — NOTE:
+            after the r12 dispatch landed in quotient_components, a
+            star count within the cap routes BACK to the union path,
+            so this regime now measures the dispatch itself (expected
+            ≈×1.0 + one probe job, ~0.3–0.5 s at sf0.1) unless
+            ``copies`` exceeds the cap.
   loop:     collect_cap=None — both forms take the iterative loop; the
             old form's loop input includes the stars (copies-
             proportional), the deferred form's only the rep graph.
