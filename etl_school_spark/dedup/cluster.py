@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _session_checkpoint_dir(df: DataFrame) -> str | None:
+    """Durable-checkpoint posture for the REGISTERED entry points (r13,
+    VERDICT item 3): the query registry calls the dedup operators with no
+    explicit ``checkpoint_dir``, so on a real cluster every truncation
+    point is a localCheckpoint — executor loss invalidates the truncated
+    lineage mid-query. Setting ``spark.etl_school.checkpoint_dir`` on
+    the session routes every components/quotient truncation through
+    RELIABLE ``Dataset.checkpoint`` into that directory (point it at
+    fault-tolerant storage) without threading a parameter through each
+    operator signature. An explicit ``checkpoint_dir`` argument wins."""
+    try:
+        v = df.sparkSession.conf.get("spark.etl_school.checkpoint_dir", None)
+    except Exception:
+        v = None
+    return v or None
+
+
 def _release_plan_blocks(df: DataFrame) -> None:
     """Free the storage blocks behind a localCheckpoint'ed frame.
 
@@ -130,6 +147,8 @@ def connected_components(
     23.5 → 22.0 s (×0.94, 250.6k edges — the PPJoin pair pipeline
     dominates there).
     """
+    if checkpoint_dir is None:
+        checkpoint_dir = _session_checkpoint_dir(edges)
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -291,6 +310,7 @@ def quotient_components(
     stars: DataFrame,
     collect_cap: int | None = None,
     checkpoint_dir: str | None = None,
+    star_count: int | None = None,
 ) -> DataFrame:
     """Components of (rep_pairs ∪ stars) WITHOUT pushing the star edges
     through the iterative loop (r12).
@@ -335,31 +355,65 @@ def quotient_components(
     zero extra stages — the tiny-corpus winner); only star counts past
     the cap defer. ``collect_cap=None`` always defers (the loop-forced
     regime measured ×0.85 even organically).
+
+    ``star_count`` (r13, VERDICT item 2): the dispatch count, supplied
+    by the caller when it is derivable from frames already materialized
+    for other reasons — for the quotient operators |stars| =
+    |keyed docs| − |reps|, two counts over their existing truncated
+    leaves, so the r12 probe's EAGER materialization of the join-derived
+    stars frame (×1.19 capped organic residual, SCALING.md r12)
+    disappears from the registered paths. The hint is a performance
+    dispatch only — both branches are bit-identical — so an inexact
+    count can never change labels, only which plan computes them. When
+    ``star_count`` is None and ``collect_cap`` is set, the r12 probe
+    (truncate stars + count) runs as before.
+
+    Returned frame is a self-contained leaf on every branch (r13):
+    the deferred path eagerly truncates its output union, which is what
+    lets this function release its working leaves (``sj``, the rep
+    labels, a probe-owned stars leaf) instead of accumulating
+    corpus-scale block sets per call in a long-lived session (r12
+    ADVICE). The output leaf itself follows the connected_components
+    convention: it belongs to the caller.
     """
-    # Measured dispatch (r12): the deferral pays two extra distributed
-    # stages (member join + self-rep distinct), which at TINY star
-    # counts costs more than it saves — organic sf0.1 (256 stars) read
-    # ×1.23 capped while the planted 200k-copy clique read ×0.87/×0.71
-    # (tools/ab_star_deferred.py). The probe is one count on the
-    # truncated star leaf (the pre-r12 form paid the same count on its
-    # edge union): stars within ``collect_cap`` take the old union
-    # path — bounded driver work, zero extra stages — and only
-    # copy-heavy corpora (the regime the deferral exists for) defer.
-    def _leaf(df: DataFrame) -> DataFrame:
+    if checkpoint_dir is None:
+        checkpoint_dir = _session_checkpoint_dir(rep_pairs)
+    if checkpoint_dir is not None:
+        # r12 ADVICE (medium): the probe leaf below may checkpoint BEFORE
+        # connected_components runs, so the directory must be registered
+        # at entry — previously only connected_components set it and a
+        # (checkpoint_dir, collect_cap) call crashed on the eager leaf
+        rep_pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _leaf(df: DataFrame, eager: bool) -> DataFrame:
         return (
-            df.checkpoint(eager=True)
+            df.checkpoint(eager=eager)
             if checkpoint_dir is not None
-            else df.localCheckpoint(eager=True)
+            else df.localCheckpoint(eager=eager)
         )
 
+    # Measured dispatch (r12): the deferral pays two extra distributed
+    # stages (member join + self-rep distinct), which at TINY star
+    # counts costs more than it saves — only copy-heavy corpora (the
+    # regime the deferral exists for) defer.
+    owned_stars: DataFrame | None = None
     if collect_cap is not None:
-        stars = _leaf(stars)
-        if stars.count() <= collect_cap:
-            return connected_components(
+        if star_count is None:
+            stars = _leaf(stars, True)
+            owned_stars = stars
+            star_count = stars.count()
+        if star_count <= collect_cap:
+            out = connected_components(
                 rep_pairs.unionByName(stars),
                 collect_cap=collect_cap,
                 checkpoint_dir=checkpoint_dir,
             )
+            # out is self-contained (connected_components truncates its
+            # output or collects it), so the probe's stars leaf is no
+            # longer reachable — release instead of leaking per call
+            if owned_stars is not None:
+                _release_plan_blocks(owned_stars)
+            return out
     rep_labels = connected_components(
         rep_pairs, collect_cap=collect_cap, checkpoint_dir=checkpoint_dir
     )
@@ -368,9 +422,11 @@ def quotient_components(
     )
     # one materialized pass over the star join feeds both consumers
     # (members + self-labeled reps) — without it each re-runs the
-    # corpus-proportional stars plan; the leaf is three ids per row,
-    # the same scale the pre-r12 form paid to materialize its edge union
-    sj = stars.join(rl, "id_a", "left").localCheckpoint(eager=False)
+    # corpus-proportional stars plan; the leaf is three ids per row.
+    # Routed through _leaf (r12 ADVICE): in reliable-checkpoint mode a
+    # hardcoded localCheckpoint here would silently break the
+    # fault-tolerance guarantee checkpoint_dir exists to provide.
+    sj = _leaf(stars.join(rl, "id_a", "left"), False)
     star_members = sj.select(
         F.col("id_b").alias("node"),
         F.coalesce(F.col("_c"), F.col("id_a")).alias("component"),
@@ -381,4 +437,15 @@ def quotient_components(
         .select(F.col("id_a").alias("node"), F.col("id_a").alias("component"))
         .distinct()
     )
-    return rep_labels.unionByName(star_members).unionByName(rep_self)
+    out = _leaf(
+        rep_labels.unionByName(star_members).unionByName(rep_self), True
+    )
+    # the eager output truncation above materialized sj (and everything
+    # beneath it), so the working leaves are unreachable from the
+    # returned plan — release them (r12 ADVICE: these accumulated
+    # O(star-edges) blocks per *_dup_groups call for the session's life)
+    _release_plan_blocks(sj)
+    _release_plan_blocks(rep_labels)
+    if owned_stars is not None:
+        _release_plan_blocks(owned_stars)
+    return out

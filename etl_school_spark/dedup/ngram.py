@@ -221,12 +221,18 @@ def ngram_dup_groups(
         # the intra-set cliques assume J(s, s) = 1 qualifies (the
         # minhash_dup_groups guard)
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from etl_school_spark.dedup.cluster import quotient_components
+    from etl_school_spark.dedup.cluster import (
+        _release_plan_blocks,
+        quotient_components,
+    )
 
     # ``sets`` (r11): share the materialized shingle scan with
-    # ngram_jaccard_pairs when a pipeline needs both contracts
+    # ngram_jaccard_pairs when a pipeline needs both contracts; when we
+    # create the leaf ourselves we also own releasing it (r13 below)
+    owned_sets = None
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
+        owned_sets = sets
     sets = sets.filter(F.col("set_size") > 0)
     # Rep selection is groupBy + join-back, NOT a Window over the set
     # key (r12, VERDICT item 1): Window.partitionBy(array_sort(shingles))
@@ -273,12 +279,21 @@ def ngram_dup_groups(
         F.size("_setkey").alias("set_size"),
     )
     rep_pairs = _jaccard_pairs_from_sets(rep_sets, threshold).select("id_a", "id_b")
+    # dispatch count without materializing the stars frame (r13, VERDICT
+    # item 2): every keyed doc is either its clique's min (a rep) or a
+    # star member, so |stars| = |keyed| − |reps| — two counts over
+    # leaves this operator already truncates for reuse, replacing the
+    # r12 probe's eager checkpoint of the join-derived stars frame
+    # (its ×1.19 capped organic residual, SCALING.md r12)
+    star_count = (keyed.count() - reps.count()) if collect_cap is not None else None
     # components over the REP graph only; star members inherit their
     # rep's label in one skew-splittable join (r12 — the iterative loop
     # no longer scales with the duplication factor, and the capped
     # driver fast path re-engages on copy-heavy corpora; exactness
     # argument in cluster.quotient_components)
-    labels = quotient_components(rep_pairs, stars, collect_cap=collect_cap)
+    labels = quotient_components(
+        rep_pairs, stars, collect_cap=collect_cap, star_count=star_count
+    )
     if with_singletons:
         # ``with_singletons`` (r12): emit (doc, doc) for every
         # in-contract doc (nonempty set) with no near-duplicate — the
@@ -286,4 +301,14 @@ def ngram_dup_groups(
         from etl_school_spark.dedup.cluster import add_singletons
 
         labels = add_singletons(labels, keyed, "doc")
+    elif owned_sets is not None:
+        # labels is a self-contained leaf (quotient_components contract,
+        # r13) and nothing else references the shingle-set leaf we
+        # created — release it instead of leaking a corpus-scale wide
+        # block set per call (with_singletons keeps it: the anti-join
+        # universe reads keyed → sets)
+        _release_plan_blocks(owned_sets)
+    # the reps leaf is fully consumed on every branch once labels
+    # materializes (rep PPJoin + star join both truncated behind it)
+    _release_plan_blocks(reps)
     return labels

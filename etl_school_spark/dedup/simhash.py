@@ -491,7 +491,10 @@ def simhash_dup_groups(
     chunk) still hit the refinement dispatch, unchanged. Measured at
     sf1 in SCALING.md (r11).
     """
-    from etl_school_spark.dedup.cluster import quotient_components
+    from etl_school_spark.dedup.cluster import (
+        _release_plan_blocks,
+        quotient_components,
+    )
 
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
@@ -502,10 +505,18 @@ def simhash_dup_groups(
     # which MUST derive from the same (docs, id_col, text_col): the
     # refinement memo is keyed on the docs plan (_resolve_refine_auto
     # contract note, r12 ADVICE).
+    owned_sigs = None
     if sigs is None:
         sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
             eager=False
         )
+        owned_sigs = sigs
+    # NULL signatures (null text) are out of the pair contract — they
+    # never match the star join or a chunk bucket — so exclude them from
+    # the rep groupBy up front (r13): the null-sig rep row contributed
+    # nothing downstream, and the exclusion makes the dispatch identity
+    # |stars| = |non-null sigs| − |reps| exact.
+    sigs_nn = sigs.filter(F.col("_sig").isNotNull())
     # checkpointed so the star join-back is AQE-skew-splittable (r12,
     # VERDICT item 4): OptimizeSkewedJoin cannot see through an
     # agg-fused build side, so a hot signature clique would ride one
@@ -514,7 +525,7 @@ def simhash_dup_groups(
     # for the set-key twin of this join). Also reused by the chunk
     # explode below.
     reps = (
-        sigs.groupBy("_sig")
+        sigs_nn.groupBy("_sig")
         .agg(F.min("doc").alias("doc"))
         .localCheckpoint(eager=False)
     )
@@ -535,11 +546,22 @@ def simhash_dup_groups(
             variant="groups",
         )
     rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
+    # dispatch count without materializing the stars frame (r13, VERDICT
+    # item 2): every non-null-sig doc is either its signature clique's
+    # min (a rep) or a star member, so |stars| = |sigs_nn| − |reps| —
+    # two counts over leaves already truncated for reuse (rationale in
+    # ngram.ngram_dup_groups)
+    star_count = (
+        (sigs_nn.count() - reps.count()) if collect_cap is not None else None
+    )
     # components over the REP graph only; star members inherit their
     # rep's label in one skew-splittable join (r12 — the loop no longer
     # scales with the duplication factor; cluster.quotient_components)
     labels = quotient_components(
-        rep_pairs.select("id_a", "id_b"), stars, collect_cap=collect_cap
+        rep_pairs.select("id_a", "id_b"),
+        stars,
+        collect_cap=collect_cap,
+        star_count=star_count,
     )
     if with_singletons:
         # (r12) full dedup table: (doc, doc) for every signed doc with
@@ -547,4 +569,11 @@ def simhash_dup_groups(
         from etl_school_spark.dedup.cluster import add_singletons
 
         labels = add_singletons(labels, sigs, "doc")
+    elif owned_sigs is not None:
+        # labels is a self-contained leaf (r13) — release the signature
+        # leaf we created instead of leaking it per call
+        # (with_singletons keeps it: the universe is sigs itself)
+        _release_plan_blocks(owned_sigs)
+    # the reps leaf is fully consumed once labels materializes
+    _release_plan_blocks(reps)
     return labels

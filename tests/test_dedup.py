@@ -1397,3 +1397,111 @@ def test_quotient_components_deferred_branch_matches_union(spark):
         deferred_capped = {tuple(r) for r in fn(df, collect_cap=5, **kw).collect()}
         assert union_path == deferred_loop == deferred_capped
         assert union_path  # non-trivial: the cliques must cluster
+
+
+def test_quotient_components_checkpoint_dir_with_cap(spark, tmp_path):
+    """r12 ADVICE (medium): quotient_components(checkpoint_dir=...,
+    collect_cap=...) crashed with 'Checkpoint directory has not been
+    set' — the dispatch probe checkpointed its stars leaf before
+    anything registered the directory (only connected_components set
+    it, and it runs after the leaf). Both dispatch branches must work
+    in reliable mode, and the deferred branch must write reliable
+    checkpoint FILES (the sj/output truncations previously hardcoded
+    localCheckpoint, silently dropping the fault-tolerance guarantee
+    checkpoint_dir documents)."""
+    import pathlib
+
+    from etl_school_spark.dedup.cluster import quotient_components
+
+    rep_pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    stars = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (10, 1), (11, 1), (20, 1)}
+    for cap, sub in ((1_000_000, "union"), (1, "deferred")):
+        ckpt = str(tmp_path / sub)
+        out = quotient_components(
+            rep_pairs, stars, collect_cap=cap, checkpoint_dir=ckpt
+        )
+        assert {(r.node, r.component) for r in out.collect()} == want, sub
+    files = list(pathlib.Path(str(tmp_path / "deferred")).rglob("*"))
+    assert any(f.is_file() for f in files), "no reliable checkpoint written"
+
+
+def test_dup_groups_release_working_leaves(spark):
+    """r12 ADVICE: each *_dup_groups call used to leave its stars leaf
+    (and the star-join leaf beneath the returned plan) persisted for
+    the session lifetime — O(star-edges) blocks per call. After r13 the
+    returned labels frame is a self-contained leaf and every working
+    leaf (shingle sets, reps, star join, rep labels) is released, so
+    repeated calls accumulate at most the retained OUTPUT leaf each."""
+    from etl_school_spark.dedup.ngram import ngram_dup_groups
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(40)]
+    rows += [(200 + i, f"unique text number {i} with words {i * 7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = n_cached()
+    for _ in range(3):
+        # collect_cap=0 forces the deferred branch — the one that builds
+        # the star-join and output leaves this test pins the release of
+        out = ngram_dup_groups(df, threshold=0.8, n=3, collect_cap=0)
+        assert out.count() > 0
+    growth = n_cached() - before
+    assert growth <= 4, (before, growth)  # ≤ 1 output leaf per call + slack
+
+
+def test_release_plan_blocks_reflection_canary(spark):
+    """r12 VERDICT: _release_plan_blocks reaches through the private
+    df._jdf.queryExecution().analyzed().rdd() chain and swallows every
+    failure by design (correctness never depends on the release) — so a
+    Spark upgrade that renames any link would silently re-open the
+    storage leak it exists to prevent. This canary exercises each link
+    LOUDLY on the pinned Spark: if it fails, fix the reflection path."""
+    from etl_school_spark.dedup.cluster import _release_plan_blocks
+
+    df = spark.range(64).localCheckpoint(eager=True)
+    plan = df._jdf.queryExecution().analyzed()  # raises if renamed
+    assert plan.nodeName() == "LogicalRDD", plan.nodeName()
+    rdd = plan.rdd()  # raises if LogicalRDD stops exposing its RDD
+    sc = spark.sparkContext
+    with_blocks = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert rdd.id() in with_blocks, "checkpoint leaf holds no blocks?"
+    _release_plan_blocks(df)
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert rdd.id() not in after, "release no longer frees the leaf"
+
+
+def test_dup_groups_respect_session_checkpoint_dir_conf(spark, tmp_path):
+    """r13 (r12 VERDICT item 3): setting
+    ``spark.etl_school.checkpoint_dir`` on the session routes the
+    components/quotient truncation points through RELIABLE
+    Dataset.checkpoint — the durable posture for real clusters, where
+    executor loss invalidates executor-local truncated lineage — with
+    labels identical to local mode on both dispatch branches."""
+    import pathlib
+
+    from etl_school_spark.dedup.ngram import ngram_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(30)]
+    rows += [(200 + i, f"unique text number {i} with words {i * 7}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {tuple(r) for r in ngram_dup_groups(df, threshold=0.8, n=3).collect()}
+    spark.conf.set("spark.etl_school.checkpoint_dir", str(tmp_path))
+    try:
+        got_union = {tuple(r) for r in ngram_dup_groups(df, threshold=0.8, n=3).collect()}
+        got_deferred = {
+            tuple(r)
+            for r in ngram_dup_groups(df, threshold=0.8, n=3, collect_cap=0).collect()
+        }
+    finally:
+        spark.conf.unset("spark.etl_school.checkpoint_dir")
+    assert got_union == want == got_deferred
+    files = list(pathlib.Path(str(tmp_path)).rglob("*"))
+    assert any(f.is_file() for f in files), "no reliable checkpoint written"
