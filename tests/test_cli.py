@@ -167,3 +167,58 @@ def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
     }, indent=1))
     anchor, canary = _load_anchor(str(doc))
     assert anchor == {"a": 1.1, "b": 2.2} and canary == 0.33
+
+
+def test_sweep_anchor_loader_shape_edge_cases(tmp_path):
+    """r13 (ADVICE): the loader dispatches on shape markers, not on
+    whole-file parse success — a SINGLE-LINE sweep JSONL (one median
+    line) parses as one JSON object and previously took the bench
+    branch, harvesting 'median'/'spread'/'anchor' as bogus queries; a
+    bench doc missing 'queries' similarly swept in 'value'/'sf'; and
+    the sweep's own closing total/final_ok stamp line must not become
+    query entries."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.sweep_sf1 import _load_anchor
+
+    one = tmp_path / "one_line.jsonl"
+    one.write_text(
+        '{"q": "heavy", "median": 9.5, "runs": [9.5, 12.0], "spread": 1.26, "anchor": 8.0}\n'
+    )
+    anchor, canary = _load_anchor(str(one))
+    assert anchor == {"heavy": 9.5} and canary is None
+
+    no_queries = tmp_path / "bench_no_queries.json"
+    no_queries.write_text(json.dumps({"value": 49.3, "sf": 0.1, "cold_value": 86.0}))
+    anchor, canary = _load_anchor(str(no_queries))
+    assert anchor == {} and canary is None
+
+    with_stamp = tmp_path / "sweep_with_stamp.jsonl"
+    with_stamp.write_text(
+        '{"canary_sec": 0.21, "canary_spread": 0.1}\n'
+        '{"b": 1.5}\n'
+        '{"total": 99.9, "errors": 0, "anchor_canary_sec": 0.2, "final_ok": true}\n'
+    )
+    anchor, canary = _load_anchor(str(with_stamp))
+    assert anchor == {"b": 1.5} and canary == 0.21
+
+
+def test_sweep_and_bench_share_canary_deviation():
+    """r13 (ADVICE): the sweep's final_ok stamp previously hardcoded
+    1.2 while bench.py owned CANARY_DEVIATION — the two refusal gates
+    could silently drift. The sweep now imports the shared constant;
+    this pins that the import path works and the constant exists."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    assert isinstance(bench.CANARY_DEVIATION, float)
+    import inspect
+
+    import tools.sweep_sf1 as sweep
+
+    src = inspect.getsource(sweep.main)
+    assert "CANARY_DEVIATION" in src and "> 1.2" not in src

@@ -45,7 +45,14 @@ probe that only SELECTS ids prunes the wide key out of the shuffle, and
 — always check mapStats bytes (printed here) before concluding the rule
 ignored a skewed partition.
 
-Usage: python tools/ab_megaclique.py [sf_dir] [runs] [copies]
+Usage: python tools/ab_megaclique.py [sf_dir] [runs] [copies] [--assert-split]
+
+``--assert-split`` (r13, VERDICT item 6): turn the 'coalesced and
+skewed' observation into a CHECKED invariant — exit nonzero unless the
+checkpointed-build probe actually split the hot partition (skewed read
+in the final plan, >4 output partitions, top partition <50% of star
+rows). Run it as the one-off gate after any change to the rep-selection
+or star-join plan shape.
 """
 from __future__ import annotations
 
@@ -58,9 +65,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    args = [a for a in sys.argv[1:] if a != "--assert-split"]
+    assert_split = "--assert-split" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    runs = int(args[1]) if len(args) > 1 else 3
+    copies = int(args[2]) if len(args) > 2 else 50_000
 
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -159,7 +168,7 @@ def main() -> int:
             "doc", F.array_sort("shingles").alias("_setkey")
         )
 
-        def star_probe(tag: str, reps):
+        def star_probe(tag: str, reps) -> dict:
             import collections
 
             stars = (
@@ -173,22 +182,43 @@ def main() -> int:
             )
             hist = collections.Counter(r.pid for r in stars.collect())
             plan = stars._jdf.queryExecution().executedPlan().toString()
-            print(json.dumps({
+            out = {
                 "probe": f"setkey_star_join_{tag}",
                 "skewed_read_in_plan": "skewed" in plan,
                 "n_output_partitions": len(hist),
                 "top_partition_rows": hist.most_common(6),
                 "star_rows": sum(hist.values()),
-            }), flush=True)
+            }
+            print(json.dumps(out), flush=True)
+            return out
 
         agg = keyed.groupBy("_setkey").agg(F.min("doc").alias("_rep"))
         star_probe("fused", agg)
-        star_probe("checkpointed", agg.localCheckpoint(eager=False))
+        ckpt = star_probe("checkpointed", agg.localCheckpoint(eager=False))
     finally:
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
     spark.stop()
+    if assert_split:
+        # the checked invariant (r13, VERDICT item 6): the shipped
+        # checkpointed-build form must actually SPLIT the hot probe
+        # partition — timing alone can look fine while the whole clique
+        # rides one task
+        top = ckpt["top_partition_rows"][0][1] if ckpt["top_partition_rows"] else 0
+        failures = []
+        if not ckpt["skewed_read_in_plan"]:
+            failures.append("no skewed AQEShuffleRead in the final plan")
+        if ckpt["n_output_partitions"] <= 4:
+            failures.append(f"only {ckpt['n_output_partitions']} output partitions")
+        if ckpt["star_rows"] and top / ckpt["star_rows"] >= 0.5:
+            failures.append(
+                f"top partition carries {top}/{ckpt['star_rows']} star rows"
+            )
+        if failures:
+            print(json.dumps({"assert_split": "FAIL", "why": failures}), flush=True)
+            return 1
+        print(json.dumps({"assert_split": "ok"}), flush=True)
     return 0
 
 

@@ -15,14 +15,18 @@ Two regimes per run:
   capped:   collect_cap=1,000,000 (the registered setting) — NOTE:
             after the r12 dispatch landed in quotient_components, a
             star count within the cap routes BACK to the union path,
-            so this regime now measures the dispatch itself (expected
-            ≈×1.0 + one probe job, ~0.3–0.5 s at sf0.1) unless
-            ``copies`` exceeds the cap.
+            so this regime now measures the dispatch itself (r13: the
+            deferred form passes star_count = |keyed| − |reps| exactly
+            like the registered operators, so the r12 probe's eager
+            stars materialization — its ×1.19 organic residual — is
+            gone; expected ≈×1.0) unless ``copies`` exceeds the cap.
   loop:     collect_cap=None — both forms take the iterative loop; the
             old form's loop input includes the stars (copies-
             proportional), the deferred form's only the rep graph.
 
 Usage: python tools/ab_star_deferred.py [sf_dir] [runs] [copies]
+(copies=0 measures the ORGANIC corpus — the regime the r13 caller-count
+dispatch targets.)
 """
 from __future__ import annotations
 
@@ -55,11 +59,13 @@ def main() -> int:
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     seed_text = base.orderBy("doc_id").limit(1).collect()[0].text
     mx = base.agg(F.max("doc_id")).collect()[0][0]
-    planted = spark.range(copies).select(
-        (F.col("id") + F.lit(mx + 1)).alias("doc_id"),
-        F.lit(seed_text).alias("text"),
-    )
-    docs = base.unionByName(planted).localCheckpoint(eager=True)
+    if copies > 0:
+        planted = spark.range(copies).select(
+            (F.col("id") + F.lit(mx + 1)).alias("doc_id"),
+            F.lit(seed_text).alias("text"),
+        )
+        base = base.unionByName(planted)
+    docs = base.localCheckpoint(eager=True)
 
     def build_edges():
         sets = shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
@@ -81,17 +87,22 @@ def main() -> int:
             F.size("_setkey").alias("set_size"),
         )
         rep_pairs = _jaccard_pairs_from_sets(rep_sets, 0.8).select("id_a", "id_b")
-        return rep_pairs, stars
+        return rep_pairs, stars, keyed, reps
 
     def run(form: str, cap):
         t0 = time.time()
-        rep_pairs, stars = build_edges()
+        rep_pairs, stars, keyed, reps = build_edges()
         if form == "union":
             out = connected_components(
                 rep_pairs.unionByName(stars), collect_cap=cap
             )
         else:
-            out = quotient_components(rep_pairs, stars, collect_cap=cap)
+            # the SHIPPED caller shape (r13): the dispatch count comes
+            # from the leaves the operator already materializes
+            star_count = (keyed.count() - reps.count()) if cap is not None else None
+            out = quotient_components(
+                rep_pairs, stars, collect_cap=cap, star_count=star_count
+            )
         n = out.count()
         return time.time() - t0, n, out
 

@@ -61,14 +61,21 @@ def _load_anchor(path: str) -> tuple[dict[str, float], float | None]:
         doc = json.loads(text)
     except json.JSONDecodeError:
         doc = None
+    # r13 (ADVICE): dispatch on SHAPE MARKERS, not on whether the whole
+    # file parses as one object — a single-line sweep JSONL parses as
+    # one dict and previously took the bench-document branch, harvesting
+    # 'median'/'spread'/'anchor' (or a queries-less bench doc's
+    # 'value'/'sf'/'cold_value') as bogus per-query entries. Only a doc
+    # that actually carries a queries MAP is a bench document; anything
+    # else goes through the line parser below.
     if isinstance(doc, dict):
         doc = doc.get("parsed", doc)  # BENCH_r*.json wrapper shape
-        canary = doc.get("canary_sec")
-        q = doc.get("queries", doc)
-        for k, v in q.items():
-            if isinstance(v, (int, float)) and not k.startswith("canary"):
-                anchor[k] = float(v)
-        return anchor, canary
+        if isinstance(doc.get("queries"), dict):
+            canary = doc.get("canary_sec")
+            for k, v in doc["queries"].items():
+                if isinstance(v, (int, float)) and not k.startswith("canary"):
+                    anchor[k] = float(v)
+            return anchor, canary
     for line in text.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -80,6 +87,12 @@ def _load_anchor(path: str) -> tuple[dict[str, float], float | None]:
         if "q" in d and "median" in d:
             anchor[d["q"]] = float(d["median"])
             continue
+        if "total" in d or "final_ok" in d:
+            continue  # the sweep's own closing stamp, not query lines
+        if {"metric", "unit", "value", "sf", "cold_value"} & set(d):
+            continue  # a bench document without a queries map — nothing
+            # in it is a per-query line (ADVICE: 'value'/'sf'/'cold_value'
+            # previously swept in as bogus anchor entries)
         for k, v in d.items():
             if isinstance(v, (int, float)):
                 anchor[k] = float(v)
@@ -192,8 +205,14 @@ def main() -> int:
     # codegen canary deviates >×1.2 from the anchor run's is a HOST
     # reading — stamp the artifact itself so a gate line can't be read
     # as code-attributed without opening the canary lines
+    # shared refusal threshold (r13, ADVICE): bench.py defines the
+    # constant; hardcoding 1.2 here let the two gates silently drift
+    from bench import CANARY_DEVIATION
+
     c, stamp = canaries.get("canary_sec"), {"final_ok": True}
-    if c and anchor_canary and (c / anchor_canary > 1.2 or anchor_canary / c > 1.2):
+    if c and anchor_canary and (
+        c / anchor_canary > CANARY_DEVIATION or anchor_canary / c > CANARY_DEVIATION
+    ):
         stamp = {
             "final_ok": False,
             "final_reason": f"canary {c} vs anchor {anchor_canary}: host-attributed",
