@@ -125,6 +125,17 @@ def main() -> None:
             s = sorted(samples[name])
             timings[name] = round(s[len(s) // 2], 4)
 
+    # Closing canary pair (r13, VERDICT item 1): the r13 anchor pair
+    # proved the START canary can miss the window entirely — a calm-band
+    # start canary (0.214) stamped a run whose total came out 18% SLOWER
+    # than its hot-canary sibling, i.e. the host state CHANGED during
+    # the 5-minute run. Re-sampling at the end makes that drift visible
+    # and lets the final_ok stamp refuse unstable windows.
+    end_canaries = run_canaries(spark, sf_dir)
+    canaries["canary_end_sec"] = end_canaries["canary_sec"]
+    canaries["canary_end_spread"] = end_canaries["canary_spread"]
+    canaries["canary_end_io_sec"] = end_canaries["canary_io_sec"]
+
     main_timings = cold if cold_only else timings
     total = round(sum(main_timings.values()), 4)
     print(
@@ -153,6 +164,23 @@ def main() -> None:
 # it stays fixed across rounds to keep the normalized series comparable.
 CALM_CANARY = 0.22
 
+# canary_norm TRUST VERDICT (r13, measured —
+# tools/canary_norm_experiment.py, committed run in tools/anchors/):
+# under a CONSTANT injected 24-burner load — the formula's most
+# favorable condition — the codegen-normalized total lands 8% below the
+# unloaded same-code total and the scan-normalized one 11% below (both
+# outside the ±5% trust target), because the per-query response to the
+# SAME load spans ×0.77–1.59 (relational lines barely move while
+# CPU-bound pipeline lines absorb the contention). No scalar can
+# correct a non-uniform response; the r13 anchor pair additionally
+# showed the start-of-run canary can misread the window outright (a
+# calm-band canary on the SLOWER of two same-code runs). canary_norm
+# therefore stays in the artifact as a drift INDICATOR and series
+# continuity only. Trust order for cross-round perf claims:
+# same-session A/B > calm-band raw with final_ok=true (start AND end
+# canaries in band) > canary-normalized readings (never to ±10%).
+CANARY_NORM_TRUSTED = False
+
 # A warm total measured while the codegen canary runs >×1.2 off the
 # committed same-code anchor's canary is a HOST reading, not a code
 # reading (r11: same-code totals spanned 42→52 s across rounds purely on
@@ -170,10 +198,25 @@ def _attribution(total: float, canaries: dict) -> dict:
     canary-normalized total (value × CALM_CANARY / canary_sec), and a
     final_ok stamp that REFUSES when the canary deviates >×1.2 from the
     anchor's — institutionalizing the anchor-first discipline."""
-    out: dict = {"canary_norm": None, "final_ok": True}
+    out: dict = {
+        "canary_norm": None,
+        "canary_norm_trusted": CANARY_NORM_TRUSTED,
+        "final_ok": True,
+    }
     c = canaries.get("canary_sec")
     if c and c > 0:
         out["canary_norm"] = round(total * CALM_CANARY / c, 4)
+    # window stability (r13): a run whose END canary deviates >×1.2 from
+    # its START canary changed host state mid-run — the r13 anchor pair
+    # showed exactly this failure (calm start canary, slower total); the
+    # stamp refuses rather than letting the start reading certify it
+    ce = canaries.get("canary_end_sec")
+    if c and ce and (ce / c > CANARY_DEVIATION or c / ce > CANARY_DEVIATION):
+        out["final_ok"] = False
+        out["final_reason"] = (
+            f"canary start {c} vs end {ce}: host state changed during the "
+            "run — window unstable, re-run for a final stamp"
+        )
     anchor_path = os.environ.get("SPARK_GRAFT_BENCH_ANCHOR")
     if anchor_path is None:
         import glob
@@ -196,10 +239,13 @@ def _attribution(total: float, canaries: dict) -> dict:
         ac = a.get("canary_sec")
         if c and ac and (c / ac > CANARY_DEVIATION or ac / c > CANARY_DEVIATION):
             out["final_ok"] = False
-            out["final_reason"] = (
+            reason = (
                 f"canary {c} vs anchor {ac}: host deviates >x{CANARY_DEVIATION}"
                 " — reading is host-attributed, re-run on a calm host for a final stamp"
             )
+            # don't drop an earlier window-instability refusal (r13)
+            prior = out.get("final_reason")
+            out["final_reason"] = f"{prior}; {reason}" if prior else reason
     return out
 
 

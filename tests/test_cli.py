@@ -130,9 +130,23 @@ def test_bench_attribution_fields(tmp_path, monkeypatch):
     ok = bench._attribution(55.0, {"canary_sec": 0.26})
     assert ok["final_ok"] and ok["anchor_total"] == 50.0
     assert ok["canary_norm"] == round(55.0 * bench.CALM_CANARY / 0.26, 4)
+    # r13 (measured, tools/canary_norm_experiment.py): canary_norm is a
+    # drift indicator, never a trusted corrector — the artifact says so
+    assert ok["canary_norm_trusted"] is False
 
     hot = bench._attribution(55.0, {"canary_sec": 0.4})
     assert not hot["final_ok"] and "host" in hot["final_reason"]
+
+    # r13: a run whose END canary deviates >x1.2 from its START canary
+    # changed host state mid-run — refused even when the start canary
+    # agrees with the anchor (the r13 anchor-pair inversion)
+    unstable = bench._attribution(55.0, {"canary_sec": 0.26, "canary_end_sec": 0.4})
+    assert not unstable["final_ok"] and "unstable" in unstable["final_reason"]
+
+    # both refusals present: neither reason is dropped
+    both = bench._attribution(55.0, {"canary_sec": 0.4, "canary_end_sec": 0.2})
+    assert not both["final_ok"]
+    assert "unstable" in both["final_reason"] and "host" in both["final_reason"]
 
     # no canary at all: normalization absent, stamp not refused
     bare = bench._attribution(55.0, {})

@@ -209,16 +209,26 @@ def main() -> int:
     # constant; hardcoding 1.2 here let the two gates silently drift
     from bench import CANARY_DEVIATION
 
+    # closing canary (r13, same rationale as bench.py): a start-of-sweep
+    # canary can misread a window whose host state changes mid-sweep —
+    # re-sample at the end and refuse unstable windows
+    end_canaries = run_canaries(spark, sf_dir)
     c, stamp = canaries.get("canary_sec"), {"final_ok": True}
+    ce = end_canaries.get("canary_sec")
+    reasons = []
     if c and anchor_canary and (
         c / anchor_canary > CANARY_DEVIATION or anchor_canary / c > CANARY_DEVIATION
     ):
-        stamp = {
-            "final_ok": False,
-            "final_reason": f"canary {c} vs anchor {anchor_canary}: host-attributed",
-        }
+        reasons.append(f"canary {c} vs anchor {anchor_canary}: host-attributed")
+    if c and ce and (ce / c > CANARY_DEVIATION or c / ce > CANARY_DEVIATION):
+        reasons.append(f"canary start {c} vs end {ce}: window unstable")
+    if reasons:
+        stamp = {"final_ok": False, "final_reason": "; ".join(reasons)}
     print(json.dumps({"total": total, "errors": errs,
-                      "anchor_canary_sec": anchor_canary, **stamp}), flush=True)
+                      "anchor_canary_sec": anchor_canary,
+                      "canary_end_sec": ce,
+                      "canary_end_io_sec": end_canaries.get("canary_io_sec"),
+                      **stamp}), flush=True)
     print("TOTAL", total, "errors", errs, flush=True)
     return 1 if errs else 0
 
