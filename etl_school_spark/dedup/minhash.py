@@ -394,9 +394,11 @@ def minhash_dup_groups(
     # rule cannot see through an agg-fused build side) and the band +
     # verify stages reuse the materialized quotient — measured rationale
     # in ngram.ngram_dup_groups / tools/ab_megaclique.py (r12)
+    # _csize (r13): per-clique count so the dispatch below is one tiny
+    # aggregate over this leaf, not a corpus-scale count (ngram rationale)
     reps = (
         keyed.groupBy("_setkey")
-        .agg(F.min("doc").alias("_rep"))
+        .agg(F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_csize"))
         .localCheckpoint(eager=False)
     )
     stars = (
@@ -426,10 +428,14 @@ def minhash_dup_groups(
         "id_a", "id_b"
     )
     # dispatch count without materializing the stars frame (r13, VERDICT
-    # item 2): |stars| = |keyed| − |reps|, two counts over the leaves
-    # this operator already truncates for reuse (rationale in
-    # ngram.ngram_dup_groups)
-    star_count = (keyed.count() - reps.count()) if collect_cap is not None else None
+    # item 2): |stars| = Σ clique sizes − |reps| — one aggregate over
+    # the reps leaf (rationale in ngram.ngram_dup_groups)
+    star_count = None
+    if collect_cap is not None:
+        row = reps.agg(
+            F.sum("_csize").alias("k"), F.count(F.lit(1)).alias("r")
+        ).collect()[0]
+        star_count = int(row.k or 0) - int(row.r)
     # components over the REP graph only; star members inherit their
     # rep's label in one skew-splittable join (r12 — the loop no longer
     # scales with the duplication factor; cluster.quotient_components)

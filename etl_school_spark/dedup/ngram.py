@@ -263,9 +263,13 @@ def ngram_dup_groups(
     # 2. reuse — the star join AND the PPJoin's four references
     #    (postings, frequency ranking, both verify sides) read the
     #    materialized quotient instead of re-deriving the groupBy.
+    # _csize (r13): per-clique membership count, carried so the dispatch
+    # count below is ONE tiny aggregate over this leaf instead of a
+    # corpus-scale count of keyed — pruned out of every downstream join
+    # by the explicit selects
     reps = (
         keyed.groupBy("_setkey")
-        .agg(F.min("doc").alias("_rep"))
+        .agg(F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_csize"))
         .localCheckpoint(eager=False)
     )
     stars = (
@@ -281,11 +285,16 @@ def ngram_dup_groups(
     rep_pairs = _jaccard_pairs_from_sets(rep_sets, threshold).select("id_a", "id_b")
     # dispatch count without materializing the stars frame (r13, VERDICT
     # item 2): every keyed doc is either its clique's min (a rep) or a
-    # star member, so |stars| = |keyed| − |reps| — two counts over
-    # leaves this operator already truncates for reuse, replacing the
-    # r12 probe's eager checkpoint of the join-derived stars frame
-    # (its ×1.19 capped organic residual, SCALING.md r12)
-    star_count = (keyed.count() - reps.count()) if collect_cap is not None else None
+    # star member, so |stars| = Σ clique sizes − |reps| — ONE aggregate
+    # over the reps leaf this operator already truncates for reuse,
+    # replacing the r12 probe's eager checkpoint of the join-derived
+    # stars frame (its ×1.19 capped organic residual, SCALING.md r12)
+    star_count = None
+    if collect_cap is not None:
+        row = reps.agg(
+            F.sum("_csize").alias("k"), F.count(F.lit(1)).alias("r")
+        ).collect()[0]
+        star_count = int(row.k or 0) - int(row.r)
     # components over the REP graph only; star members inherit their
     # rep's label in one skew-splittable join (r12 — the iterative loop
     # no longer scales with the duplication factor, and the capped

@@ -524,9 +524,13 @@ def simhash_dup_groups(
     # skewed probe partition splits (measured in tools/ab_megaclique.py
     # for the set-key twin of this join). Also reused by the chunk
     # explode below.
+    # _csize (r13): per-clique count so the dispatch below is one tiny
+    # aggregate over this leaf, not a corpus-scale count of sigs —
+    # pruned out of the star join and the chunk explode by their
+    # explicit selects (ngram rationale)
     reps = (
         sigs_nn.groupBy("_sig")
-        .agg(F.min("doc").alias("doc"))
+        .agg(F.min("doc").alias("doc"), F.count(F.lit(1)).alias("_csize"))
         .localCheckpoint(eager=False)
     )
     stars = (
@@ -548,12 +552,15 @@ def simhash_dup_groups(
     rep_pairs = _verified_pairs(rep_ids, max_hamming, chunks, refine_threshold)
     # dispatch count without materializing the stars frame (r13, VERDICT
     # item 2): every non-null-sig doc is either its signature clique's
-    # min (a rep) or a star member, so |stars| = |sigs_nn| − |reps| —
-    # two counts over leaves already truncated for reuse (rationale in
+    # min (a rep) or a star member, so |stars| = Σ clique sizes −
+    # |reps| — one aggregate over the reps leaf (rationale in
     # ngram.ngram_dup_groups)
-    star_count = (
-        (sigs_nn.count() - reps.count()) if collect_cap is not None else None
-    )
+    star_count = None
+    if collect_cap is not None:
+        row = reps.agg(
+            F.sum("_csize").alias("k"), F.count(F.lit(1)).alias("r")
+        ).collect()[0]
+        star_count = int(row.k or 0) - int(row.r)
     # components over the REP graph only; star members inherit their
     # rep's label in one skew-splittable join (r12 — the loop no longer
     # scales with the duplication factor; cluster.quotient_components)

@@ -73,7 +73,7 @@ def main() -> int:
         keyed = sets.select("doc", F.array_sort("shingles").alias("_setkey"))
         reps = (
             keyed.groupBy("_setkey")
-            .agg(F.min("doc").alias("_rep"))
+            .agg(F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_csize"))
             .localCheckpoint(eager=False)
         )
         stars = (
@@ -87,19 +87,24 @@ def main() -> int:
             F.size("_setkey").alias("set_size"),
         )
         rep_pairs = _jaccard_pairs_from_sets(rep_sets, 0.8).select("id_a", "id_b")
-        return rep_pairs, stars, keyed, reps
+        return rep_pairs, stars, reps
 
     def run(form: str, cap):
         t0 = time.time()
-        rep_pairs, stars, keyed, reps = build_edges()
+        rep_pairs, stars, reps = build_edges()
         if form == "union":
             out = connected_components(
                 rep_pairs.unionByName(stars), collect_cap=cap
             )
         else:
-            # the SHIPPED caller shape (r13): the dispatch count comes
-            # from the leaves the operator already materializes
-            star_count = (keyed.count() - reps.count()) if cap is not None else None
+            # the SHIPPED caller shape (r13): one tiny aggregate over
+            # the reps leaf the operator already materializes
+            star_count = None
+            if cap is not None:
+                row = reps.agg(
+                    F.sum("_csize").alias("k"), F.count(F.lit(1)).alias("r")
+                ).collect()[0]
+                star_count = int(row.k or 0) - int(row.r)
             out = quotient_components(
                 rep_pairs, stars, collect_cap=cap, star_count=star_count
             )
