@@ -47,6 +47,7 @@ from etl_school_spark.dedup.minhash import (
     minhash_signatures,
     verify_jaccard_pairs,
 )
+from etl_school_spark.dedup.cluster import operator_leaf
 from etl_school_spark.dedup.ngram import shingle_sets
 from etl_school_spark.functions.text import fingerprint
 
@@ -184,9 +185,13 @@ def dedup_batch_against_index(
             df.count()
             stage_clock[name] = round(_time.time() - t0, 3)
 
-    new_idx = build_dedup_index(
-        new_docs, id_col, text_col, n, num_perm
-    ).localCheckpoint(eager=False)
+    # operator_leaf (r14, VERDICT item 2): every stage-boundary
+    # truncation in this pipeline honors the durable-checkpoint conf —
+    # on a real cluster with spark.etl_school.checkpoint_dir set, an
+    # executor loss mid-batch no longer invalidates truncated lineage
+    new_idx = operator_leaf(
+        build_dedup_index(new_docs, id_col, text_col, n, num_perm)
+    )
     _tick(new_idx, "s1_batch_index")
 
     # 1a. exact vs history: fingerprint anti-join
@@ -220,7 +225,7 @@ def dedup_batch_against_index(
     # of the untruncated tree across the pipeline's actions, so the
     # truncation default stands (truncate_stages=True).
     if truncate_stages:
-        surv = surv.localCheckpoint(eager=False)
+        surv = operator_leaf(surv)
     _tick(surv, "s2_exact")
 
     # 2. near-dup vs history: band new + stored signatures, bucket-join,
@@ -236,7 +241,7 @@ def dedup_batch_against_index(
     )
     surv2 = surv.join(matched, "doc", "left_anti")
     if truncate_stages:
-        surv2 = surv2.localCheckpoint(eager=False)
+        surv2 = operator_leaf(surv2)
         ckpts = [new_idx, surv, surv2]
     else:
         ckpts = [new_idx]
@@ -260,7 +265,7 @@ def dedup_batch_against_index(
         # pair+verify pipeline (forced here — checkpointed so the
         # components stage reuses the materialization instead of
         # re-executing) vs the components labeling itself
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = operator_leaf(pairs)
         # register the diagnostic checkpoint so release_batch_checkpoints
         # frees it with the batch (r11: it previously leaked to GC)
         ckpts.append(pairs)

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_school_spark.dedup.cluster import operator_leaf
 from etl_school_spark.dedup.ngram import shingle_sets
 from etl_school_spark.operators.pairs import pairs_within_groups
 
@@ -260,7 +261,8 @@ def minhash_lsh_pairs(
     # shingling fold ran ~3× — sf1 A/B 8.57 → 4.65 s median, identical
     # 250,600 pairs (SCALING.md)
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
+        # operator_leaf (r14): durable-mode conf honored at this leaf
+        sets = operator_leaf(shingle_sets(docs, id_col, text_col, n))
     if signed is None:
         signed = minhash_signatures(sets, num_perm).filter(F.col("sig").isNotNull())
     banded = band_rows(signed, num_perm, bands)
@@ -377,7 +379,9 @@ def minhash_dup_groups(
     # create ourselves is ours to release once labels is self-contained
     owned_sets = None
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
+        # operator_leaf (r14, VERDICT item 2): durable-mode sessions get
+        # a reliable checkpoint here too, not just in the quotient loop
+        sets = operator_leaf(shingle_sets(docs, id_col, text_col, n))
         owned_sets = sets
     sets = sets.filter(F.col("set_size") > 0)
     # groupBy + join-back rep selection, not a set-key Window (r12,
@@ -396,10 +400,9 @@ def minhash_dup_groups(
     # in ngram.ngram_dup_groups / tools/ab_megaclique.py (r12)
     # _csize (r13): per-clique count so the dispatch below is one tiny
     # aggregate over this leaf, not a corpus-scale count (ngram rationale)
-    reps = (
+    reps = operator_leaf(
         keyed.groupBy("_setkey")
         .agg(F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_csize"))
-        .localCheckpoint(eager=False)
     )
     stars = (
         keyed.join(reps, "_setkey")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_school_spark.dedup.cluster import operator_leaf
 from etl_school_spark.functions.text import word_shingles
 
 
@@ -108,7 +109,9 @@ def ngram_jaccard_pairs(
     verify sides, so the lazy plan re-derived the shingling fold ~5×
     (sf1 A/B: 9.37 → 6.14 s median, identical 250,600 pairs)."""
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
+        # operator_leaf (r14): honors spark.etl_school.checkpoint_dir —
+        # reliable checkpoint in durable mode, localCheckpoint otherwise
+        sets = operator_leaf(shingle_sets(docs, id_col, text_col, n))
     return _jaccard_pairs_from_sets(sets, threshold)
 
 
@@ -231,7 +234,9 @@ def ngram_dup_groups(
     # create the leaf ourselves we also own releasing it (r13 below)
     owned_sets = None
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, n).localCheckpoint(eager=False)
+        # operator_leaf (r14, VERDICT item 2): durable-mode sessions get
+        # a reliable checkpoint here too, not just in the quotient loop
+        sets = operator_leaf(shingle_sets(docs, id_col, text_col, n))
         owned_sets = sets
     sets = sets.filter(F.col("set_size") > 0)
     # Rep selection is groupBy + join-back, NOT a Window over the set
@@ -267,10 +272,9 @@ def ngram_dup_groups(
     # count below is ONE tiny aggregate over this leaf instead of a
     # corpus-scale count of keyed — pruned out of every downstream join
     # by the explicit selects
-    reps = (
+    reps = operator_leaf(
         keyed.groupBy("_setkey")
         .agg(F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_csize"))
-        .localCheckpoint(eager=False)
     )
     stars = (
         keyed.join(reps, "_setkey")
@@ -288,7 +292,12 @@ def ngram_dup_groups(
     # star member, so |stars| = Σ clique sizes − |reps| — ONE aggregate
     # over the reps leaf this operator already truncates for reuse,
     # replacing the r12 probe's eager checkpoint of the join-derived
-    # stars frame (its ×1.19 capped organic residual, SCALING.md r12)
+    # stars frame (its ×1.19 capped organic residual, SCALING.md r12).
+    # The identity assumes doc ids are unique (the documents-table
+    # contract); duplicate ids only OVERESTIMATE the count — biasing
+    # dispatch toward the deferred (safe) branch, where
+    # connected_components re-probes the real edge count before any
+    # collect — so labels are unaffected either way (r14, ADVICE)
     star_count = None
     if collect_cap is not None:
         row = reps.agg(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_school_spark.dedup.cluster import operator_leaf
 from etl_school_spark.functions.text import _signed64, simhash64_packed
 
 
@@ -255,9 +256,8 @@ def simhash_near_pairs(
     # fold on BOTH sides of every exploded chunk row: sf1 A/B
     # 14.16 → 3.97 s median, identical 16.85M pairs (SCALING.md)
     if sigs is None:
-        sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
-            eager=False
-        )
+        # operator_leaf (r14): durable-mode conf honored at this leaf
+        sigs = operator_leaf(simhash_signature_rows(docs, id_col, text_col))
     ids = simhash_chunk_rows(docs, chunks, id_col, text_col, sigs=sigs)
     if refine_threshold == "auto":
         refine_threshold = _resolve_refine_auto(
@@ -507,9 +507,9 @@ def simhash_dup_groups(
     # contract note, r12 ADVICE).
     owned_sigs = None
     if sigs is None:
-        sigs = simhash_signature_rows(docs, id_col, text_col).localCheckpoint(
-            eager=False
-        )
+        # operator_leaf (r14, VERDICT item 2): durable-mode sessions get
+        # a reliable checkpoint here too, not just in the quotient loop
+        sigs = operator_leaf(simhash_signature_rows(docs, id_col, text_col))
         owned_sigs = sigs
     # NULL signatures (null text) are out of the pair contract — they
     # never match the star join or a chunk bucket — so exclude them from
@@ -528,10 +528,9 @@ def simhash_dup_groups(
     # aggregate over this leaf, not a corpus-scale count of sigs —
     # pruned out of the star join and the chunk explode by their
     # explicit selects (ngram rationale)
-    reps = (
+    reps = operator_leaf(
         sigs_nn.groupBy("_sig")
         .agg(F.min("doc").alias("doc"), F.count(F.lit(1)).alias("_csize"))
-        .localCheckpoint(eager=False)
     )
     stars = (
         sigs.join(reps.withColumnRenamed("doc", "_rep"), "_sig")
@@ -571,8 +570,17 @@ def simhash_dup_groups(
         star_count=star_count,
     )
     if with_singletons:
-        # (r12) full dedup table: (doc, doc) for every signed doc with
-        # no near-duplicate
+        # (r12) full dedup table: (doc, doc) for every doc with no
+        # near-duplicate. The universe is deliberately the FULL sigs
+        # frame (r14, ADVICE): null-text docs are out of the PAIR
+        # contract (they match no bucket or star join), but a full
+        # dedup table must still cover every document of the corpus —
+        # each null-text doc emerges as its own singleton group, the
+        # same per-doc survival rule the incremental pipeline applies
+        # to null fingerprints (incremental.py null_fp). ngram/minhash
+        # differ: their empty-SET docs are dropped from the universe
+        # because set_size=0 means "no shingles at this n", a unit the
+        # operator measures, not a doc the corpus lacks.
         from etl_school_spark.dedup.cluster import add_singletons
 
         labels = add_singletons(labels, sigs, "doc")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_school_spark.dedup.cluster import operator_leaf
 from etl_school_spark.dedup.minhash import minhash_dup_groups, minhash_lsh_pairs
 from etl_school_spark.dedup.ngram import ngram_dup_groups, ngram_jaccard_pairs
 from etl_school_spark.dedup.simhash import simhash_dup_groups, simhash_near_pairs
@@ -192,7 +193,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-suite quotient re-ran the join for +9.9 s); the quotient
     # operator ngram_dup_groups itself is driver-hashed through
     # dedup_clusters' label source and the ngram_groups parity component
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8, n=3).localCheckpoint(eager=False)
+    pairs = operator_leaf(ngram_jaccard_pairs(docs, threshold=0.8, n=3))
     branches = [
         tag_branch(
             pairs, "pairs", _NGRAM_SCHEMA,
@@ -330,11 +331,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # one shingle scan AND one 128-perm signature pass feed both
     # contracts (sets=/signed= injection, r11)
-    sets = shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
-    signed = (
-        minhash_signatures(sets)
-        .filter(F.col("sig").isNotNull())
-        .localCheckpoint(eager=False)
+    sets = operator_leaf(shingle_sets(docs, "doc_id", "text", 3))
+    signed = operator_leaf(
+        minhash_signatures(sets).filter(F.col("sig").isNotNull())
     )
     branches = [
         tag_branch(
@@ -394,7 +393,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.dedup.simhash import simhash_signature_rows
 
     # one signature scan feeds both contracts (sigs= injection, r11)
-    sigs = simhash_signature_rows(docs).localCheckpoint(eager=False)
+    sigs = operator_leaf(simhash_signature_rows(docs))
     branches = [
         tag_branch(
             simhash_near_pairs(
@@ -657,7 +656,7 @@ def incremental_dedup_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _planted_batch(docs)
     # materialized index, per the dedup_batch_against_index contract
     # (production reads it from the persisted index table)
-    index = build_dedup_index(gen0).localCheckpoint(eager=False)
+    index = operator_leaf(build_dedup_index(gen0))
     _accepted, rows = dedup_batch_against_index(batch, index, threshold=0.8)
     # batch-proportional output → unordered contract (r11, _suite.py)
     return unordered_output(rows.select(F.col("doc").alias("doc_id"), "fp"))

@@ -580,9 +580,13 @@ def embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses the n_cells="auto" count, so the dispatch itself now sits
     # under the driver hash at zero extra cost. Identical edge set by
     # the shortlist-margin + exact-rescore contract; oracle untouched.
-    both = semantic_dedup(
-        emb, threshold=0.4, n_cells="auto", keep="both", pair_form="auto"
-    ).localCheckpoint(eager=False)
+    from etl_school_spark.dedup.cluster import operator_leaf
+
+    both = operator_leaf(
+        semantic_dedup(
+            emb, threshold=0.4, n_cells="auto", keep="both", pair_form="auto"
+        )
+    )
     for which, keep_col in (
         ("semantic:min_id", "keep_min"),
         ("semantic:farthest", "keep_far"),
