@@ -16,10 +16,27 @@ two distinct modes that ONE probe cannot see —
   cache / I/O scheduler / file-listing drift needs its own probe. Same
   data at the same sf ⇒ cross-round comparable.
 
-Both probes run one UNTIMED warm-up first so their own codegen compile /
-parquet-footer read lands outside the samples. Single canary lines are
-drift INDICATORS, never normalizers for ±5% deltas — same-session A/Bs
-remain the only trustworthy speedup evidence (SCALING.md).
+Both probes warm to JVM STEADY STATE before sampling (r14, VERDICT
+item 1): the r14 idle census (tools/idle_canary_census.py, committed
+run in tools/anchors/) showed a single idle session's canary settling
+from 0.18 to a steady 0.125–0.145 within ~20 executions with NO load —
+so a one-shot warm-up left the first recorded canary of a session
+measuring a YOUNG JVM (JIT aging), 1.4–2.5× the steady value. That is
+exactly the start→end "drop" (0.21–0.33 → 0.12–0.16) the r13 window-
+stability gate misread as mid-run host-state change, refusing every
+normal run; and the r9–r11 "calm band" (0.20–0.23) was a band of
+young-JVM readings. A pure-Python burn A/B on the same host showed no
+CPU-frequency component. The fix is in the probe, not the gate: run
+enough untimed executions first (~15 codegen / 3 scan) that start-of-
+run and end-of-run canaries measure the same steady state — the ×1.2
+window comparison is then a genuine contention detector in both
+directions. Values from r14 onward are NOT comparable to earlier
+rounds' start canaries (they are comparable to earlier END canaries,
+which were always steady-state).
+
+Single canary lines are drift INDICATORS, never normalizers for ±5%
+deltas — same-session A/Bs remain the only trustworthy speedup
+evidence (SCALING.md).
 """
 
 from __future__ import annotations
@@ -33,7 +50,14 @@ from pyspark.sql import SparkSession
 def run_canaries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Run the codegen + scan-shaped drift probes; returns the four
     standard keys (canary_sec/_spread, canary_io_sec/_spread)."""
-    spark.range(500_000_000).selectExpr("sum(id)").collect()  # untimed compile
+    # steady-state warm-up (r14): ~25 untimed executions push the probe
+    # through C2 compilation in a fresh JVM (idle census: steady by ~20
+    # executions; a 15-exec warm-up still read 0.16 on the very first
+    # fresh-JVM sample vs the 0.13 steady state); in an already-warm
+    # session they cost ~3 s and change nothing — start and end
+    # canaries then measure the same state
+    for _ in range(25):
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
     samples: list[float] = []
     for _ in range(9):
         t0 = time.time()
@@ -42,7 +66,8 @@ def run_canaries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     samples.sort()
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    spark.read.parquet(doc_path).count()  # untimed: codegen/footer warmup
+    for _ in range(3):  # untimed: codegen/footer/page-cache warmup (r14)
+        spark.read.parquet(doc_path).count()
     io_samples: list[float] = []
     for _ in range(5):
         t0 = time.time()

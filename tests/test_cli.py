@@ -151,6 +151,30 @@ def test_bench_attribution_fields(tmp_path, monkeypatch):
     # no canary at all: normalization absent, stamp not refused
     bare = bench._attribution(55.0, {})
     assert bare["canary_norm"] is None and bare["final_ok"]
+    assert bare["canary_in_calm_band"] is False  # no reading, no claim
+
+    # r14: calm-band membership stamp (re-derived steady-state band) —
+    # both canaries in-band → citable; either out → not
+    lo, hi = bench.CALM_CANARY_BAND
+    mid = round((lo + hi) / 2, 4)
+    anchor.write_text(json.dumps({"value": 50.0, "canary_sec": mid}))
+    calm = bench._attribution(51.0, {"canary_sec": mid, "canary_end_sec": mid})
+    assert calm["final_ok"] and calm["canary_in_calm_band"] is True
+    hot_end = bench._attribution(
+        51.0, {"canary_sec": mid, "canary_end_sec": round(hi * 1.1, 4)}
+    )
+    assert hot_end["canary_in_calm_band"] is False
+
+    # r14: anchor comparison prefers the anchor's END canary (steady
+    # state) over its young-JVM start canary — a warmed reading that
+    # matches the anchor's end must stamp even when the anchor's start
+    # was inflated (the r13 universal-refusal failure mode)
+    anchor.write_text(json.dumps(
+        {"value": 50.0, "canary_sec": 0.25, "canary_end_sec": mid}
+    ))
+    warm = bench._attribution(51.0, {"canary_sec": mid, "canary_end_sec": mid})
+    assert warm["final_ok"], warm
+    assert warm["anchor_canary_sec"] == mid
 
 
 def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
@@ -181,6 +205,23 @@ def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
     }, indent=1))
     anchor, canary = _load_anchor(str(doc))
     assert anchor == {"a": 1.1, "b": 2.2} and canary == 0.33
+
+    # r14: both shapes prefer the steady-state END canary when present —
+    # a pre-r14 anchor's start canary is a young-JVM reading
+    doc.write_text(json.dumps({
+        "value": 49.3, "canary_sec": 0.33, "canary_end_sec": 0.13,
+        "queries": {"a": 1.1},
+    }, indent=1))
+    anchor, canary = _load_anchor(str(doc))
+    assert anchor == {"a": 1.1} and canary == 0.13
+
+    jl.write_text(
+        '{"canary_sec": 0.29, "canary_spread": 0.1}\n'
+        '{"b": 1.5}\n'
+        '{"total": 99.9, "errors": 0, "canary_end_sec": 0.14, "final_ok": false}\n'
+    )
+    anchor, canary = _load_anchor(str(jl))
+    assert anchor == {"b": 1.5} and canary == 0.14
 
 
 def test_sweep_anchor_loader_shape_edge_cases(tmp_path):
@@ -230,9 +271,21 @@ def test_sweep_and_bench_share_canary_deviation():
     import bench
 
     assert isinstance(bench.CANARY_DEVIATION, float)
+    # r14 (ADVICE): assert the WIRING, not source text — the previous
+    # `"> 1.2" not in src` substring match would spuriously fail on any
+    # unrelated literal/comment starting with "> 1.2" (e.g. "> 1.25")
+    # and coupled the test to formatting. The import below fails loudly
+    # if sweep_sf1 stops importing the shared constant from bench.
+    import ast
     import inspect
 
     import tools.sweep_sf1 as sweep
 
-    src = inspect.getsource(sweep.main)
-    assert "CANARY_DEVIATION" in src and "> 1.2" not in src
+    tree = ast.parse(inspect.getsource(sweep))
+    imports_shared = any(
+        isinstance(node, ast.ImportFrom)
+        and node.module == "bench"
+        and any(a.name == "CANARY_DEVIATION" for a in node.names)
+        for node in ast.walk(tree)
+    )
+    assert imports_shared, "sweep_sf1 must import CANARY_DEVIATION from bench"

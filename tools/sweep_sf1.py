@@ -71,7 +71,10 @@ def _load_anchor(path: str) -> tuple[dict[str, float], float | None]:
     if isinstance(doc, dict):
         doc = doc.get("parsed", doc)  # BENCH_r*.json wrapper shape
         if isinstance(doc.get("queries"), dict):
-            canary = doc.get("canary_sec")
+            # like-for-like canary states (r14): pre-r14 anchors carry a
+            # young-JVM start canary; their END canary was steady-state,
+            # the value comparable to a warmed canary (bench.py r14)
+            canary = doc.get("canary_end_sec") or doc.get("canary_sec")
             for k, v in doc["queries"].items():
                 if isinstance(v, (int, float)) and not k.startswith("canary"):
                     anchor[k] = float(v)
@@ -81,14 +84,19 @@ def _load_anchor(path: str) -> tuple[dict[str, float], float | None]:
         if not line.startswith("{"):
             continue
         d = json.loads(line)
-        if "canary_sec" in d:
+        if "canary_sec" in d and "total" not in d and "final_ok" not in d:
             canary = d["canary_sec"]
             continue
         if "q" in d and "median" in d:
             anchor[d["q"]] = float(d["median"])
             continue
         if "total" in d or "final_ok" in d:
-            continue  # the sweep's own closing stamp, not query lines
+            # the sweep's own closing stamp — not a query line, but its
+            # END canary is the steady-state value a warmed canary
+            # compares to (r14), so prefer it when present
+            if d.get("canary_end_sec"):
+                canary = d["canary_end_sec"]
+            continue
         if {"metric", "unit", "value", "sf", "cold_value"} & set(d):
             continue  # a bench document without a queries map — nothing
             # in it is a per-query line (ADVICE: 'value'/'sf'/'cold_value'
@@ -207,7 +215,7 @@ def main() -> int:
     # as code-attributed without opening the canary lines
     # shared refusal threshold (r13, ADVICE): bench.py defines the
     # constant; hardcoding 1.2 here let the two gates silently drift
-    from bench import CANARY_DEVIATION
+    from bench import CALM_CANARY_BAND, CANARY_DEVIATION
 
     # closing canary (r13, same rationale as bench.py): a start-of-sweep
     # canary can misread a window whose host state changes mid-sweep —
@@ -224,10 +232,16 @@ def main() -> int:
         reasons.append(f"canary start {c} vs end {ce}: window unstable")
     if reasons:
         stamp = {"final_ok": False, "final_reason": "; ".join(reasons)}
+    # calm-band membership (r14, shared with bench.py): interpretability
+    # stamp — citable without caveats when final_ok AND in-band
+    lo, hi = CALM_CANARY_BAND
+    in_band = bool(c and lo <= c <= hi and (ce is None or lo <= ce <= hi))
     print(json.dumps({"total": total, "errors": errs,
                       "anchor_canary_sec": anchor_canary,
                       "canary_end_sec": ce,
                       "canary_end_io_sec": end_canaries.get("canary_io_sec"),
+                      "calm_band": CALM_CANARY_BAND,
+                      "canary_in_calm_band": in_band,
                       **stamp}), flush=True)
     print("TOTAL", total, "errors", errs, flush=True)
     return 1 if errs else 0
