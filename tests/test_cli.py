@@ -138,6 +138,9 @@ def test_ab_rounds_summarize():
     assert s["pairs"]["q1"]["old_min"] == 1.0
     assert s["min_total_old"] == 1.0 and s["min_total_new"] == 0.5
     assert s["min_ratio_new_over_old"] == 0.5
+    # robust direction estimator: median over per-query ratios (errored
+    # queries excluded — only q1 contributes here)
+    assert s["median_query_ratio"] == 0.5
 
 
 def test_bench_attribution_fields(tmp_path, monkeypatch):

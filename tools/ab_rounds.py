@@ -98,12 +98,22 @@ def summarize(runs: dict[str, dict[str, list]]) -> dict:
     tot_n = round(sum(p["new_median"] for p in pairs.values() if "new_median" in p), 4)
     mtot_o = round(sum(p["old_min"] for p in pairs.values() if "old_min" in p), 4)
     mtot_n = round(sum(p["new_min"] for p in pairs.values() if "new_min" in p), 4)
+    ratios = sorted(p["ratio"] for p in pairs.values() if p.get("ratio"))
     return {
         "errors": errs,
         "total_old": tot_o, "total_new": tot_n,
         "ratio_new_over_old": round(tot_n / tot_o, 4) if tot_o else None,
         "min_total_old": mtot_o, "min_total_new": mtot_n,
         "min_ratio_new_over_old": round(mtot_n / mtot_o, 4) if mtot_o else None,
+        # the ROBUST direction estimator (r14 control finding): a single
+        # contention episode on one heavy query moves the totals ~10%
+        # while the per-query ratio median barely feels it — the r14
+        # same-code controls read 1.015/1.012 here even when their
+        # total-ratios swung 0.98→0.89. Read direction from this,
+        # magnitude from the totals, and both against the control band.
+        "median_query_ratio": (
+            round(statistics.median(ratios), 4) if ratios else None
+        ),
         "pairs": pairs,
     }
 
