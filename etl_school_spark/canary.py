@@ -81,3 +81,45 @@ def run_canaries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "canary_io_sec": round(io_samples[len(io_samples) // 2], 4),
         "canary_io_spread": round(io_samples[-1] - io_samples[0], 4),
     }
+
+
+def settle_canaries(
+    spark: SparkSession,
+    sf_dir: str,
+    band: tuple[float, float],
+    retries: int | None = None,
+    sleep_sec: float | None = None,
+    _sleep=time.sleep,
+) -> dict[str, float]:
+    """Start-of-run probe with bounded settle-and-reprobe (r14 final-pair
+    finding): a START canary can be transiently elevated by state that
+    will be gone before the first measured query — the r14 final pair's
+    second run started 75 s after its partner's JVM exit and probed
+    0.1722 (band top 0.16) while its END canary read a calm 0.1137 and
+    its total agreed with the final_ok partner to 0.1%; the stamp was
+    refused for a condition that had already passed. Since the probe
+    runs BEFORE any measured work, re-probing is honest: when the start
+    canary lands outside the calm band, sleep and probe again (default
+    2 retries × 45 s, env-tunable via SPARK_GRAFT_CANARY_SETTLE /
+    _SETTLE_SLEEP), and record EVERY probe in the artifact
+    (``canary_probe_history`` / ``canary_settle_retries``) so a reader
+    sees the settling rather than a silently-chosen sample. The LAST
+    probe is the official start canary — if the host is genuinely
+    loaded, all probes stay out of band and the gates refuse exactly as
+    before; only the transient case converts into a citable stamp."""
+    if retries is None:
+        retries = int(os.environ.get("SPARK_GRAFT_CANARY_SETTLE", "2"))
+    if sleep_sec is None:
+        sleep_sec = float(os.environ.get("SPARK_GRAFT_CANARY_SETTLE_SLEEP", "45"))
+    lo, hi = band
+    canaries = run_canaries(spark, sf_dir)
+    history = [canaries["canary_sec"]]
+    taken = 0
+    while not (lo <= canaries["canary_sec"] <= hi) and taken < retries:
+        _sleep(sleep_sec)
+        taken += 1
+        canaries = run_canaries(spark, sf_dir)
+        history.append(canaries["canary_sec"])
+    canaries["canary_probe_history"] = history
+    canaries["canary_settle_retries"] = taken
+    return canaries

@@ -208,6 +208,48 @@ def test_bench_attribution_fields(tmp_path, monkeypatch):
     assert warm["anchor_canary_sec"] == mid
 
 
+def test_settle_canaries_reprobes_transient_start(monkeypatch):
+    """r14 final-pair finding: a transiently-elevated START canary (the
+    partner JVM's shutdown still settling) refused a run whose end
+    canary and total were calm. settle_canaries re-probes (bounded)
+    until the start canary is in band, records every probe, and gives
+    up after `retries` so a genuinely loaded host still refuses."""
+    from etl_school_spark import canary as mod
+
+    band = (0.11, 0.16)
+    probes = iter([
+        {"canary_sec": 0.17, "canary_io_sec": 0.2},   # transient
+        {"canary_sec": 0.13, "canary_io_sec": 0.18},  # settled
+    ])
+    monkeypatch.setattr(mod, "run_canaries", lambda s, d: next(probes))
+    slept = []
+    out = mod.settle_canaries(None, "x", band, retries=2, sleep_sec=7,
+                              _sleep=slept.append)
+    assert out["canary_sec"] == 0.13
+    assert out["canary_probe_history"] == [0.17, 0.13]
+    assert out["canary_settle_retries"] == 1 and slept == [7]
+
+    # already in band: one probe, no sleep
+    monkeypatch.setattr(
+        mod, "run_canaries", lambda s, d: {"canary_sec": 0.12}
+    )
+    slept.clear()
+    out = mod.settle_canaries(None, "x", band, retries=2, _sleep=slept.append)
+    assert out["canary_probe_history"] == [0.12] and slept == []
+    assert out["canary_settle_retries"] == 0
+
+    # genuinely loaded host: retries exhaust, LAST probe reported, the
+    # out-of-band value flows to the gates which refuse as before
+    loaded = iter([{"canary_sec": v} for v in (0.3, 0.29, 0.31)])
+    monkeypatch.setattr(mod, "run_canaries", lambda s, d: next(loaded))
+    slept.clear()
+    out = mod.settle_canaries(None, "x", band, retries=2, sleep_sec=1,
+                              _sleep=slept.append)
+    assert out["canary_sec"] == 0.31
+    assert out["canary_probe_history"] == [0.3, 0.29, 0.31]
+    assert out["canary_settle_retries"] == 2 and len(slept) == 2
+
+
 def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
     """r12: --anchor accepts a sweep JSONL (median lines + leading
     canary line) AND a bench anchor JSON document (per-query map under

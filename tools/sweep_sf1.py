@@ -155,9 +155,10 @@ def main() -> int:
     # between back-to-back runs of identical code — print the canaries
     # so cross-round sweep comparisons can tell host noise from real
     # regressions (rationale in etl_school_spark/canary.py)
-    from etl_school_spark.canary import run_canaries
+    from bench import CALM_CANARY_BAND
+    from etl_school_spark.canary import run_canaries, settle_canaries
 
-    canaries = run_canaries(spark, sf_dir)
+    canaries = settle_canaries(spark, sf_dir, CALM_CANARY_BAND)
     print(json.dumps(canaries), flush=True)
     out: dict[str, object] = {}
     for name, fn in registry.items():
