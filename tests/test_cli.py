@@ -250,6 +250,45 @@ def test_settle_canaries_reprobes_transient_start(monkeypatch):
     assert out["canary_settle_retries"] == 2 and len(slept) == 2
 
 
+def test_final_pair_summarize():
+    """r14: the end-of-round pair protocol's verdict is pure code —
+    cite the min over fully-stamped runs; refuse when none stamp; note
+    close agreement from partially-stamped partners."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from final_pair import summarize_pair
+
+    # the actual r14 shape: run1 stamped, run2 refused on a transient
+    # start canary but agreeing to 0.1%
+    s = summarize_pair([
+        {"value": 53.8563, "final_ok": True, "canary_in_calm_band": True,
+         "canary_sec": 0.1353, "canary_end_sec": 0.1218},
+        {"value": 53.9173, "final_ok": False, "canary_in_calm_band": False,
+         "canary_sec": 0.1722, "canary_end_sec": 0.1137,
+         "final_reason": "window unstable"},
+    ])
+    assert s["citable"] and s["cited_total"] == 53.8563
+    assert s["min_total"] == 53.8563
+    assert s["agreement_spread_pct"] == 0.11
+    assert "corroborate" in s["note"]
+
+    # both stamped: min-across wins, no note needed
+    s2 = summarize_pair([
+        {"value": 55.0, "final_ok": True, "canary_in_calm_band": True},
+        {"value": 54.0, "final_ok": True, "canary_in_calm_band": True},
+    ])
+    assert s2["cited_total"] == 54.0 and "note" not in s2
+
+    # none stamped: refuse with a reason, still report min/agreement
+    s3 = summarize_pair([
+        {"value": 60.0, "final_ok": False, "canary_in_calm_band": False},
+        {"value": 70.0, "final_ok": True, "canary_in_calm_band": False},
+    ])
+    assert not s3["citable"] and s3["cited_total"] is None
+    assert "re-run" in s3["reason"] and s3["min_total"] == 60.0
+
+
 def test_sweep_anchor_loader_reads_both_shapes(tmp_path):
     """r12: --anchor accepts a sweep JSONL (median lines + leading
     canary line) AND a bench anchor JSON document (per-query map under
