@@ -432,3 +432,75 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rank")
         .transform(unordered_output)
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: the C4-style pre-training redaction pass (privacy.py,
+# reference analog: none) as a driver-checked query. The synthetic corpus
+# contains no PII-shaped spans (verified at sf0.01: zero hits in all four
+# categories), so scrubbing the raw text would be a vacuous check that
+# passes even with redaction broken. Instead the query PLANTS one
+# deterministic span per category in a per-doc header derived from doc_id
+# alone — pure per-row arithmetic/concat, no join, no shuffle, identical
+# on a 1000-executor cluster — then runs scrub_corpus and emits the
+# per-category audit counts plus the redacted text. The oracle rebuilds
+# the identical header in DuckDB SQL and replays the redaction with the
+# SAME pattern constants (built programmatically from
+# privacy.PII_PATTERNS — the RE2-compatible subset of Java regex, chosen
+# in r5 precisely so both engines execute the patterns identically), in
+# the same sequential category order with progressive counting.
+# --------------------------------------------------------------------------
+def _pii_scrub_oracle() -> str:
+    from etl_school_spark.privacy import PII_PATTERNS
+
+    hdr = (
+        "'from user' || cast(doc_id AS varchar) || '@example.com tel +1-555-' || "
+        "lpad(cast(doc_id*7%1000 AS varchar), 3, '0') || '-' || "
+        "lpad(cast(doc_id*13%10000 AS varchar), 4, '0') || "
+        "' ip 10.' || cast(doc_id%254+1 AS varchar) || '.0.' || "
+        "cast(doc_id*3%254+1 AS varchar) || "
+        "' ref https://docs.example.com/' || cast(doc_id AS varchar) || "
+        "chr(10) || text"
+    )
+    sql = f"WITH s0 AS (SELECT doc_id, {hdr} AS c FROM documents)"
+    prev = "s0"
+    for i, (name, rx) in enumerate(PII_PATTERNS.items(), 1):
+        sql += (
+            f", s{i} AS (SELECT * EXCLUDE (c), "
+            f"len(regexp_extract_all(c, '{rx}')) AS n_{name}, "
+            f"regexp_replace(c, '{rx}', '<{name.upper()}>', 'g') AS c "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    names = ", ".join(f"n_{n}" for n in PII_PATTERNS)
+    return sql + (
+        f" SELECT doc_id, {names}, c AS redacted FROM {prev} ORDER BY doc_id"
+    )
+
+
+@_q("text_pii_scrub", None)  # oracle attached below (built from the shared patterns)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_school_spark.privacy import PII_PATTERNS, scrub_corpus
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    header = F.concat(
+        F.lit("from user"), did, F.lit("@example.com tel +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), ((F.col("doc_id") % 254) + 1).cast("string"),
+        F.lit(".0."), (((F.col("doc_id") * 3) % 254) + 1).cast("string"),
+        F.lit(" ref https://docs.example.com/"), did, F.lit("\n"),
+        F.col("text"),
+    )
+    planted = docs.select("doc_id", header.alias("text"))
+    counts = [F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n in PII_PATTERNS]
+    return (
+        scrub_corpus(planted)
+        .select("doc_id", *counts, F.col("text").alias("redacted"))
+        .transform(unordered_output)
+    )
+
+
+ORACLES["text_pii_scrub"] = _pii_scrub_oracle()

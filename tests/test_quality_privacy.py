@@ -229,3 +229,27 @@ def test_scrub_pii_is_pure_jvm_and_streaming_safe(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(out_dir)).collect()
     assert len(got) == 1 and "<EMAIL>" in got[0].text
+
+
+def test_text_pii_scrub_query_plants_and_redacts(spark):
+    """r14: the registered text_pii_scrub query. The synthetic corpus has
+    zero PII-shaped spans (verified at sf0.01), so the query plants one
+    deterministic span per category per doc before scrubbing — this test
+    pins that every planted span is counted AND gone from the redacted
+    text, so the driver's hash compare is checking real redaction, not a
+    no-op projection."""
+    import re
+
+    from etl_school_spark.privacy import PII_PATTERNS
+    from etl_school_spark.workload.textops import text_pii_scrub
+
+    rows = text_pii_scrub(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        # exactly the planted span per category (corpus contributes none)
+        assert (r.n_url, r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1, 1), r.doc_id
+        for name in PII_PATTERNS:
+            assert f"<{name.upper()}>" in r.redacted, (r.doc_id, name)
+        # nothing PII-shaped survives redaction
+        for name, rx in PII_PATTERNS.items():
+            assert not re.search(rx, r.redacted), (r.doc_id, name)
