@@ -674,3 +674,78 @@ def test_blocked_pair_edges_exact_any_block(vs, block, pick):
     got = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
     want = {p for p, s in exact.items() if s >= threshold}
     assert got == want, (threshold, block, got ^ want)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: three-engine differential (r14). The text_pii_scrub
+# oracle's validity rests on "the same pattern runs identically on Spark
+# (Java regex), DuckDB (RE2), and Python re". This property test feeds
+# adversarial ASCII text — valid spans, near-misses (999.x IPs, bare
+# a@b, short digit runs), separators, adjacent spans — through all three
+# engines and asserts identical progressive counts AND redacted text.
+# ASCII-only by design: \b is ASCII-word-boundary in RE2 but
+# Unicode-aware in Python/Java, so the cross-engine guarantee (and the
+# corpus contract) is scoped to ASCII text.
+# --------------------------------------------------------------------------
+_pii_frag = st.one_of(
+    st.builds(lambda n: f"u{n}@ex{n % 7}.org", st.integers(0, 999)),
+    st.just("user.name+tag@sub.example.co"),
+    st.just("a@b"),  # near-miss: TLD too short
+    st.builds(lambda n: f"https://ex.com/{n}?q=a@b.cc", st.integers(0, 99)),
+    st.just("http://x.io/p"),
+    st.builds(lambda a, b: f"{a % 300}.{b % 300}.1.2", st.integers(0, 999), st.integers(0, 999)),
+    st.just("1.2.3"),  # near-miss: 3 octets
+    st.just("+1-555-123-4567"),
+    st.just("(02) 9876 5432"),
+    st.just("12-34 56"),  # near-miss: groups too short
+    st.text(alphabet=" aZ09.@-:/+()_%\t\n", max_size=12),
+)
+_pii_texts = st.lists(
+    st.lists(_pii_frag, min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_scrub(s: str):
+    from etl_school_spark.privacy import PII_PATTERNS
+
+    counts = {}
+    for name, rx in PII_PATTERNS.items():
+        counts[f"n_{name}"] = len(re.findall(rx, s))
+        s = re.sub(rx, f"<{name.upper()}>", s)
+    return s, counts
+
+
+@settings(max_examples=15, deadline=None)
+@given(_pii_texts)
+def test_pii_scrub_three_engine_differential(spark, values):
+    import duckdb
+    import pandas as pd
+
+    from etl_school_spark.privacy import PII_PATTERNS, scrub_corpus
+
+    # engine 1: Spark (Java regex)
+    df = _df(spark, values).withColumnRenamed("t", "text")
+    got = {r.i: r for r in scrub_corpus(df, "text").collect()}
+
+    # engine 2: DuckDB (RE2), same progressive CTE shape as the oracle
+    con = duckdb.connect()
+    con.register("pii_t", pd.DataFrame({"i": range(len(values)), "c": values}))
+    sql, prev = "WITH s0 AS (SELECT i, c FROM pii_t)", "s0"
+    for j, (name, rx) in enumerate(PII_PATTERNS.items(), 1):
+        sql += (
+            f", s{j} AS (SELECT * EXCLUDE (c), "
+            f"len(regexp_extract_all(c, '{rx}')) AS n_{name}, "
+            f"regexp_replace(c, '{rx}', '<{name.upper()}>', 'g') AS c FROM {prev})"
+        )
+        prev = f"s{j}"
+    duck = con.execute(sql + f" SELECT * FROM {prev}").fetchdf().set_index("i")
+
+    for i, text in enumerate(values):
+        # engine 3: Python re
+        red, counts = _py_scrub(text)
+        g, d = got[i], duck.loc[i]
+        assert g.text == red == d["c"], (text, g.text, red, d["c"])
+        for k, v in counts.items():
+            assert getattr(g, k) == v == int(d[k]), (text, k, getattr(g, k), v, int(d[k]))
