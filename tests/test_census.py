@@ -31,8 +31,10 @@ def test_registry_storage_census_within_allowances(spark):
         if isinstance(v, int) and v > ALLOWANCES.get(k, DEFAULT_ALLOWANCE)
     }
     # growth is measured per query (before/after), so pre-existing blocks
-    # from earlier tests in the shared session cannot inflate it; the
-    # ContextCleaner can only shrink counts mid-census (a false PASS
-    # risk of at most 1 on a query that exactly hits its allowance,
-    # never a false failure)
+    # from earlier tests in the shared session cannot inflate it. Async
+    # leaf release (unpersist(blocking=False)) CAN transiently inflate
+    # the after-count — observed once as a flaky +1 on dedup_minhash_lsh
+    # — so census() re-counts over-allowance queries with a bounded
+    # grace wait; a structural leak never shrinks, so the wait cannot
+    # mask one.
     assert not over, f"storage residual above documented allowance: {over}"

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -66,7 +67,20 @@ def census(spark, sf_dir: str, emit=None) -> dict[str, object]:
         except Exception as ex:
             out[name] = f"ERR {type(ex).__name__}: {str(ex)[:160]}"
         else:
-            out[name] = n_cached() - before
+            growth = n_cached() - before
+            # operator leaf release is intentionally non-blocking
+            # (unpersist(blocking=False) — the hot path must not wait on
+            # the BlockManager), so the count can transiently include a
+            # block the cleaner is already freeing (observed: one flaky
+            # +1 on dedup_minhash_lsh in a full-suite run). A bounded
+            # grace re-count separates that lag from a structural leak:
+            # a real leak NEVER shrinks, so waiting cannot mask it.
+            tries = 0
+            while growth > ALLOWANCES.get(name, DEFAULT_ALLOWANCE) and tries < 3:
+                time.sleep(1.0)
+                growth = n_cached() - before
+                tries += 1
+            out[name] = growth
         if emit is not None:
             emit({name: out[name]})
     return out
