@@ -31,10 +31,12 @@ def test_registry_storage_census_within_allowances(spark):
         if isinstance(v, int) and v > ALLOWANCES.get(k, DEFAULT_ALLOWANCE)
     }
     # growth is measured per query (before/after), so pre-existing blocks
-    # from earlier tests in the shared session cannot inflate it. Async
-    # leaf release (unpersist(blocking=False)) CAN transiently inflate
-    # the after-count — observed once as a flaky +1 on dedup_minhash_lsh
-    # — so census() re-counts over-allowance queries with a bounded
-    # grace wait; a structural leak never shrinks, so the wait cannot
-    # mask one.
+    # from earlier tests in the shared session cannot inflate it.
+    # Reclaimable leaves (referenced only by dead Python locals — e.g.
+    # the minhash suite's shared sets/signed scans) sit in storage until
+    # a driver GC lets the ContextCleaner unpersist them, which made the
+    # raw count GC-timing-dependent (flaky +1/+2 on dedup_minhash_lsh);
+    # census() therefore forces the gc dance on over-allowance readings
+    # and reports what SURVIVES it — structural retention. A true leak
+    # is strongly referenced and never shrinks, so gc cannot mask one.
     assert not over, f"storage residual above documented allowance: {over}"

@@ -68,16 +68,26 @@ def census(spark, sf_dir: str, emit=None) -> dict[str, object]:
             out[name] = f"ERR {type(ex).__name__}: {str(ex)[:160]}"
         else:
             growth = n_cached() - before
-            # operator leaf release is intentionally non-blocking
-            # (unpersist(blocking=False) — the hot path must not wait on
-            # the BlockManager), so the count can transiently include a
-            # block the cleaner is already freeing (observed: one flaky
-            # +1 on dedup_minhash_lsh in a full-suite run). A bounded
-            # grace re-count separates that lag from a structural leak:
-            # a real leak NEVER shrinks, so waiting cannot mask it.
+            # The census measures STRUCTURAL retention — blocks a
+            # long-lived session would actually accumulate. Leaves whose
+            # only remaining references are dead Python locals are
+            # RECLAIMABLE: the ContextCleaner unpersists them once a
+            # driver GC processes the weak refs (measured on
+            # dedup_minhash_lsh: 4 calls grew storage 0→7 blocks, two
+            # gc cycles later 0 — Spark's periodic-GC cleaner does this
+            # in production every spark.cleaner.periodicGC.interval).
+            # So on an over-allowance reading, run the same gc dance
+            # (Python gc frees py4j handles → JVM gc enqueues weak refs
+            # → cleaner unpersists, async) before believing it; a TRUE
+            # structural leak (still strongly referenced) never shrinks,
+            # so this cannot mask one.
             tries = 0
-            while growth > ALLOWANCES.get(name, DEFAULT_ALLOWANCE) and tries < 3:
-                time.sleep(1.0)
+            while growth > ALLOWANCES.get(name, DEFAULT_ALLOWANCE) and tries < 4:
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1.5)
                 growth = n_cached() - before
                 tries += 1
             out[name] = growth
