@@ -504,3 +504,57 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["text_pii_scrub"] = _pii_scrub_oracle()
+
+
+# --------------------------------------------------------------------------
+# Context chunking (r14, training-pipeline extension; reference analog:
+# none): split each document into fixed-size token windows with stride
+# overlap — the standard packing step before LLM pre-training
+# tokenization. Pure built-ins end to end: tokenize once, generate the
+# window starts with `sequence`, posexplode, `slice` + `array_join` the
+# window back to text. No join, no aggregation — the only shuffle is the
+# standard fan_out; the explode multiplies rows ~len/stride per doc and
+# stays embarrassingly parallel at any corpus size. The oracle replays
+# the identical windows with DuckDB's lateral generate_series +
+# list_slice over the same whitespace-class tokenizer (_TOK), both
+# engines slicing 1-based with the same window/stride constants.
+# --------------------------------------------------------------------------
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@_q(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} w FROM documents),
+    s AS (SELECT doc_id, w, unnest(range(0, len(w), {_CHUNK_STRIDE})) AS start
+          FROM t)
+    SELECT doc_id,
+           start // {_CHUNK_STRIDE} AS chunk_id,
+           least({_CHUNK_TOKENS}, len(w) - start) AS n_tokens,
+           array_to_string(list_slice(w, start + 1, start + {_CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", toks.alias("w"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(_CHUNK_TOKENS), F.size("w") - F.col("start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("w", F.col("start") + 1, F.lit(_CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+        )
+        .transform(unordered_output)
+    )

@@ -749,3 +749,43 @@ def test_pii_scrub_three_engine_differential(spark, values):
         assert g.text == red == d["c"], (text, g.text, red, d["c"])
         for k, v in counts.items():
             assert getattr(g, k) == v == int(d[k]), (text, k, getattr(g, k), v, int(d[k]))
+
+
+def _py_chunks(s: str, k: int = 64, stride: int = 48):
+    toks = _py_tokens(s)
+    out = []
+    for ci, start in enumerate(range(0, len(toks), stride)):
+        win = toks[start : start + k]
+        out.append((ci, len(win), " ".join(win)))
+    return out
+
+
+@_S
+@given(_texts)
+def test_doc_chunks_match_python_reference(spark, values):
+    """r14: fixed-window/stride context chunking — Spark's
+    sequence+posexplode+slice pipeline must equal the obvious Python
+    slicing, including the one-chunk empty-text case and the final
+    short window."""
+    from etl_school_spark.workload.textops import _CHUNK_STRIDE, _CHUNK_TOKENS
+
+    df = _df(spark, values).withColumnRenamed("t", "text")
+    toks = F.split(F.trim(F.col("text")), f"{_JAVA_WS}+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+    rows = (
+        df.select("i", toks.alias("w"), F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "i",
+            "chunk_id",
+            F.least(F.lit(_CHUNK_TOKENS), F.size("w") - F.col("start")).alias("n"),
+            F.array_join(F.slice("w", F.col("start") + 1, F.lit(_CHUNK_TOKENS)), " ").alias("c"),
+        )
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r.i, []).append((r.chunk_id, r.n, r.c))
+    for i, text in enumerate(values):
+        want = _py_chunks(text, _CHUNK_TOKENS, _CHUNK_STRIDE)
+        assert sorted(got[i]) == want, (text, got[i], want)
