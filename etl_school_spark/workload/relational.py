@@ -148,7 +148,6 @@ def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("value").between(50, 400)
         )
         .select("event_id", "ts", "event_type", "value")
-        .orderBy("event_id")
     )
 
 
@@ -169,7 +168,6 @@ def filter_isin_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") & (F.col("c_acctbal") > 1000))
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -190,7 +188,7 @@ def search_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = multi_column_search(cust.select("c_custkey", "c_name", "c_mktsegment"), "00001", ["c_name"]).unionByName(
         multi_column_search(cust.select("c_custkey", "c_name", "c_mktsegment"), "auto", ["c_mktsegment"])
     )
-    return found.dropDuplicates(["c_custkey"]).orderBy("c_custkey")
+    return found.dropDuplicates(["c_custkey"])
 
 
 # --------------------------------------------------------------------------
@@ -210,7 +208,6 @@ def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.filter(F.col("c_name").rlike("00[0-9]*[02468]$"))
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -237,7 +234,6 @@ def filter_sanity_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_orderdate") > F.expr("TIMESTAMP_NTZ '2001-07-01 00:00:00'"))
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
-        .orderBy("o_orderkey")
     )
 
 
@@ -260,7 +256,6 @@ def json_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_id", "event_type", k.alias("k_value"))
         .filter(F.col("k_value") >= 50)
-        .orderBy("event_id")
     )
 
 
@@ -404,7 +399,6 @@ def conditional_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_high.alias("n_high"),
             F.round(n_high.cast("double") / F.nullif(F.count(F.lit(1)), F.lit(0)), 4).alias("high_share"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -427,7 +421,6 @@ def having_wide_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .filter(F.col("n_lines") >= 6)
-        .orderBy("l_orderkey")
     )
 
 
@@ -444,7 +437,7 @@ def having_wide_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")
+    return li.select("l_returnflag", "l_linestatus").distinct()
 
 
 # --------------------------------------------------------------------------
@@ -464,7 +457,7 @@ def union_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = {
         n: load_table(spark, sf_dir, n) for n in ["region", "nation", "customer", "supplier"]
     }
-    return labelled_counts(parts).orderBy("stage")
+    return labelled_counts(parts)
 
 
 # --------------------------------------------------------------------------
@@ -618,7 +611,6 @@ def masking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.substring(pan, 1, 4), F.lit("********"), F.substring(pan, 13, 4)).alias("pan_slice_mask"),
             F.sha2(pan, 256).alias("pan_sha"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -647,9 +639,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("double").alias("n_orders"),
         dsum("l_quantity").alias("total_qty"),
     )
-    return wide.unpivot([], ["n_rows", "n_orders", "total_qty"], "metric_name", "metric_value").orderBy(
-        "metric_name"
-    )
+    return wide.unpivot([], ["n_rows", "n_orders", "total_qty"], "metric_name", "metric_value")
 
 
 # --------------------------------------------------------------------------
@@ -680,7 +670,6 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100, 2).alias("value_cents"),
             (F.abs(F.col("user_id")) % 100).alias("user_bucket"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -698,6 +687,7 @@ from etl_school_spark.workload._suite import (  # noqa: E402
     oracle_union,
     tag_branch,
     union_suite,
+    unordered_output,
 )
 
 _FILTER_SCHEMA = {
@@ -750,7 +740,11 @@ def filter_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_branch(COMPONENTS[comp](spark, sf_dir), which, _FILTER_SCHEMA, **slots)
         for which, (comp, slots) in _FILTER_BRANCHES.items()
     ]
-    return union_suite(branches).orderBy("which", "key")
+    # event-proportional output → unordered contract (r14, guide §2.4:
+    # the orderBy tail was determinism-only; its range exchange re-ran
+    # the union for bound sampling and would range-sort the full result
+    # at scale — the driver compare is order-insensitive)
+    return unordered_output(union_suite(branches))
 
 
 _JOIN_SCHEMA = {"k1": "string", "k2": "string", "n": "long", "val": "double"}
@@ -879,7 +873,8 @@ def group_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_branch(COMPONENTS[comp](spark, sf_dir), which, _GROUP_SCHEMA, **slots)
         for which, (comp, slots) in _GROUP_BRANCHES.items()
     ]
-    return union_suite(branches).orderBy("which", "k1", "key")
+    # user/key-proportional output → unordered contract (r14, guide §2.4)
+    return unordered_output(union_suite(branches))
 
 
 @_q(
@@ -897,7 +892,8 @@ def per_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile shape, one row per user, window + aggregate in one plan."""
     latest = COMPONENTS["latest_event_per_user"](spark, sf_dir)
     span = COMPONENTS["event_span_per_user"](spark, sf_dir)
-    return latest.join(span, "user_id").orderBy("user_id")
+    # one row per user → user-proportional → unordered contract (r14)
+    return unordered_output(latest.join(span, "user_id"))
 
 
 _SCALAR_SCHEMA = {
@@ -940,4 +936,5 @@ def scalar_mask_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_branch(COMPONENTS[comp](spark, sf_dir), which, _SCALAR_SCHEMA, **slots)
         for which, (comp, slots) in _SCALAR_BRANCHES.items()
     ]
-    return union_suite(branches).orderBy("which", "key", "s1")
+    # row-proportional output → unordered contract (r14, guide §2.4)
+    return unordered_output(union_suite(branches))

@@ -139,6 +139,14 @@ _UNORDERED_CONTRACT = {
     "tfidf_top_terms", "mm_image_features", "mm_audio_features",
     "mm_frame_sample", "asof_user_tier", "range_join_event_windows",
     "session_window_rollup", "sample_documents_10pct",
+    # r14 (optimization round): the r1–r2-era row-proportional tails —
+    # their orderBy was determinism-only (driver compare is order-
+    # insensitive); the range exchange re-ran the plan tail for bound
+    # sampling and would range-sort the full output at 100 TB
+    "filter_predicate_suite", "group_agg_suite", "scalar_mask_suite",
+    "per_user_event_profile", "join_shape_suite", "event_window_suite",
+    "sql_surface_latest_big_order", "text_pii_scrub", "doc_chunks",
+    "fuzzy_name_matches",
 }
 
 
