@@ -28,12 +28,23 @@ from etl_school_spark.workload._suite import unordered_output
 QUERIES = {}
 ORACLES = {}
 
+# Queries added AFTER the r13-verified 50 (r14's text_pii_scrub /
+# doc_chunks). The driver verifies only the FIRST 50 entries of
+# ``queries()``; registering new names mid-registry displaced two
+# verified sampling queries past that cutoff in r14 (VERDICT r14 item
+# 1). Late registrations are appended after every module's main
+# QUERIES so the original 50 always occupy the first 50 slots.
+LATE_QUERIES = {}
+LATE_ORACLES = {}
 
-def _q(name: str, oracle: str | None = None):
+
+def _q(name: str, oracle: str | None = None, late: bool = False):
+    q, o = (LATE_QUERIES, LATE_ORACLES) if late else (QUERIES, ORACLES)
+
     def deco(fn):
-        QUERIES[name] = fn
+        q[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            o[name] = oracle
         return fn
 
     return deco
@@ -478,7 +489,7 @@ def _pii_scrub_oracle() -> str:
     )
 
 
-@_q("text_pii_scrub", None)  # oracle attached below (built from the shared patterns)
+@_q("text_pii_scrub", None, late=True)  # oracle attached below (built from the shared patterns)
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.privacy import PII_PATTERNS, scrub_corpus
 
@@ -503,7 +514,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["text_pii_scrub"] = _pii_scrub_oracle()
+LATE_ORACLES["text_pii_scrub"] = _pii_scrub_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -536,6 +547,7 @@ _CHUNK_STRIDE = 48
              AS chunk_text
     FROM s ORDER BY doc_id, chunk_id
     """,
+    late=True,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))

@@ -21,6 +21,25 @@ def test_queries_registry_shape():
     assert set(oracles) <= set(qs)
 
 
+def test_first_50_slots_are_the_r13_verified_set():
+    """The driver verifies only the FIRST 50 entries of queries().
+    r14 added two queries mid-registry and silently displaced two
+    verified sampling queries past that cutoff (VERDICT r14 item 1).
+    Pin the first-50 name set to the r13 CORRECTNESS key set so any
+    future registration that displaces a verified query fails here
+    instead of in the driver's gate."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r13.json")
+    verified = set(json.load(open(path)))
+    first50 = list(e.queries())[:50]
+    assert set(first50) == verified, (
+        f"displaced out of the driver window: {sorted(verified - set(first50))}; "
+        f"intruders: {sorted(set(first50) - verified)}"
+    )
+
+
 def test_all_queries_execute(spark):
     for name, fn in e.queries().items():
         df = fn(spark, SF_SMOKE)

@@ -22,8 +22,15 @@ def main() -> int:
     spark = get_spark("dump-query-plans")
     qs = e.queries()
     names = sys.argv[3:] or [n for n in HEADLINE if n in qs]
+    # r15 (ADVICE): derive the round directory from the tag — a tag of the
+    # form "r15_before" writes plans/r15/<query>_before.txt (the old code
+    # hardcoded plans/r14/ whatever the tag said). A prefix-less tag keeps
+    # the legacy layout for backward compatibility.
+    m = re.match(r"(r\d+)_(.+)", tag)
+    round_dir, file_tag = (m.group(1), m.group(2)) if m else ("r14", tag)
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", round_dir,
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
@@ -33,7 +40,7 @@ def main() -> int:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
         formatted = re.sub(r"Location: \S+", "Location: <sf_dir>", formatted)
-        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        path = os.path.join(out_dir, f"{name}_{file_tag}.txt")
         with open(path, "w") as fh:
             fh.write(f"# {name} @ {sf_dir} — explain('formatted'), tag={tag}\n")
             fh.write(formatted.rstrip() + "\n")
