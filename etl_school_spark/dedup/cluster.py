@@ -195,9 +195,13 @@ def connected_components(
     # upstream pair-pipeline plan (PPJoin / minhash trees), so each
     # round's plan generation and optimization re-paid it — components
     # over an unmaterialized sf0.01 pair pipeline ran 4.4 s vs 1.2 s
-    # over a truncated one. Eager: the loop's first action needs the
-    # data anyway, and a materialized leaf is what makes the plans small.
-    edges = _truncate(edges, True)
+    # over a truncated one. r15 (guide §5, VERDICT item 2 — serial
+    # blocking driver jobs): the truncation is LAZY when a collect_cap
+    # probe follows — the probe's count() materializes the checkpoint in
+    # the same job, so dispatch pays one blocking job instead of two
+    # (eager checkpoint count + probe count). Without a probe the eager
+    # form stands: the loop's first action needs the data anyway.
+    edges = _truncate(edges, collect_cap is None)
     if collect_cap is not None and edges.count() <= collect_cap:
         small = _collected_components(edges, src, dst)
         if small is not None:
@@ -429,7 +433,9 @@ def quotient_components(
     owned_stars: DataFrame | None = None
     if collect_cap is not None:
         if star_count is None:
-            stars = _leaf(stars, True)
+            # lazy leaf + count = one blocking job, not two (r15 —
+            # the count materializes the checkpoint it probes)
+            stars = _leaf(stars, False)
             owned_stars = stars
             star_count = stars.count()
         if star_count <= collect_cap:

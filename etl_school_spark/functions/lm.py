@@ -156,6 +156,70 @@ def perplexity_scores(
     )
 
 
+def self_perplexity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    k: float = 1.0,
+) -> DataFrame:
+    """Train-on-self + score in ONE bigram pass — the CCNet
+    self-perplexity shape (reference corpus == scored corpus), fused
+    (r15, guide §2.4: two operations keyed the same way share one
+    exchange).
+
+    ``train_bigram_lm(docs)`` + ``perplexity_scores(docs, lm)`` runs the
+    tokenize → posexplode → vocab-map → per-doc lag window chain TWICE —
+    once keyed by a synthetic ``_rid`` for training, once by ``id_col``
+    for scoring — and the non-deterministic ``monotonically_increasing_id``
+    defeats exchange reuse between them. The bigram multiset is a pure
+    function of the corpus (every ``id_col`` value is unique per row,
+    and the model counts never reference the doc key), so ONE
+    ``id_col``-keyed bigram stream serves both: model counts aggregate
+    over it, scoring joins against those counts on the SAME stream.
+    The tokenize+explode scan below the ``_id`` exchange is then shared
+    via ReusedExchange instead of executing twice, and one full window
+    sort disappears from the plan. Counts — and therefore every emitted
+    ppl double — are identical to the two-pass form (the per-doc lag
+    window produces the same bigrams whatever unique key partitions it);
+    the DuckDB oracle is unchanged.
+
+    Returns the ``perplexity_scores`` contract: (id_col, ppl, n_bigrams)
+    for documents with ≥ 2 tokens."""
+    from etl_school_spark.tables import fan_out
+
+    docs = fan_out(docs)
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = uni.orderBy(F.desc("c"), "w").limit(vocab_size).select("w")
+    bg = _mapped_bigrams(docs, id_col, text_col, vocab)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c").alias("c1"))
+    v = vocab_size + 1
+    joined = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
+            ),
+        )
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.exp(-F.avg("_logp")).alias("ppl"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(F.col("_id").alias(id_col), "ppl", "n_bigrams")
+    )
+
+
 def save_bigram_lm(lm: BigramLM, path: str) -> None:
     """Persist the model as plain parquet tables (vocab/bigrams/contexts)
     plus a one-row meta table carrying (v, k) — the durable form a

@@ -257,10 +257,17 @@ def lsh_topk(
     mask = (1 << bits) - 1
 
     vd = as_double(F.col(vec_col))
-    coded = (
-        corpus.withColumn("_pool", pool_code(vec_col, flat))
-        .withColumn("_v", vd)
-        .withColumn("_n", l2_norm(vd))
+    # r15 (guide §2.3 — narrower types through the exchange): the cogroup
+    # shuffle ships every vector once per (table, bucket) membership, i.e.
+    # ``tables`` copies of the corpus. The RAW float32 parquet column
+    # crosses at half the bytes of the pre-widened double form it
+    # replaced; the pandas scorer widens to float64 before any
+    # arithmetic (np IEEE widening is exact, so the BLAS shortlist AND
+    # the exact sequential-fold rescore see bit-identical doubles — the
+    # oracle is unchanged). The norm stays a JVM-computed double of the
+    # widened vector, riding the shuffle as one column.
+    coded = corpus.withColumn("_pool", pool_code(vec_col, flat)).withColumn(
+        "_n", l2_norm(vd)
     )
     table_keys = F.array(
         *[
@@ -277,7 +284,7 @@ def lsh_topk(
     ) -> DataFrame:
         return df.select(
             F.col(id_col).alias(id_alias),
-            F.col("_v").alias(v_alias),
+            F.col(vec_col).alias(v_alias),
             F.col("_n").alias(n_alias),
             F.explode(table_keys).alias("b"),
         ).select(id_alias, v_alias, n_alias, "b.t", "b.key")
@@ -285,10 +292,8 @@ def lsh_topk(
     if query_filter is not None:
         q_coded = coded.filter(query_filter)
     else:
-        q_coded = (
-            queries.withColumn("_pool", pool_code(vec_col, flat))
-            .withColumn("_v", vd)
-            .withColumn("_n", l2_norm(vd))
+        q_coded = queries.withColumn("_pool", pool_code(vec_col, flat)).withColumn(
+            "_n", l2_norm(vd)
         )
 
     qb = exploded(q_coded, "query_id", "qv", "_nq")

@@ -129,9 +129,33 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if _has_shuffle_boundary(df._jdf.queryExecution().analyzed(), n):
         return df
-    if df.rdd.getNumPartitions() >= n:
+    # Probe memo (r15, VERDICT item 2 — serial construction overhead):
+    # the physical-planning probe costs ~50 ms per call and the SAME
+    # scan-shaped frames are re-probed on every query construction (the
+    # bench's warm lane re-constructs each query per iteration: ~0.8 s
+    # of probes per sweep). A frame's partition count is a pure function
+    # of its canonicalized plan + session confs, so memoize per
+    # (application, semantic hash, parallelism). The memo holds partition
+    # COUNTS only — never data — and a hash collision can only mis-size
+    # a round-robin repartition, never change results.
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), n)
+    except Exception:
+        key = None
+    if key is not None and key in _FANOUT_PROBE_MEMO:
+        k = _FANOUT_PROBE_MEMO[key]
+    else:
+        k = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_FANOUT_PROBE_MEMO) > 512:
+                _FANOUT_PROBE_MEMO.clear()
+            _FANOUT_PROBE_MEMO[key] = k
+    if k >= n:
         return df
     return df.repartition(n)
+
+
+_FANOUT_PROBE_MEMO: dict[tuple, int] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -233,14 +233,19 @@ _PPL_CTES = f"""
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_school_spark.functions.corpus import corpus_flags
-    from etl_school_spark.functions.lm import perplexity_scores, train_bigram_lm
+    from etl_school_spark.functions.lm import self_perplexity_scores
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # CCNet-style model signal: reference = the corpus itself (self-
     # perplexity), trained distributed (functions/lm.py) — the model
-    # frames never touch the driver.
-    lm = train_bigram_lm(docs, vocab_size=_PPL_VOCAB, k=1.0)
-    ppl = perplexity_scores(docs, lm).withColumn("ppl", F.round("ppl", 4))
+    # frames never touch the driver. r15: fused train+score
+    # (self_perplexity_scores) — one doc_id-keyed bigram stream feeds
+    # both the model counts and the scoring join, so the tokenize +
+    # posexplode + vocab-map + lag-window chain runs once, not twice
+    # (identical counts ⇒ identical ppl doubles; oracle unchanged).
+    ppl = self_perplexity_scores(docs, vocab_size=_PPL_VOCAB, k=1.0).withColumn(
+        "ppl", F.round("ppl", 4)
+    )
     # emit_metrics=True: the expensive fold metrics are computed ONCE and
     # shared between each flag and its output slot (see corpus_flags);
     # re-deriving them here with fresh top_word_share(...) calls would

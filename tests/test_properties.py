@@ -555,6 +555,33 @@ def test_bigram_lm_perplexity_matches_python(spark, ref, texts, vocab_size):
             assert abs(got[i] - w) / w < 1e-9, (i, got[i], w)
 
 
+@settings(max_examples=6, deadline=None)
+@given(_texts, st.integers(min_value=1, max_value=30))
+def test_self_perplexity_fusion_is_exact(spark, texts, vocab_size):
+    """The r15 fused self-perplexity (one doc-keyed bigram stream feeding
+    both the model counts and the scoring join) must emit EXACTLY the
+    doubles of the two-pass train-on-self + score form it replaced —
+    the model counts are invariant to which unique per-row key
+    partitions the lag window, so no tolerance is allowed."""
+    from etl_school_spark.functions.lm import (
+        perplexity_scores,
+        self_perplexity_scores,
+        train_bigram_lm,
+    )
+
+    df = _df(spark, texts)
+    lm = train_bigram_lm(df, "t", vocab_size)
+    want = {
+        (r.i): (r.ppl, r.n_bigrams)
+        for r in perplexity_scores(df, lm, "i", "t").collect()
+    }
+    got = {
+        (r.i): (r.ppl, r.n_bigrams)
+        for r in self_perplexity_scores(df, "i", "t", vocab_size).collect()
+    }
+    assert got == want
+
+
 def test_bigram_lm_ranks_fluent_below_gibberish(spark):
     """The signal the rule battery cannot express: a document drawn from
     the reference distribution scores LOWER perplexity than the same
