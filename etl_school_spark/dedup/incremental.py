@@ -129,6 +129,7 @@ def dedup_batch_against_index(
     text_col: str = "text",
     stage_clock: dict | None = None,
     truncate_stages: bool = True,
+    batch_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Accept the subset of ``new_docs`` that duplicates neither the
     accepted corpus (``index``) nor an earlier-accepted member of the
@@ -188,9 +189,18 @@ def dedup_batch_against_index(
     # operator_leaf (r14, VERDICT item 2): every stage-boundary
     # truncation in this pipeline honors the durable-checkpoint conf —
     # on a real cluster with spark.etl_school.checkpoint_dir set, an
-    # executor loss mid-batch no longer invalidates truncated lineage
-    new_idx = operator_leaf(
-        build_dedup_index(new_docs, id_col, text_col, n, num_perm)
+    # executor loss mid-batch no longer invalidates truncated lineage.
+    # ``batch_index`` (r15, guide §2.6): a caller that also builds the
+    # HISTORY index in the same session can construct both per-doc
+    # index leaves concurrently (they are independent jobs — Spark's
+    # scheduler overlaps them from two driver threads) and inject the
+    # batch's here; it must be operator_leaf(build_dedup_index(new_docs,
+    # ...)) with the same parameters. None keeps the serial in-call
+    # build, byte-identical to r14.
+    new_idx = (
+        batch_index
+        if batch_index is not None
+        else operator_leaf(build_dedup_index(new_docs, id_col, text_col, n, num_perm))
     )
     _tick(new_idx, "s1_batch_index")
 

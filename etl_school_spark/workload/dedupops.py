@@ -655,9 +655,22 @@ def incremental_dedup_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = _planted_batch(docs)
     # materialized index, per the dedup_batch_against_index contract
-    # (production reads it from the persisted index table)
-    index = operator_leaf(build_dedup_index(gen0))
-    _accepted, rows = dedup_batch_against_index(batch, index, threshold=0.8)
+    # (production reads it from the persisted index table). r15 (guide
+    # §2.6 — overlap independent jobs): the history index and the
+    # batch's own index are independent subtrees whose leaf
+    # materializations each block the driver serially; two driver
+    # threads let Spark schedule both AQE stage waves in one window.
+    # Leaf contents are identical to the serial form (test-pinned by
+    # the oracle hash: same rows either way).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_hist = pool.submit(lambda: operator_leaf(build_dedup_index(gen0)))
+        f_batch = pool.submit(lambda: operator_leaf(build_dedup_index(batch)))
+        index, bidx = f_hist.result(), f_batch.result()
+    _accepted, rows = dedup_batch_against_index(
+        batch, index, threshold=0.8, batch_index=bidx
+    )
     # batch-proportional output → unordered contract (r11, _suite.py)
     return unordered_output(rows.select(F.col("doc").alias("doc_id"), "fp"))
 
